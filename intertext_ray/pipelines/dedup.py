@@ -1,0 +1,128 @@
+"""The flagship pipeline: docs -> windows -> signatures -> hashbands ->
+candidates -> matches -> components/clusters (reference ``process_texts``
+lifecycle, ``/root/reference/intertext/intertext.py:179-228``, re-expressed
+as a checkpointed chain of Ray Datasets — SURVEY.md §3.4).
+
+Every stage is a streaming Dataset transform; the only driver-side
+materializations are the (small) verified-pair graph for union-find and the
+stage manifests.  ``work_dir`` checkpoints make each stage resumable and let
+the windows table be consumed twice (minhash + verification) without
+recomputation.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray.data
+
+from intertext_ray.config import IntertextConfig
+from intertext_ray.stages.bands import hashbands_stage
+from intertext_ray.stages.candidates import band_metrics, candidates_stage
+from intertext_ray.stages.cluster import (
+    banish_filter,
+    components_from_matches,
+    doc_clusters_from_components,
+    pair_clusters_stage,
+)
+from intertext_ray.stages.minhash import signatures_stage
+from intertext_ray.stages.verify import matches_stage
+from intertext_ray.stages.windows import windows_stage
+from intertext_ray.state.checkpoint import CheckpointStore
+
+
+@dataclass
+class DedupResult:
+    windows: ray.data.Dataset
+    matches: ray.data.Dataset
+    components: pa.Table
+    doc_clusters: pa.Table
+    store: CheckpointStore
+    pair_clusters: ray.data.Dataset | None = None
+    metrics: dict = field(default_factory=dict)
+
+
+def run_dedup(
+    docs: ray.data.Dataset,
+    cfg: IntertextConfig | None = None,
+    work_dir: str | None = None,
+    banished_doc_ids: set[int] | None = None,
+    excluded_doc_ids: set[int] | None = None,
+    num_buckets: int = 64,
+    with_pair_clusters: bool = True,
+    with_metrics: bool = False,
+) -> DedupResult:
+    """docs: Dataset(doc_id uint64, text string).  Returns all stage handles;
+    intermediate tables live as Parquet checkpoints under ``work_dir``."""
+    cfg = cfg or IntertextConfig()
+    work_dir = work_dir or cfg.checkpoint_root or tempfile.mkdtemp(
+        prefix="intertext_ray_"
+    )
+    store = CheckpointStore(work_dir, cfg.semantic_hash())
+    metrics: dict = {}
+
+    windows = store.get_or_compute(
+        "windows", lambda: windows_stage(docs, cfg), upstream=["docs"]
+    )
+
+    def build_hashbands():
+        return hashbands_stage(signatures_stage(store.load("windows"), cfg), cfg)
+
+    hashbands = store.get_or_compute(
+        "hashbands", build_hashbands, upstream=["windows"]
+    )
+    if with_metrics:
+        metrics["bands"] = band_metrics(hashbands, cap=cfg.band_docs_cap)
+
+    candidates = store.get_or_compute(
+        "candidates",
+        lambda: candidates_stage(store.load("hashbands"), cfg, num_buckets),
+        upstream=["hashbands"],
+    )
+
+    matches = store.get_or_compute(
+        "matches",
+        lambda: matches_stage(
+            store.load("candidates"), store.load("windows"), cfg, num_buckets
+        ),
+        upstream=["candidates", "windows"],
+    )
+
+    if banished_doc_ids:
+        matches = store.get_or_compute(
+            "matches_banished",
+            lambda: banish_filter(store.load("matches"), banished_doc_ids, cfg),
+            upstream=["matches"],
+        )
+
+    components = components_from_matches(matches)
+    doc_clusters = doc_clusters_from_components(components)
+
+    pair_clusters = None
+    if with_pair_clusters:
+        window_counts = None
+        if cfg.max_file_sim is not None:
+            wc = (
+                store.load("windows")
+                .groupby("doc_id")
+                .count()
+                .to_pandas()
+            )
+            window_counts = dict(
+                zip(wc["doc_id"].astype(int), wc["count()"].astype(int))
+            )
+        pair_clusters = pair_clusters_stage(
+            matches, cfg, window_counts, excluded_doc_ids, num_buckets
+        )
+
+    return DedupResult(
+        windows=windows,
+        matches=matches,
+        components=components,
+        doc_clusters=doc_clusters,
+        store=store,
+        pair_clusters=pair_clusters,
+        metrics=metrics,
+    )
