@@ -66,6 +66,20 @@ class CheckpointStore:
             shutil.rmtree(final)
         t0 = time.time()
         ds.write_parquet(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        if not glob.glob(os.path.join(tmp, "*.parquet")):
+            # an empty dataset writes no files; persist an empty file with
+            # the schema so load()/read_parquet still round-trips
+            import pyarrow as pa
+            import pyarrow.parquet as _pq
+
+            schema = ds.schema(fetch_if_missing=False)
+            arrow_schema = getattr(schema, "base_schema", None) if schema else None
+            if arrow_schema is None:
+                arrow_schema = pa.schema([])
+            _pq.write_table(
+                arrow_schema.empty_table(), os.path.join(tmp, "empty_0.parquet")
+            )
         parts = sorted(
             os.path.relpath(p, tmp) for p in glob.glob(os.path.join(tmp, "*.parquet"))
         )

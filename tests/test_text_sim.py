@@ -1,0 +1,68 @@
+"""Tokenizer / windowizer / sequence / similarity semantics vs the reference
+(`/root/reference/intertext/intertext.py:1180-1189, 670-678, 495-509,
+1261-1263`)."""
+
+from difflib import SequenceMatcher
+
+import numpy as np
+
+from intertext_ray.config import IntertextConfig
+from intertext_ray.functions.similarity import is_junk_window, string_sim, verify_pair
+from intertext_ray.functions.text import (
+    get_sequences,
+    tokenize,
+    window_texts,
+    windowize_texts,
+)
+
+CFG = IntertextConfig()
+
+
+def test_tokenize_whitespace_semantics():
+    assert tokenize("  a\tb\nc  d ") == ["a", "b", "c", "d"]
+    assert tokenize("") == []
+
+
+def test_window_counts_formula():
+    for n_words in [0, 5, 13, 14, 15, 17, 18, 50, 141]:
+        words = [f"w{i}" for i in range(n_words)]
+        ws = window_texts(words, 14, 4)
+        assert len(ws) == CFG.windows_per_doc(n_words)
+        if n_words >= 14:
+            # window_id k covers words [k*4, k*4+14)
+            assert ws[0] == " ".join(words[0:14])
+            k = len(ws) - 1
+            assert ws[k] == " ".join(words[k * 4 : k * 4 + 14])
+
+
+def test_windowize_texts_batch():
+    texts = ["", " ".join(f"w{i}" for i in range(20)), "short one"]
+    row, win, out = windowize_texts(texts, 14, 4)
+    assert row.tolist() == [1, 1]
+    assert win.tolist() == [0, 1]
+    assert out[0].startswith("w0 ")
+
+
+def test_get_sequences():
+    assert get_sequences([5, 1, 2, 3, 9, 10]) == [[1, 2, 3], [5], [9, 10]]
+    assert get_sequences([2, 2, 2]) == [[2]]
+    assert get_sequences([]) == []
+
+
+def test_string_sim_is_difflib():
+    a, b = "the cat sat on the mat", "the cat sat on a mat"
+    assert string_sim(a, b) == SequenceMatcher(None, a, b, autojunk=False).ratio() * 100
+
+
+def test_verify_pair_semantics():
+    a = "word " * 13 + "word"
+    assert verify_pair(a, a, 50, 14) == 100
+    # below min_sim
+    assert verify_pair("aaaa bbbb cccc", "xxxx yyyy zzzz", 50, 14) is None
+    # junk filter: >= 0.75*14 = 10.5 single-char words
+    junk = " ".join(list("abcdefghijk")) + " word word word"
+    assert is_junk_window(junk, 14)
+    assert verify_pair(junk, junk, 50, 14) is None
+    # int cast, not round (reference int(sim))
+    s = string_sim("abcd", "abce")
+    assert verify_pair("abcd", "abce", 50, 14) == int(s)
