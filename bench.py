@@ -1,0 +1,182 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: end-to-end near-dup pipeline (audio decode+invariant -> windows ->
+MinHash -> LSH -> difflib verify -> union-find clusters) over the synthetic
+clips corpus sized to the sf tier, reported as wall seconds (clips/sec in
+``queries``).  Secondary queries cover the other operator families.
+
+``--scaling``: runs the same bench in fresh subprocesses at num_cpus=8 and
+32 (the sandbox stand-in for N and 4N nodes) and reports both throughputs +
+scaling efficiency.
+
+Corpus generation is cached under /tmp and excluded from timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from intertext_ray.config import IntertextConfig
+    from intertext_ray.fixtures.gen_clips import clip_signal
+    from intertext_ray.pipelines.dedup import run_dedup
+    from intertext_ray.pipelines.documents import clips_corpus_for_sf
+    from intertext_ray.sources.clips import clips_to_docs, read_clips, read_documents
+    from intertext_ray.stages.audio import audio_validate_stage
+
+    queries: dict[str, float] = {}
+    cfg = IntertextConfig()
+
+    # ---- headline: clips pipeline (decode + invariant + full dedup) ----
+    cache = clips_corpus_for_sf(SF_DIR, with_audio=True)  # cached, untimed
+    import pyarrow.parquet as pq
+
+    n_clips = pq.ParquetFile(os.path.join(cache, "clips.parquet")).metadata.num_rows
+    # warm page cache so we measure compute+shuffle, not first disk read
+    read_clips(f"{cache}/clips.parquet").count()
+    work = f"/tmp/itx_bench_work_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    t0 = time.time()
+    clips = read_clips(f"{cache}/clips.parquet")
+    validated = audio_validate_stage(
+        clips,
+        expected_signal=lambda cid, sr, ns: clip_signal(42, int(cid.split("_")[1]), sr, ns),
+        concurrency=NUM_CPUS,
+    )
+    docs = validated.map_batches(clips_to_docs, batch_format="pyarrow").select_columns(
+        ["doc_id", "text"]
+    )
+    res = run_dedup(
+        docs, cfg, work_dir=work, num_buckets=4 * NUM_CPUS, with_pair_clusters=False
+    )
+    n_matches = res.matches.count()
+    headline = time.time() - t0
+    queries["clips_pipeline"] = round(headline, 3)
+    queries["clips_per_sec"] = round(n_clips / headline, 1)
+    queries["clips_n_matches"] = n_matches
+
+    # ---- documents dedup (first 1000 docs: the testdata vocabulary is ~31
+    # words, so all-docs matching is quadratic by construction; the capped
+    # run keeps verify cost proportional) ----
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t0 = time.time()
+    docs1k = read_documents(SF_DIR).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], pa.scalar(1000))),
+        batch_format="pyarrow",
+    )
+    shutil.rmtree("/tmp/itx_bench_docs", ignore_errors=True)
+    res2 = run_dedup(
+        docs1k,
+        cfg,
+        work_dir="/tmp/itx_bench_docs",
+        num_buckets=4 * NUM_CPUS,
+        with_pair_clusters=False,
+    )
+    res2.matches.count()
+    queries["documents_dedup_1k"] = round(time.time() - t0, 3)
+
+    # ---- ANN brute-force top-k over the embeddings table ----
+    from intertext_ray.ops.embeddings import ann_topk, cosine_dup_pairs
+
+    t0 = time.time()
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ann_topk(emb, query_ids=[0, 1, 2, 3, 4, 5, 6, 7], k=10)
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cosine_dup_pairs(emb, threshold=0.35).count()
+    queries["cosine_dup_pairs"] = round(time.time() - t0, 3)
+
+    # ---- text-analysis ops over the full documents table ----
+    from intertext_ray.ops.exact_dedup import exact_dedup
+    from intertext_ray.ops.simhash import simhash_near_dups
+    from intertext_ray.ops.text_stats import lang_id, quality_scores
+
+    t0 = time.time()
+    quality_scores(read_documents(SF_DIR)).count()
+    lang_id(read_documents(SF_DIR)).count()
+    exact_dedup(read_documents(SF_DIR)).count()
+    queries["text_ops"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs1k = read_documents(SF_DIR).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], pa.scalar(1000))),
+        batch_format="pyarrow",
+    )
+    simhash_near_dups(docs1k, max_hamming=8).count()
+    queries["simhash_near_dups_1k"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "clips_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "n_clips": n_clips,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    n = r_lo["n_clips"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "clips_per_sec_8": round(n / t_lo, 1),
+        "clips_per_sec_32": round(n / t_hi, 1),
+        "n_clips": n,
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -75,6 +75,22 @@ def windowize_texts(
     )
 
 
+def display_words(text: str) -> list[str]:
+    """Display-variant word list (reference ``get_words(display=True)``,
+    ``intertext/intertext.py:1146-1156``): newlines become ``<br/>`` suffixes
+    on the preceding word, capped at two consecutive."""
+    NEWLINE = "__NEWLINE__"
+    l = text.replace("\n", " " + NEWLINE + " ").split()
+    formatted: list[str] = []
+    for w in l:
+        if w == NEWLINE:
+            if formatted and not formatted[-1].endswith("<br/><br/>"):
+                formatted[-1] += "<br/>"
+        else:
+            formatted.append(w)
+    return formatted
+
+
 def get_sequences(window_ids) -> list[list[int]]:
     """Maximal runs of consecutive ints (reference ``get_sequences``,
     ``intertext/intertext.py:670-678``)."""

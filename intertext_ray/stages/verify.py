@@ -26,7 +26,6 @@ import pyarrow as pa
 import ray
 
 from intertext_ray.config import IntertextConfig
-from intertext_ray.functions.hashing import hash_pack_pair, splitmix64
 from intertext_ray.functions.similarity import verify_pair
 
 _U64 = np.uint64
@@ -147,21 +146,16 @@ def _resolve_side(candidates, windows, side: str, num_buckets: int):
         wins = df[df["kind"] == 0][["doc", "win", "text"]]
         cands = df[df["kind"] == 1].drop(columns=["text"])
         merged = cands.merge(wins, on=["doc", "win"], how="inner")
-        out = merged[["doc_a", "doc_b", "win_a", "win_b"]].copy()
+        cols = {
+            "doc_a": pa.array(merged["doc_a"].to_numpy(np.uint64), pa.uint64()),
+            "doc_b": pa.array(merged["doc_b"].to_numpy(np.uint64), pa.uint64()),
+            "win_a": pa.array(merged["win_a"].to_numpy(np.int32), pa.int32()),
+            "win_b": pa.array(merged["win_b"].to_numpy(np.int32), pa.int32()),
+        }
         if have_other:
-            out["text_a"] = merged["other_text"]
-        out[text_col] = merged["text"]
-        return pa.Table.from_pandas(
-            out.astype(
-                {
-                    "doc_a": "uint64",
-                    "doc_b": "uint64",
-                    "win_a": "int32",
-                    "win_b": "int32",
-                }
-            ),
-            preserve_index=False,
-        )
+            cols["text_a"] = pa.array(merged["other_text"].tolist(), pa.string())
+        cols[text_col] = pa.array(merged["text"].tolist(), pa.string())
+        return pa.table(cols)
 
     return unioned.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
 

@@ -1,0 +1,208 @@
+"""Training-data ops: exact dedup, simhash, n-gram jaccard, embeddings ANN,
+text stats, multimodal stubs (the extensions beyond the reference surface)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def toy_docs(ray_session):
+    rows = {
+        "doc_id": list(range(6)),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+            "the quick brown fox leaps over the lazy dog",  # near dup
+            "completely different content about spark and ray data pipelines",
+            "the and of to a in is that it for the and of to",  # stopword heavy
+            "",
+        ],
+    }
+    return rd.from_arrow(pa.table(rows))
+
+
+def test_exact_dedup(toy_docs):
+    from intertext_ray.ops.exact_dedup import duplicate_groups, exact_dedup
+
+    kept = exact_dedup(toy_docs).to_pandas()
+    assert len(kept) == 5  # doc 1 removed
+    assert 1 not in set(kept.doc_id)
+    assert 0 in set(kept.doc_id)  # min-id keeper
+    groups = duplicate_groups(toy_docs).to_pandas()
+    assert len(groups) == 1
+    assert groups.n_dups.iloc[0] == 2 and groups.keeper_id.iloc[0] == 0
+
+
+def test_token_and_quality(toy_docs):
+    from intertext_ray.ops.text_stats import quality_scores, token_counts
+
+    tc = token_counts(toy_docs).to_pandas().set_index("doc_id")
+    assert tc.loc[0, "n_tokens"] == 9
+    assert tc.loc[5, "n_tokens"] == 0
+    q = quality_scores(toy_docs).to_pandas().set_index("doc_id")
+    assert q.loc[0, "n_unique_tokens"] == 8  # 'the' twice
+    assert q.loc[0, "ttr_x1000"] == math.floor(1000 * 8 / 9)
+    assert q.loc[5].tolist() == [0, 0, 0, 0, 0]
+
+
+def test_lang_id(toy_docs):
+    from intertext_ray.ops.text_stats import lang_id
+
+    p = lang_id(toy_docs).to_pandas().set_index("doc_id")
+    assert p.loc[4, "pred_lang"] == "en"
+    assert p.loc[5, "pred_lang"] == "und"
+
+
+def test_fingerprints(toy_docs):
+    import hashlib
+
+    from intertext_ray.ops.text_stats import content_fingerprints
+
+    fp = content_fingerprints(toy_docs).to_pandas().set_index("doc_id")
+    assert fp.loc[0, "content_md5"] == fp.loc[1, "content_md5"]
+    assert fp.loc[0, "content_md5"] != fp.loc[2, "content_md5"]
+    expect = hashlib.md5(
+        "the quick brown fox jumps over the lazy dog".encode()
+    ).hexdigest()
+    assert fp.loc[0, "content_md5"] == expect
+
+
+def test_simhash(toy_docs):
+    from intertext_ray.ops.simhash import (
+        hamming64,
+        simhash_fingerprints,
+        simhash_near_dups,
+    )
+
+    fp = simhash_fingerprints(toy_docs).to_pandas().set_index("doc_id")
+    assert fp.loc[0, "simhash"] == fp.loc[1, "simhash"]
+    h = hamming64(
+        np.array([fp.loc[0, "simhash"]], np.uint64),
+        np.array([fp.loc[2, "simhash"]], np.uint64),
+    )[0]
+    assert 0 < h < 20  # near dup: small but nonzero distance
+    pairs = simhash_near_dups(toy_docs, max_hamming=int(h)).to_pandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 1) in got
+    assert (0, 2) in got or h > 3  # banding guarantees hamming<=3 collisions
+
+
+def test_ngram_jaccard(toy_docs):
+    from intertext_ray.ops.ngram_jaccard import doc_grams, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(toy_docs, min_jaccard=0.5).to_pandas()
+    got = {(int(r.doc_a), int(r.doc_b)): int(r.jaccard_x1000) for r in pairs.itertuples()}
+    assert got[(0, 1)] == 1000  # identical
+    # manual jaccard for (0,2)
+    g0 = doc_grams("the quick brown fox jumps over the lazy dog")
+    g2 = doc_grams("the quick brown fox leaps over the lazy dog")
+    j = len(g0 & g2) / len(g0 | g2)
+    if j >= 0.5:
+        assert got[(0, 2)] == math.floor(1000.0 * len(g0 & g2) / len(g0 | g2))
+    assert (0, 3) not in got
+
+
+def test_ann_and_cosine(ray_session):
+    from intertext_ray.ops.embeddings import ann_topk, cosine_dup_pairs, lsh_cosine_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[7] = base[3] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near dup
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in base],
+                                      pa.list_(pa.float32())),
+            }
+        )
+    )
+    top = ann_topk(emb, query_ids=[3], k=5).to_pandas()
+    assert top.iloc[0]["vec_id"] == 3 and top.iloc[0]["rank"] == 0  # self first
+    assert 7 in set(top.vec_id)
+    pairs = cosine_dup_pairs(emb, threshold=0.95).to_pandas()
+    assert (3, 7) in set(zip(pairs.a, pairs.b))
+    lsh = lsh_cosine_dup_pairs(emb, threshold=0.95, n_planes=6, n_tables=8).to_pandas()
+    assert (3, 7) in set(zip(lsh.a, lsh.b))
+
+
+def test_rolling_fingerprints(toy_docs):
+    from intertext_ray.ops.text_stats import rolling_fingerprints
+
+    fp = rolling_fingerprints(toy_docs, k=4, keep_mod=2).to_pandas()
+    # identical docs 0/1 produce identical fingerprint sets
+    s0 = set(fp[fp.doc_id == 0].fp)
+    s1 = set(fp[fp.doc_id == 1].fp)
+    assert s0 == s1
+
+
+def test_multimodal_stub(ray_session):
+    from intertext_ray.ops.multimodal import frame_sample_plan, image_features_stage
+
+    tbl = pa.table(
+        {
+            "clip_id": pa.array(["a", "b"], pa.string()),
+            "bytes": pa.array([b"payload-a", b"payload-b"], pa.binary()),
+            "dur_ms": pa.array([2500, 400], pa.int32()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    feats = image_features_stage(ds, dim=8).to_pandas()
+    assert all(len(f) == 8 for f in feats.feature)
+    # deterministic fake: same payload -> same feature
+    f2 = image_features_stage(ds, dim=8).to_pandas()
+    assert (np.vstack(feats.feature) == np.vstack(f2.feature)).all()
+    plan = frame_sample_plan(ds, every_ms=1000).to_pandas()
+    assert len(plan[plan.clip_id == "a"]) == 2
+    assert len(plan[plan.clip_id == "b"]) == 1
+    # real-decoder path is explicitly stubbed in this container
+    from intertext_ray.ops.multimodal import ImageFeatureExtractor
+
+    with pytest.raises(NotImplementedError):
+        ImageFeatureExtractor(real_decoder=True)
+
+
+def test_exports_roundtrip(ray_session, tmp_path):
+    import json
+
+    from intertext_ray.config import IntertextConfig
+    from intertext_ray.pipelines.dedup import run_dedup
+    from intertext_ray.stages.exports import (
+        format_clusters,
+        scatterplot_aggregates,
+        sort_indices,
+        word_counts_dict,
+        write_api_outputs,
+    )
+
+    t = " ".join(f"w{i}" for i in range(30))
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0, 1, 2], pa.uint64()),
+             "text": [t, t, "x " * 40]}
+        )
+    )
+    res = run_dedup(docs, IntertextConfig(), work_dir=str(tmp_path / "w"),
+                    num_buckets=2)
+    counts = word_counts_dict(docs)
+    meta = {0: {"author": "A", "title": "T0", "year": 1800},
+            1: {"author": "B", "title": "T1", "year": 1700}}
+    fm = format_clusters(res.pair_clusters, docs, IntertextConfig(),
+                         metadata=meta, counts=counts)
+    assert len(fm) > 0
+    # year ordering (N8): source must be the earlier publication (doc 1)
+    assert (fm.source_file_id == 1).all()
+    assert fm.probability.iloc[0] > 0
+    sp = scatterplot_aggregates(fm)
+    assert set(sp["statistic"]) == {"sum", "mean"}
+    idx = sort_indices(fm)
+    assert set(idx) == {"length", "probability", "similarity", "author", "title", "year"}
+    out = str(tmp_path / "api")
+    write_api_outputs(out, fm, docs, IntertextConfig(), metadata=meta)
+    cfgj = json.load(open(f"{out}/config.json"))
+    assert cfgj["files_with_matches"] == [0, 1]
+    assert json.load(open(f"{out}/texts/2.json"))[0] == "x"

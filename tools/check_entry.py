@@ -1,0 +1,120 @@
+"""Driver-emulation harness: run every ``queries()`` entry and compare
+against ``oracle_sql()`` via DuckDB the way the grader does (row count +
+order-insensitive value comparison, columns sorted by name).
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()  # ray Dataset
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].map(lambda v: tuple(v))
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            out = to_pandas(fn(sf_dir))
+        except Exception as e:
+            results[name] = f"QUERY ERROR: {type(e).__name__}: {e}"
+            print(name, results[name][:500], flush=True)
+            continue
+        wall = time.time() - t0
+        if name not in oracles:
+            results[name] = f"rows-only: {len(out)} rows [{wall:.1f}s]"
+            print(name, results[name], flush=True)
+            continue
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"SQL ERROR: {e}"
+            print(name, results[name][:500], flush=True)
+            continue
+        a, b = normalize(out), normalize(exp)
+        status = []
+        if len(a) != len(b):
+            status.append(f"ROWS {len(a)} vs {len(b)}")
+        if list(a.columns) != list(b.columns):
+            status.append(f"COLS {list(a.columns)} vs {list(b.columns)}")
+        if not status:
+            try:
+                eq = a.reset_index(drop=True).equals(b.reset_index(drop=True))
+                if not eq:
+                    # find first differing cell for debugging
+                    neq = (a.values != b.values)
+                    ij = np.argwhere(neq)
+                    i, j = ij[0]
+                    status.append(
+                        f"VALUES differ at row {i} col {a.columns[j]}: "
+                        f"{a.iloc[i, j]!r} vs {b.iloc[i, j]!r} ({len(ij)} cells)"
+                    )
+            except Exception as e:
+                status.append(f"COMPARE ERROR: {e}")
+        results[name] = ("OK" if not status else "; ".join(status)) + f" ({len(a)} rows) [{wall:.1f}s]"
+        print(name, results[name], flush=True)
+
+    bad = {k: v for k, v in results.items() if not (v.startswith("OK") or v.startswith("rows-only"))}
+    print("\n==== SUMMARY:", "ALL OK" if not bad else f"{len(bad)} FAILING: {sorted(bad)}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
