@@ -238,6 +238,27 @@ def _q_pair_clusters(sf_dir: str):
     return _i64(_dedup_run(sf_dir).pair_clusters)
 
 
+def _q_dup_doc_pairs(sf_dir: str):
+    from intertext_ray.stages.cluster import dup_doc_pairs
+
+    return _i64(dup_doc_pairs(_dedup_run(sf_dir).matches))
+
+
+def _q_only_focal(sf_dir: str):
+    """Reference --only: candidates restricted to a focal doc (doc 0)."""
+    from intertext_ray.config import IntertextConfig
+    from intertext_ray.stages.bands import hashbands_stage
+    from intertext_ray.stages.candidates import candidates_stage
+    from intertext_ray.stages.minhash import signatures_stage
+    from intertext_ray.stages.windows import windows_stage
+
+    cfg = IntertextConfig(only_doc_id=0)
+    w = windows_stage(_docs(sf_dir), cfg)
+    return _i64(
+        candidates_stage(hashbands_stage(signatures_stage(w, cfg), cfg), cfg, 16)
+    )
+
+
 def _q_word_counts(sf_dir: str):
     from intertext_ray.stages.exports import word_counts
 
@@ -364,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": _q_components,
         "dedup_clusters": _q_clusters,
         "pair_clusters": _q_pair_clusters,
+        "dup_doc_pairs": _q_dup_doc_pairs,
+        "only_focal_candidates": _q_only_focal,
         "match_scatterplots": _q_scatterplots,
         "clips_pipeline": _q_clips_pipeline,
         "audio_validate": _q_audio_validate,

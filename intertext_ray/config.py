@@ -48,6 +48,12 @@ class IntertextConfig:
     # --- text handling ---
     strip_diacritics: bool = False
     encoding: str = "utf-8"
+    # focal-doc filter (reference --only, intertext.py:439-445): keep only
+    # candidates touching this doc id
+    only_doc_id: int | None = None
+    # XML front-end knobs (reference S3/N10, intertext.py:1166-1177)
+    xml_base_tag: str | None = None
+    xml_remove_tags: tuple[str, ...] = ()
 
     # --- Ray execution knobs (ours) ---
     minhash_batch_size: int = 4096     # windows per minhash batch

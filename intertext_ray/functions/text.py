@@ -75,6 +75,32 @@ def windowize_texts(
     )
 
 
+def extract_xml_text(
+    markup: str,
+    base_tag: str | None = None,
+    remove_tags: tuple[str, ...] = (),
+) -> str:
+    """XML/HTML text extraction (reference S3 ``get_soup``,
+    ``intertext/intertext.py:1166-1177``, which uses BeautifulSoup; bs4 is
+    not in this environment, so this is a regex equivalent: keep the subtree
+    under ``base_tag``, drop ``remove_tags`` subtrees, strip all tags,
+    unescape entities).  Only used when the corpus front end is XML."""
+    import html
+    import re
+
+    s = markup
+    if base_tag:
+        m = re.search(
+            rf"<{base_tag}\b[^>]*>(.*?)</{base_tag}>", s, re.S | re.I
+        )
+        s = m.group(1) if m else ""
+    for tag in remove_tags:
+        s = re.sub(rf"<{tag}\b[^>]*>.*?</{tag}>", " ", s, flags=re.S | re.I)
+        s = re.sub(rf"<{tag}\b[^>]*/>", " ", s, flags=re.I)
+    s = re.sub(r"<[^>]+>", " ", s)
+    return html.unescape(s)
+
+
 def display_words(text: str) -> list[str]:
     """Display-variant word list (reference ``get_words(display=True)``,
     ``intertext/intertext.py:1146-1156``): newlines become ``<br/>`` suffixes

@@ -53,9 +53,17 @@ def run_dedup(
     num_buckets: int = 64,
     with_pair_clusters: bool = True,
     with_metrics: bool = False,
+    checkpoints: bool = True,
 ) -> DedupResult:
-    """docs: Dataset(doc_id uint64, text string).  Returns all stage handles;
-    intermediate tables live as Parquet checkpoints under ``work_dir``."""
+    """docs: Dataset(doc_id uint64, text string).  Returns all stage handles.
+
+    ``checkpoints=True``: every stage is written/resumed as Parquet under
+    ``work_dir`` (the production posture: resumable, stage outputs
+    inspectable).  ``checkpoints=False``: the whole chain runs as ONE
+    streaming execution — windows pinned in the object store (used by both
+    the minhash path and the verify join), everything else pipelined with
+    backpressure; maximizes stage overlap for benchmarking/one-shot runs.
+    """
     cfg = cfg or IntertextConfig()
     work_dir = work_dir or cfg.checkpoint_root or tempfile.mkdtemp(
         prefix="intertext_ray_"
@@ -63,39 +71,51 @@ def run_dedup(
     store = CheckpointStore(work_dir, cfg.semantic_hash())
     metrics: dict = {}
 
-    windows = store.get_or_compute(
-        "windows", lambda: windows_stage(docs, cfg), upstream=["docs"]
-    )
+    if checkpoints:
+        windows = store.get_or_compute(
+            "windows", lambda: windows_stage(docs, cfg), upstream=["docs"]
+        )
 
-    def build_hashbands():
-        return hashbands_stage(signatures_stage(store.load("windows"), cfg), cfg)
+        def build_hashbands():
+            return hashbands_stage(signatures_stage(store.load("windows"), cfg), cfg)
 
-    hashbands = store.get_or_compute(
-        "hashbands", build_hashbands, upstream=["windows"]
-    )
-    if with_metrics:
-        metrics["bands"] = band_metrics(hashbands, cap=cfg.band_docs_cap)
+        hashbands = store.get_or_compute(
+            "hashbands", build_hashbands, upstream=["windows"]
+        )
+        if with_metrics:
+            metrics["bands"] = band_metrics(hashbands, cap=cfg.band_docs_cap)
 
-    candidates = store.get_or_compute(
-        "candidates",
-        lambda: candidates_stage(store.load("hashbands"), cfg, num_buckets),
-        upstream=["hashbands"],
-    )
+        candidates = store.get_or_compute(
+            "candidates",
+            lambda: candidates_stage(store.load("hashbands"), cfg, num_buckets),
+            upstream=["hashbands"],
+        )
 
-    matches = store.get_or_compute(
-        "matches",
-        lambda: matches_stage(
-            store.load("candidates"), store.load("windows"), cfg, num_buckets
-        ),
-        upstream=["candidates", "windows"],
-    )
+        matches = store.get_or_compute(
+            "matches",
+            lambda: matches_stage(
+                store.load("candidates"), store.load("windows"), cfg, num_buckets
+            ),
+            upstream=["candidates", "windows"],
+        )
+    else:
+        windows = windows_stage(docs, cfg).materialize()
+        hashbands = hashbands_stage(signatures_stage(windows, cfg), cfg)
+        if with_metrics:
+            hashbands = hashbands.materialize()
+            metrics["bands"] = band_metrics(hashbands, cap=cfg.band_docs_cap)
+        candidates = candidates_stage(hashbands, cfg, num_buckets)
+        matches = matches_stage(candidates, windows, cfg, num_buckets).materialize()
 
     if banished_doc_ids:
-        matches = store.get_or_compute(
-            "matches_banished",
-            lambda: banish_filter(store.load("matches"), banished_doc_ids, cfg),
-            upstream=["matches"],
-        )
+        if checkpoints:
+            matches = store.get_or_compute(
+                "matches_banished",
+                lambda: banish_filter(store.load("matches"), banished_doc_ids, cfg),
+                upstream=["matches"],
+            )
+        else:
+            matches = banish_filter(matches, banished_doc_ids, cfg).materialize()
 
     components = components_from_matches(matches)
     doc_clusters = doc_clusters_from_components(components)
@@ -104,12 +124,7 @@ def run_dedup(
     if with_pair_clusters:
         window_counts = None
         if cfg.max_file_sim is not None:
-            wc = (
-                store.load("windows")
-                .groupby("doc_id")
-                .count()
-                .to_pandas()
-            )
+            wc = windows.groupby("doc_id").count().to_pandas()
             window_counts = dict(
                 zip(wc["doc_id"].astype(int), wc["count()"].astype(int))
             )

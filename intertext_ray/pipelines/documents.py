@@ -28,7 +28,7 @@ def dedup_documents(
                      num_buckets=num_buckets, **kw)
 
 
-def clips_corpus_for_sf(sf_dir: str, with_audio: bool = True):
+def clips_corpus_for_sf(sf_dir: str, with_audio: bool = True, mult: int = 1):
     """Deterministic synthetic clips table sized to the sf tier (FIXTURES.md
     scale points), cached under /tmp per (n, seed)."""
     import pyarrow.parquet as pq
@@ -36,7 +36,7 @@ def clips_corpus_for_sf(sf_dir: str, with_audio: bool = True):
     from intertext_ray.fixtures.gen_clips import write_corpus
 
     n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    n_clips = max(200, n_docs)
+    n_clips = max(200, n_docs * mult)
     cache = f"/tmp/itx_clips_n{n_clips}_s42_a{int(with_audio)}"
     if not os.path.exists(os.path.join(cache, "clips.parquet")):
         write_corpus(cache, n_clips, seed=42, with_audio=with_audio)

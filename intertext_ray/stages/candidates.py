@@ -134,6 +134,8 @@ def candidates_stage(
             "bucket", pa.array((band % nb).astype(np.int64), pa.int64())
         )
 
+    only = cfg.only_doc_id
+
     def emit(group: pa.Table) -> pa.Table:
         band = group["band"].to_numpy(zero_copy_only=False)
         doc = group["doc_id"].to_numpy(zero_copy_only=False)
@@ -142,13 +144,19 @@ def candidates_stage(
         da, db, wa, wb = _emit_pairs_from_sorted(
             band[order], doc[order], win[order], cfg.band_docs_cap
         )
+        if only is not None:
+            # reference --only (N6, intertext.py:439-445): keep candidates
+            # where one side is the focal doc
+            m = (da == _U64(only)) | (db == _U64(only))
+            da, db, wa, wb = da[m], db[m], wa[m], wb[m]
         # pre-dedup inside the bucket (combiner) before the pair shuffle
         da, db, wa, wb = _dedup4(da, db, wa, wb)
         return _cand_table(da, db, wa, wb)
 
     raw = (
         hashbands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
+        .repartition(num_buckets)  # widen the shuffle: upstream may emit few
+        .groupby("bucket")         # huge blocks, serializing the sort
         .map_groups(emit, batch_format="pyarrow")
     )
     return dedup_candidates(raw, num_buckets)
@@ -178,6 +186,7 @@ def dedup_candidates(candidates, num_buckets: int = 256):
 
     return (
         candidates.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_buckets)
         .groupby("bucket")
         .map_groups(uniq, batch_format="pyarrow")
     )

@@ -118,6 +118,20 @@ def doc_clusters_from_components(components: pa.Table) -> pa.Table:
     )
 
 
+def dup_doc_pairs(matches: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct (doc_a, doc_b) pairs with >= 1 verified match + match count
+    (reference A4 ``SELECT DISTINCT file_id_a, file_id_b``,
+    ``intertext/intertext.py:999-1016``; the count doubles as the A7
+    file-similarity numerator)."""
+    from ray.data.aggregate import Count
+
+    return (
+        matches.select_columns(["doc_a", "doc_b"])
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_matches"))
+    )
+
+
 def banish_filter(
     matches: ray.data.Dataset,
     banished_doc_ids: set[int],

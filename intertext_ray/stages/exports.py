@@ -109,6 +109,7 @@ def format_clusters(
                 "target_prematch", "target_match", "target_postmatch",
                 "source_author", "target_author", "source_title",
                 "target_title", "source_year", "target_year",
+                "source_url", "target_url",
             ]
         )
     needed = set(pc.doc_a.astype(int)) | set(pc.doc_b.astype(int))
@@ -171,6 +172,11 @@ def format_clusters(
                 "target_title": mb.get("title", str(db)),
                 "source_year": str(ma.get("year", "")),
                 "target_year": str(mb.get("year", "")),
+                # N9 (get_url, :632-635): plain url passthrough — the
+                # $PAGE_ID substitution needs the XML page map (N10), which
+                # has no analog for transcript rows
+                "source_url": ma.get("url", ""),
+                "target_url": mb.get("url", ""),
             }
         )
     df = pd.DataFrame(rows).sort_values(

@@ -26,22 +26,23 @@ import pyarrow as pa
 import ray
 
 from intertext_ray.config import IntertextConfig
-from intertext_ray.functions.similarity import verify_pair
+from intertext_ray.functions.similarity import BatchVerifier
 
 _U64 = np.uint64
 
 
-def _verify_batch(batch: pa.Table, cfg: IntertextConfig) -> pa.Table:
+def _verify_batch(
+    batch: pa.Table, cfg: IntertextConfig, verifier: BatchVerifier | None = None
+) -> pa.Table:
     """(doc_a, doc_b, win_a, win_b, text_a, text_b) -> matches rows."""
     ta = batch["text_a"].to_pylist()
     tb = batch["text_b"].to_pylist()
-    sims = np.empty(len(ta), dtype=np.int32)
-    keep = np.zeros(len(ta), dtype=bool)
-    for i, (a, b) in enumerate(zip(ta, tb)):
-        s = verify_pair(a, b, cfg.min_sim, cfg.window_length, cfg.junk_single_char_frac)
-        if s is not None:
-            keep[i] = True
-            sims[i] = s
+    v = verifier or BatchVerifier(
+        cfg.min_sim, cfg.window_length, cfg.junk_single_char_frac
+    )
+    res = v.verify_many(ta, tb)
+    sims = np.array([s if s is not None else 0 for s in res], dtype=np.int32)
+    keep = np.array([s is not None for s in res], dtype=bool)
     out = batch.select(["doc_a", "doc_b", "win_a", "win_b"]).filter(
         pa.array(keep)
     )
@@ -62,8 +63,13 @@ def verify_broadcast(candidates, windows, cfg: IntertextConfig):
     class Verifier:
         def __init__(self):
             self.lookup = ray.get(ref)
+            self.verifier = BatchVerifier(
+                cfg.min_sim, cfg.window_length, cfg.junk_single_char_frac
+            )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(self.verifier._pair_memo) > 2_000_000:
+                self.verifier._pair_memo.clear()
             da = batch["doc_a"].to_numpy(zero_copy_only=False)
             db = batch["doc_b"].to_numpy(zero_copy_only=False)
             wa = batch["win_a"].to_numpy(zero_copy_only=False)
@@ -74,97 +80,138 @@ def verify_broadcast(candidates, windows, cfg: IntertextConfig):
                 tb.append(self.lookup[int(db[i])][int(wb[i])])
             t = batch.append_column("text_a", pa.array(ta, pa.string()))
             t = t.append_column("text_b", pa.array(tb, pa.string()))
-            return _verify_batch(t, cfg)
+            return _verify_batch(t, cfg, self.verifier)
+
+    import multiprocessing
 
     return candidates.map_batches(
         Verifier,
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, cfg.minhash_concurrency),
+        concurrency=(1, max(cfg.minhash_concurrency, multiprocessing.cpu_count())),
         num_cpus=1,
     )
 
 
-def _resolve_side(candidates, windows, side: str, num_buckets: int):
-    """One partitioned hash join pass: attach ``text_<side>`` to candidates.
+def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int = 64):
+    """Two-shuffle partitioned hash join resolving BOTH window texts:
 
-    Both sides get ``bucket = doc % B``; a union is co-grouped by bucket and
-    the lookup happens vectorized (pandas merge) inside each bucket group.
+    1. candidates explode to long format — one row per side, bucketed by
+       that side's ``doc % B``; windows are bucketed the same way and moved
+       through the exchange ONCE; inside each bucket a pandas merge attaches
+       the side's text.
+    2. half-resolved rows re-bucket by the pair key; inside each pair bucket
+       the two sides pivot back together and the difflib verifier runs
+       inline — no third pass over the data.
     """
-    doc_col = f"doc_{side}"
-    win_col = f"win_{side}"
-    text_col = f"text_{side}"
-    nb = np.int64(num_buckets)
+    nb = _U64(num_buckets)
 
     def tag_windows(t: pa.Table) -> pa.Table:
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(t)
         return pa.table(
             {
-                "bucket": pa.array((doc % _U64(nb)).astype(np.int64)),
-                "kind": pa.array(np.zeros(len(t), np.int8)),
+                "bucket": pa.array((doc % nb).astype(np.int64)),
+                "side": pa.array(np.full(n, -1, np.int8)),
                 "doc": t["doc_id"],
                 "win": t["window_id"],
                 "text": t["text"],
-                # candidate payload columns, null on the windows side
-                "doc_a": pa.nulls(len(t), pa.uint64()),
-                "doc_b": pa.nulls(len(t), pa.uint64()),
-                "win_a": pa.nulls(len(t), pa.int32()),
-                "win_b": pa.nulls(len(t), pa.int32()),
-                "other_text": pa.nulls(len(t), pa.string()),
+                "doc_a": pa.nulls(n, pa.uint64()),
+                "doc_b": pa.nulls(n, pa.uint64()),
+                "win_a": pa.nulls(n, pa.int32()),
+                "win_b": pa.nulls(n, pa.int32()),
             }
         )
 
-    have_other = "text_a" if side == "b" else None
-
-    def tag_cands(t: pa.Table) -> pa.Table:
-        doc = t[doc_col].to_numpy(zero_copy_only=False)
+    def explode_cands(t: pa.Table) -> pa.Table:
+        da = t["doc_a"].to_numpy(zero_copy_only=False)
+        db = t["doc_b"].to_numpy(zero_copy_only=False)
+        wa = t["win_a"].to_numpy(zero_copy_only=False)
+        wb = t["win_b"].to_numpy(zero_copy_only=False)
+        n = len(t)
         return pa.table(
             {
-                "bucket": pa.array((doc % _U64(nb)).astype(np.int64)),
-                "kind": pa.array(np.ones(len(t), np.int8)),
-                "doc": t[doc_col],
-                "win": t[win_col],
-                "text": pa.nulls(len(t), pa.string()),
-                "doc_a": t["doc_a"],
-                "doc_b": t["doc_b"],
-                "win_a": t["win_a"],
-                "win_b": t["win_b"],
-                "other_text": t[have_other]
-                if have_other
-                else pa.nulls(len(t), pa.string()),
+                "bucket": pa.array(
+                    np.concatenate([(da % nb), (db % nb)]).astype(np.int64)
+                ),
+                "side": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
+                "doc": pa.array(np.concatenate([da, db]), pa.uint64()),
+                "win": pa.array(np.concatenate([wa, wb]), pa.int32()),
+                "text": pa.nulls(2 * n, pa.string()),
+                "doc_a": pa.array(np.tile(da, 2), pa.uint64()),
+                "doc_b": pa.array(np.tile(db, 2), pa.uint64()),
+                "win_a": pa.array(np.tile(wa, 2), pa.int32()),
+                "win_b": pa.array(np.tile(wb, 2), pa.int32()),
             }
         )
 
-    unioned = windows.map_batches(
-        tag_windows, batch_format="pyarrow", zero_copy_batch=True
-    ).union(candidates.map_batches(tag_cands, batch_format="pyarrow"))
+    # split into enough blocks that the groupby sort runs wide — upstream
+    # stages often emit a handful of large blocks, which would serialize the
+    # shuffle (repartition without shuffle only slices blocks, no exchange)
+    unioned = (
+        windows.map_batches(tag_windows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(candidates.map_batches(explode_cands, batch_format="pyarrow"))
+        .repartition(num_buckets)
+    )
 
-    def join_bucket(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
+    def resolve_bucket(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
-        wins = df[df["kind"] == 0][["doc", "win", "text"]]
-        cands = df[df["kind"] == 1].drop(columns=["text"])
+        wins = df[df["side"] == -1][["doc", "win", "text"]]
+        cands = df[df["side"] >= 0].drop(columns=["text"])
         merged = cands.merge(wins, on=["doc", "win"], how="inner")
-        cols = {
-            "doc_a": pa.array(merged["doc_a"].to_numpy(np.uint64), pa.uint64()),
-            "doc_b": pa.array(merged["doc_b"].to_numpy(np.uint64), pa.uint64()),
-            "win_a": pa.array(merged["win_a"].to_numpy(np.int32), pa.int32()),
-            "win_b": pa.array(merged["win_b"].to_numpy(np.int32), pa.int32()),
-        }
-        if have_other:
-            cols["text_a"] = pa.array(merged["other_text"].tolist(), pa.string())
-        cols[text_col] = pa.array(merged["text"].tolist(), pa.string())
-        return pa.table(cols)
+        return pa.table(
+            {
+                "side": pa.array(merged["side"].to_numpy(np.int8), pa.int8()),
+                "doc_a": pa.array(merged["doc_a"].to_numpy(np.uint64), pa.uint64()),
+                "doc_b": pa.array(merged["doc_b"].to_numpy(np.uint64), pa.uint64()),
+                "win_a": pa.array(merged["win_a"].to_numpy(np.int32), pa.int32()),
+                "win_b": pa.array(merged["win_b"].to_numpy(np.int32), pa.int32()),
+                "text": pa.array(merged["text"].tolist(), pa.string()),
+            }
+        )
 
-    return unioned.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+    resolved = unioned.groupby("bucket").map_groups(
+        resolve_bucket, batch_format="pyarrow"
+    )
 
+    from intertext_ray.functions.hashing import splitmix64
 
-def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int = 64):
-    withA = _resolve_side(candidates, windows, "a", num_buckets)
-    withAB = _resolve_side(withA, windows, "b", num_buckets)
-    return withAB.map_batches(
-        lambda t: _verify_batch(t, cfg), batch_format="pyarrow", batch_size=8192
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        da = t["doc_a"].to_numpy(zero_copy_only=False)
+        db = t["doc_b"].to_numpy(zero_copy_only=False)
+        wa = t["win_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        wb = t["win_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = splitmix64(splitmix64(splitmix64(da) ^ db) ^ (wa << _U64(32) | wb))
+        return t.append_column(
+            "pbucket", pa.array((key % nb).astype(np.int64))
+        )
+
+    def pivot_and_verify(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        a = df[df["side"] == 0].rename(columns={"text": "text_a"})
+        b = df[df["side"] == 1][["doc_a", "doc_b", "win_a", "win_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        merged = a.merge(b, on=["doc_a", "doc_b", "win_a", "win_b"], how="inner")
+        t = pa.table(
+            {
+                "doc_a": pa.array(merged["doc_a"].to_numpy(np.uint64), pa.uint64()),
+                "doc_b": pa.array(merged["doc_b"].to_numpy(np.uint64), pa.uint64()),
+                "win_a": pa.array(merged["win_a"].to_numpy(np.int32), pa.int32()),
+                "win_b": pa.array(merged["win_b"].to_numpy(np.int32), pa.int32()),
+                "text_a": pa.array(merged["text_a"].tolist(), pa.string()),
+                "text_b": pa.array(merged["text_b"].tolist(), pa.string()),
+            }
+        )
+        return _verify_batch(t, cfg)
+
+    return (
+        resolved.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .groupby("pbucket")
+        .map_groups(pivot_and_verify, batch_format="pyarrow")
     )
 
 

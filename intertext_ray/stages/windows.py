@@ -12,12 +12,17 @@ import numpy as np
 import pyarrow as pa
 
 from intertext_ray.config import IntertextConfig
-from intertext_ray.functions.text import windowize_texts
+from intertext_ray.functions.text import extract_xml_text, windowize_texts
 
 
 def make_windowizer(cfg: IntertextConfig):
     def windowize(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
+        if cfg.xml_base_tag or cfg.xml_remove_tags:
+            texts = [
+                extract_xml_text(t, cfg.xml_base_tag, cfg.xml_remove_tags)
+                for t in texts
+            ]
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         row_idx, win_id, out_texts = windowize_texts(
             texts, cfg.window_length, cfg.slide_length, cfg.strip_diacritics
