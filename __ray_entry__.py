@@ -288,7 +288,9 @@ def _q_clips_pipeline(sf_dir: str):
     from intertext_ray.stages.audio import audio_validate_stage
 
     cache = clips_corpus_for_sf(sf_dir, with_audio=True)
-    clips = read_clips(f"{cache}/clips.parquet")
+    from intertext_ray.pipelines.documents import clips_table_path
+
+    clips = read_clips(clips_table_path(cache))
     validated = audio_validate_stage(
         clips,
         expected_signal=lambda cid, sr, ns: clip_signal(
@@ -321,7 +323,9 @@ def _q_audio_validate(sf_dir: str):
     from intertext_ray.stages.audio import audio_validate_stage
 
     cache = clips_corpus_for_sf(sf_dir, with_audio=True)
-    clips = read_clips(f"{cache}/clips.parquet")
+    from intertext_ray.pipelines.documents import clips_table_path
+
+    clips = read_clips(clips_table_path(cache))
     v = audio_validate_stage(
         clips,
         expected_signal=lambda cid, sr, ns: clip_signal(
@@ -359,7 +363,9 @@ def _q_image_features(sf_dir: str):
     from intertext_ray.sources.clips import read_clips
 
     cache = clips_corpus_for_sf(sf_dir, with_audio=True)
-    clips = read_clips(f"{cache}/clips.parquet", columns=["clip_id", "bytes"])
+    from intertext_ray.pipelines.documents import clips_table_path
+
+    clips = read_clips(clips_table_path(cache), columns=["clip_id", "bytes"])
     feats = image_features_stage(clips, dim=16)
     return feats.select_columns(["clip_id", "feature"])
 

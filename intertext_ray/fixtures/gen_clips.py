@@ -264,15 +264,25 @@ def gen_corpus(
     return clips, truth, metadata
 
 
-def write_corpus(out_dir: str, n_clips: int, seed: int = 42, **kw) -> dict:
-    """Write clips.parquet / truth.parquet / metadata.json under out_dir."""
+def write_corpus(
+    out_dir: str, n_clips: int, seed: int = 42, shards: int = 16, **kw
+) -> dict:
+    """Write clips/ (sharded parquet dir — parallel reads + the resumable
+    per-shard layout), truth.parquet and metadata.json under out_dir."""
     os.makedirs(out_dir, exist_ok=True)
     clips, truth, metadata = gen_corpus(n_clips, seed, **kw)
-    pq.write_table(clips, os.path.join(out_dir, "clips.parquet"))
+    clips_dir = os.path.join(out_dir, "clips")
+    os.makedirs(clips_dir, exist_ok=True)
+    shards = max(1, min(shards, n_clips))
+    step = (n_clips + shards - 1) // shards
+    for s in range(shards):
+        part = clips.slice(s * step, step)
+        if len(part):
+            pq.write_table(part, os.path.join(clips_dir, f"part-{s:04d}.parquet"))
     pq.write_table(truth, os.path.join(out_dir, "truth.parquet"))
     with open(os.path.join(out_dir, "metadata.json"), "w") as f:
         json.dump(metadata, f)
-    return {"n_clips": n_clips, "seed": seed, "dir": out_dir}
+    return {"n_clips": n_clips, "seed": seed, "dir": out_dir, "shards": shards}
 
 
 if __name__ == "__main__":

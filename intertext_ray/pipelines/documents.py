@@ -37,10 +37,16 @@ def clips_corpus_for_sf(sf_dir: str, with_audio: bool = True, mult: int = 1):
 
     n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     n_clips = max(200, n_docs * mult)
-    cache = f"/tmp/itx_clips_n{n_clips}_s42_a{int(with_audio)}"
-    if not os.path.exists(os.path.join(cache, "clips.parquet")):
+    cache = f"/tmp/itx_clips_v2_n{n_clips}_s42_a{int(with_audio)}"
+    if not os.path.exists(os.path.join(cache, "clips")):
         write_corpus(cache, n_clips, seed=42, with_audio=with_audio)
     return cache
+
+
+def clips_table_path(cache: str) -> str:
+    """Path of the clips table under a corpus cache dir (sharded dir)."""
+    d = os.path.join(cache, "clips")
+    return d if os.path.exists(d) else os.path.join(cache, "clips.parquet")
 
 
 def docs_as_int64(ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -91,7 +91,10 @@ def audio_validate_stage(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        # min = N/4: autoscaling from 1 ramps nondeterministically and can
+        # leave the stage serialized; N/4 reserved upfront still leaves CPUs
+        # for the read/write stages (full-N reservation deadlocks)
+        concurrency=(max(1, concurrency // 4), concurrency),
         num_cpus=1,
         zero_copy_batch=True,
     )

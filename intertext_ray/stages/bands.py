@@ -39,23 +39,33 @@ def make_band_exploder(cfg: IntertextConfig):
         band = keys.reshape(-1)
         doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), n_bands)
         win = np.repeat(batch["window_id"].to_numpy(zero_copy_only=False), n_bands)
-        # D1 dedup: identical (band, doc, window) triples within the batch
-        # (equal value-tuples at different band offsets) collapse to one row
-        order = np.lexsort((win, doc, band))
-        band, doc, win = band[order], doc[order], win[order]
-        keep = np.ones(len(band), dtype=bool)
-        if len(band) > 1:
-            same = (
-                (band[1:] == band[:-1])
-                & (doc[1:] == doc[:-1])
-                & (win[1:] == win[:-1])
-            )
-            keep[1:] = ~same
+        # D1 dedup: duplicate (band, doc, window) triples can ONLY arise
+        # within one window's 85 keys (equal value-tuples at different band
+        # offsets), so detect with a cheap per-row sort; rebuild (rare path)
+        # only the rows that actually contain duplicates.
+        srt = np.sort(keys, axis=1)
+        dup_rows = np.nonzero((srt[:, 1:] == srt[:, :-1]).any(axis=1))[0]
+        if len(dup_rows):
+            docs_arr = batch["doc_id"].to_numpy(zero_copy_only=False)
+            wins_arr = batch["window_id"].to_numpy(zero_copy_only=False)
+            clean = np.ones(n, dtype=bool)
+            clean[dup_rows] = False
+            parts_b = [keys[clean].reshape(-1)]
+            parts_d = [np.repeat(docs_arr[clean], n_bands)]
+            parts_w = [np.repeat(wins_arr[clean], n_bands)]
+            for r in dup_rows:
+                u = np.unique(keys[r])
+                parts_b.append(u)
+                parts_d.append(np.full(len(u), docs_arr[r], np.uint64))
+                parts_w.append(np.full(len(u), wins_arr[r], np.int64))
+            band = np.concatenate(parts_b)
+            doc = np.concatenate(parts_d)
+            win = np.concatenate(parts_w)
         return pa.table(
             {
-                "band": pa.array(band[keep], pa.uint64()),
-                "doc_id": pa.array(doc[keep], pa.uint64()),
-                "window_id": pa.array(win[keep].astype(np.int32), pa.int32()),
+                "band": pa.array(band, pa.uint64()),
+                "doc_id": pa.array(doc, pa.uint64()),
+                "window_id": pa.array(win.astype(np.int32), pa.int32()),
             }
         )
 

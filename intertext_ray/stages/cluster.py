@@ -64,14 +64,16 @@ def components_from_matches(matches: ray.data.Dataset) -> pa.Table:
     """
     uf = UnionFind()
     for b in matches.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        da = b["doc_a"].to_numpy(zero_copy_only=False)
-        db = b["doc_b"].to_numpy(zero_copy_only=False)
-        wa = b["win_a"].to_numpy(zero_copy_only=False)
-        wb = b["win_b"].to_numpy(zero_copy_only=False)
-        for i in range(len(da)):
-            uf.union(
-                (int(da[i]) << 32) | int(wa[i]), (int(db[i]) << 32) | int(wb[i])
-            )
+        da = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        db = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        wa = b["win_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        wb = b["win_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # vectorized node packing; only the union loop itself is Python
+        na = ((da << np.uint64(32)) | wa).tolist()
+        nb = ((db << np.uint64(32)) | wb).tolist()
+        union = uf.union
+        for x, y in zip(na, nb):
+            union(x, y)
     # resolve: component id = min node key in component
     root_min: dict[int, int] = {}
     nodes = list(uf.parent)

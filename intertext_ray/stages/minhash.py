@@ -44,6 +44,10 @@ class MinHasher:
 
 def signatures_stage(windows, cfg: IntertextConfig):
     """windows Dataset -> signatures Dataset via an actor pool."""
+    # actor-pool task granularity = upstream blocks; a windows table arriving
+    # as a handful of big blocks would cap the pool at that parallelism, so
+    # split first (block slicing, no data movement)
+    windows = windows.repartition(4 * cfg.minhash_concurrency)
     # autoscaling pool (1, N): a fixed pool of N can reserve every CPU on a
     # small cluster and starve the upstream read / downstream write tasks
     # (deadlock) — the min=1 floor lets the scheduler balance stages.
@@ -52,7 +56,7 @@ def signatures_stage(windows, cfg: IntertextConfig):
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.minhash_batch_size,
-        concurrency=(1, cfg.minhash_concurrency),
+        concurrency=(max(1, cfg.minhash_concurrency // 4), cfg.minhash_concurrency),
         num_cpus=1,
         zero_copy_batch=True,
     )
