@@ -51,8 +51,10 @@ def run_bench() -> dict:
 
     # ---- headline: clips pipeline (decode + invariant + full dedup) ----
     # 4x the documents row count (20k clips at sf0.1) so fixed per-stage
-    # latencies are small against real work at both parallelism levels
-    cache = clips_corpus_for_sf(SF_DIR, with_audio=True, mult=4)  # cached, untimed
+    # latencies are small against real work; --scaling uses 8x so the ~35s
+    # fixed per-run cost amortizes at both parallelism levels
+    mult = int(os.environ.get("ITX_BENCH_MULT", "4"))
+    cache = clips_corpus_for_sf(SF_DIR, with_audio=True, mult=mult)  # cached, untimed
     import pyarrow.parquet as pq
 
     from intertext_ray.pipelines.documents import clips_table_path
@@ -169,7 +171,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), ITX_BENCH_HEADLINE_ONLY="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            ITX_BENCH_HEADLINE_ONLY="1",
+            ITX_BENCH_MULT=os.environ.get("ITX_BENCH_MULT", "8"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -89,6 +89,9 @@ def run_dedup(
             "candidates",
             lambda: candidates_stage(store.load("hashbands"), cfg, num_buckets),
             upstream=["hashbands"],
+            # collision metrics ride the candidates manifest (north_rule:
+            # rows in/out, candidate counts, collision rates per stage)
+            metrics=metrics.get("bands"),
         )
 
         matches = store.get_or_compute(

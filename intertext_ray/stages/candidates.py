@@ -153,10 +153,16 @@ def candidates_stage(
         da, db, wa, wb = _dedup4(da, db, wa, wb)
         return _cand_table(da, db, wa, wb)
 
+    from intertext_ray.stages import maybe_split
+
     raw = (
-        hashbands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(num_buckets)  # widen the shuffle: upstream may emit few
-        .groupby("bucket")         # huge blocks, serializing the sort
+        maybe_split(
+            hashbands.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            num_buckets,  # widen the shuffle: upstream may emit few huge
+        )  # blocks, serializing the sort
+        .groupby("bucket")
         .map_groups(emit, batch_format="pyarrow")
     )
     return dedup_candidates(raw, num_buckets)
@@ -184,9 +190,15 @@ def dedup_candidates(candidates, num_buckets: int = 256):
         wb = group["win_b"].to_numpy(zero_copy_only=False)
         return _cand_table(*_dedup4(da, db, wa, wb))
 
+    from intertext_ray.stages import maybe_split
+
     return (
-        candidates.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(num_buckets)
+        maybe_split(
+            candidates.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            num_buckets,
+        )
         .groupby("bucket")
         .map_groups(uniq, batch_format="pyarrow")
     )

@@ -47,7 +47,9 @@ def signatures_stage(windows, cfg: IntertextConfig):
     # actor-pool task granularity = upstream blocks; a windows table arriving
     # as a handful of big blocks would cap the pool at that parallelism, so
     # split first (block slicing, no data movement)
-    windows = windows.repartition(4 * cfg.minhash_concurrency)
+    from intertext_ray.stages import maybe_split
+
+    windows = maybe_split(windows, 4 * cfg.minhash_concurrency)
     # autoscaling pool (1, N): a fixed pool of N can reserve every CPU on a
     # small cluster and starve the upstream read / downstream write tasks
     # (deadlock) — the min=1 floor lets the scheduler balance stages.

@@ -150,10 +150,12 @@ def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int
     # split into enough blocks that the groupby sort runs wide — upstream
     # stages often emit a handful of large blocks, which would serialize the
     # shuffle (repartition without shuffle only slices blocks, no exchange)
-    unioned = (
+    from intertext_ray.stages import maybe_split
+
+    unioned = maybe_split(
         windows.map_batches(tag_windows, batch_format="pyarrow", zero_copy_batch=True)
-        .union(candidates.map_batches(explode_cands, batch_format="pyarrow"))
-        .repartition(num_buckets)
+        .union(candidates.map_batches(explode_cands, batch_format="pyarrow")),
+        num_buckets,
     )
 
     def resolve_bucket(g: pa.Table) -> pa.Table:
@@ -208,8 +210,10 @@ def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int
         return _verify_batch(t, cfg)
 
     return (
-        resolved.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .repartition(num_buckets)
+        maybe_split(
+            resolved.map_batches(add_pair_bucket, batch_format="pyarrow"),
+            num_buckets,
+        )
         .groupby("pbucket")
         .map_groups(pivot_and_verify, batch_format="pyarrow")
     )
