@@ -1,0 +1,188 @@
+"""CLI entry point — the reference's ``intertext`` command re-expressed
+(``/root/reference/intertext/intertext.py:107-143`` argparse surface), run
+as a Ray job: ``python -m intertext_ray --clips <table> --output out/`` or
+``ray job submit -- python -m intertext_ray ...``.
+
+Flags mirror the reference's semantic knobs (window/slide/chargram lengths,
+band config, min_sim, banish/exclude/only, metadata, strip_diacritics,
+xml tags) plus the Ray-side knobs (num-buckets, checkpoint dir).  Output is
+the reference's api/ layout (matches, indices, scatterplots, texts,
+config.json) plus the columnar stage checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="intertext_ray",
+        description="Ray-Data-native near-duplicate detection + clustering",
+    )
+    p.add_argument("--clips", help="clips table (lance dir / parquet file or dir) "
+                                   "with (clip_id, bytes, sr_hz, dur_ms, codec, transcript)")
+    p.add_argument("--documents", help="alternative: parquet with (doc_id, text)")
+    p.add_argument("--output", default="output", help="output directory")
+    p.add_argument("--metadata", help="metadata JSON (doc/clip id -> {author,title,year,url})")
+    # reference semantic knobs (defaults = reference defaults)
+    p.add_argument("--window-length", type=int, default=14)
+    p.add_argument("--slide-length", type=int, default=4)
+    p.add_argument("--chargram-length", type=int, default=4)
+    p.add_argument("--hashband-length", type=int, default=4)
+    p.add_argument("--hashband-step", type=int, default=3)
+    p.add_argument("--min-sim", type=int, default=50)
+    p.add_argument("--max-file-sim", type=float, default=None)
+    p.add_argument("--banish-ids", help="comma-separated doc ids to banish (post-match graph pruning)")
+    p.add_argument("--banish-distance", type=int, default=4)
+    p.add_argument("--exclude-ids", help="comma-separated doc ids to exclude from formatting")
+    p.add_argument("--only", type=int, default=None, help="focal doc id filter")
+    p.add_argument("--strip-diacritics", action="store_true")
+    p.add_argument("--xml-base-tag")
+    p.add_argument("--xml-remove-tags", help="comma-separated tags to drop")
+    p.add_argument("--compute-probabilities", action="store_true")
+    # Ray-side knobs
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--checkpoint-dir", help="stage checkpoint root (default <output>/cache)")
+    p.add_argument("--no-audio-validate", action="store_true",
+                   help="skip the decode+SNR invariant stage for clips input")
+    p.add_argument("--skip-api", action="store_true",
+                   help="write only columnar outputs, no api/ JSON export")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.clips and not args.documents:
+        print("error: one of --clips / --documents is required", file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.config import IntertextConfig
+    from intertext_ray.pipelines.dedup import run_dedup
+    from intertext_ray.sources.clips import clips_to_docs, read_clips
+    from intertext_ray.stages.audio import audio_validate_stage
+    from intertext_ray.stages.exports import (
+        format_clusters,
+        word_counts_dict,
+        write_api_outputs,
+    )
+
+    cfg = IntertextConfig(
+        window_length=args.window_length,
+        slide_length=args.slide_length,
+        chargram_length=args.chargram_length,
+        hashband_length=args.hashband_length,
+        hashband_step=args.hashband_step,
+        min_sim=args.min_sim,
+        max_file_sim=args.max_file_sim,
+        banish_distance=args.banish_distance,
+        only_doc_id=args.only,
+        strip_diacritics=args.strip_diacritics,
+        xml_base_tag=args.xml_base_tag,
+        xml_remove_tags=tuple((args.xml_remove_tags or "").split(","))
+        if args.xml_remove_tags
+        else (),
+    )
+
+    if args.clips:
+        clips = read_clips(args.clips)
+        if not args.no_audio_validate:
+            clips = audio_validate_stage(clips)
+        docs = clips.map_batches(clips_to_docs, batch_format="pyarrow").select_columns(
+            ["doc_id", "text"]
+        )
+    else:
+        docs = rd.read_parquet(args.documents, columns=["doc_id", "text"]).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["doc_id"].cast(pa.uint64()), "text": b["text"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    banished = (
+        {int(x) for x in args.banish_ids.split(",")} if args.banish_ids else None
+    )
+    excluded = (
+        {int(x) for x in args.exclude_ids.split(",")} if args.exclude_ids else None
+    )
+    work_dir = args.checkpoint_dir or os.path.join(args.output, "cache")
+    res = run_dedup(
+        docs,
+        cfg,
+        work_dir=work_dir,
+        banished_doc_ids=banished,
+        excluded_doc_ids=excluded,
+        num_buckets=args.num_buckets,
+        with_pair_clusters=True,
+    )
+
+    os.makedirs(args.output, exist_ok=True)
+    # columnar outputs (the primary artifacts)
+    import pyarrow.parquet as pq
+
+    pq.write_table(res.components, os.path.join(args.output, "components.parquet"))
+    pq.write_table(res.doc_clusters, os.path.join(args.output, "doc_clusters.parquet"))
+    res.pair_clusters.write_parquet(os.path.join(args.output, "pair_clusters"))
+
+    if not args.skip_api:
+        metadata = {}
+        if args.metadata:
+            with open(args.metadata) as f:
+                raw = json.load(f)
+            # accept either doc-id or clip-id keyed metadata
+            for k, v in raw.items():
+                try:
+                    metadata[int(k)] = v
+                except ValueError:
+                    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+                    metadata[int(doc_ids_for_clip_ids(pa.array([k]))[0])] = v
+        counts = word_counts_dict(docs) if args.compute_probabilities else None
+        formatted = format_clusters(
+            res.store.load("pair_clusters")
+            if res.store.is_complete("pair_clusters")
+            else res.pair_clusters,
+            docs,
+            cfg,
+            metadata=metadata,
+            counts=counts,
+        )
+        write_api_outputs(
+            os.path.join(args.output, "api"), formatted, docs, cfg, metadata
+        )
+
+    n_matches = res.matches.count()
+    n_clusters = len(set(res.doc_clusters["dup_cluster_id"].to_pylist()))
+    print(
+        json.dumps(
+            {
+                "matches": n_matches,
+                "doc_clusters": n_clusters,
+                "output": args.output,
+                "checkpoints": work_dir,
+                "manifests": {
+                    k: v["rows"] for k, v in res.store.all_manifests().items()
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -107,8 +107,12 @@ def run_dedup(
         if with_metrics:
             hashbands = hashbands.materialize()
             metrics["bands"] = band_metrics(hashbands, cap=cfg.band_docs_cap)
-        candidates = candidates_stage(hashbands, cfg, num_buckets)
-        matches = matches_stage(candidates, windows, cfg, num_buckets).materialize()
+        # pre_split=False: in one streaming chain the upstream stages already
+        # emit enough blocks; the extra AllToAll barriers only cost overlap
+        candidates = candidates_stage(hashbands, cfg, num_buckets, pre_split=False)
+        matches = matches_stage(
+            candidates, windows, cfg, num_buckets, pre_split=False
+        ).materialize()
 
     if banished_doc_ids:
         if checkpoints:

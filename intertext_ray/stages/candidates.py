@@ -123,7 +123,7 @@ def _cand_table(da, db, wa, wb) -> pa.Table:
 
 
 def candidates_stage(
-    hashbands, cfg: IntertextConfig, num_buckets: int = 256
+    hashbands, cfg: IntertextConfig, num_buckets: int = 256, pre_split: bool = True
 ) -> "ray.data.Dataset":
     """hashbands Dataset(band, doc_id, window_id) -> deduped candidates."""
     nb = np.uint64(num_buckets)
@@ -155,20 +155,19 @@ def candidates_stage(
 
     from intertext_ray.stages import maybe_split
 
-    raw = (
-        maybe_split(
-            hashbands.map_batches(
-                add_bucket, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            num_buckets,  # widen the shuffle: upstream may emit few huge
-        )  # blocks, serializing the sort
-        .groupby("bucket")
-        .map_groups(emit, batch_format="pyarrow")
+    bucketed = hashbands.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
-    return dedup_candidates(raw, num_buckets)
+    if pre_split:
+        # widen the shuffle when upstream arrives as few huge blocks (e.g.
+        # a checkpoint read); in a streaming chain upstream block counts are
+        # already adequate and the extra AllToAll barrier only costs overlap
+        bucketed = maybe_split(bucketed, num_buckets)
+    raw = bucketed.groupby("bucket").map_groups(emit, batch_format="pyarrow")
+    return dedup_candidates(raw, num_buckets, pre_split=False)
 
 
-def dedup_candidates(candidates, num_buckets: int = 256):
+def dedup_candidates(candidates, num_buckets: int = 256, pre_split: bool = True):
     """Exact dedup of (doc_a, doc_b, win_a, win_b) — the reference's SQLite
     UNIQUE constraint (A3) as a bucketed groupby + vectorized unique."""
     from intertext_ray.functions.hashing import splitmix64
@@ -192,16 +191,12 @@ def dedup_candidates(candidates, num_buckets: int = 256):
 
     from intertext_ray.stages import maybe_split
 
-    return (
-        maybe_split(
-            candidates.map_batches(
-                add_bucket, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            num_buckets,
-        )
-        .groupby("bucket")
-        .map_groups(uniq, batch_format="pyarrow")
+    bucketed = candidates.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
+    if pre_split:
+        bucketed = maybe_split(bucketed, num_buckets)
+    return bucketed.groupby("bucket").map_groups(uniq, batch_format="pyarrow")
 
 
 def band_metrics(hashbands, cap: int = 0) -> dict:

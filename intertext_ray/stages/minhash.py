@@ -42,14 +42,15 @@ class MinHasher:
         )
 
 
-def signatures_stage(windows, cfg: IntertextConfig):
+def signatures_stage(windows, cfg: IntertextConfig, pre_split: bool = True):
     """windows Dataset -> signatures Dataset via an actor pool."""
     # actor-pool task granularity = upstream blocks; a windows table arriving
     # as a handful of big blocks would cap the pool at that parallelism, so
     # split first (block slicing, no data movement)
     from intertext_ray.stages import maybe_split
 
-    windows = maybe_split(windows, 4 * cfg.minhash_concurrency)
+    if pre_split:
+        windows = maybe_split(windows, 4 * cfg.minhash_concurrency)
     # autoscaling pool (1, N): a fixed pool of N can reserve every CPU on a
     # small cluster and starve the upstream read / downstream write tasks
     # (deadlock) — the min=1 floor lets the scheduler balance stages.

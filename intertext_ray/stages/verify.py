@@ -93,7 +93,7 @@ def verify_broadcast(candidates, windows, cfg: IntertextConfig):
     )
 
 
-def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int = 64):
+def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int = 64, pre_split: bool = True):
     """Two-shuffle partitioned hash join resolving BOTH window texts:
 
     1. candidates explode to long format — one row per side, bucketed by
@@ -152,11 +152,11 @@ def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int
     # shuffle (repartition without shuffle only slices blocks, no exchange)
     from intertext_ray.stages import maybe_split
 
-    unioned = maybe_split(
-        windows.map_batches(tag_windows, batch_format="pyarrow", zero_copy_batch=True)
-        .union(candidates.map_batches(explode_cands, batch_format="pyarrow")),
-        num_buckets,
-    )
+    unioned = windows.map_batches(
+        tag_windows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(candidates.map_batches(explode_cands, batch_format="pyarrow"))
+    if pre_split:
+        unioned = maybe_split(unioned, num_buckets)
 
     def resolve_bucket(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
@@ -209,17 +209,19 @@ def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int
         )
         return _verify_batch(t, cfg)
 
+    paired = resolved.map_batches(add_pair_bucket, batch_format="pyarrow")
+    if pre_split:
+        paired = maybe_split(paired, num_buckets)
     return (
-        maybe_split(
-            resolved.map_batches(add_pair_bucket, batch_format="pyarrow"),
-            num_buckets,
-        )
-        .groupby("pbucket")
+        paired.groupby("pbucket")
         .map_groups(pivot_and_verify, batch_format="pyarrow")
     )
 
 
-def matches_stage(candidates, windows, cfg: IntertextConfig, num_buckets: int = 64):
+def matches_stage(
+    candidates, windows, cfg: IntertextConfig, num_buckets: int = 64,
+    pre_split: bool = True,
+):
     if cfg.join_strategy == "broadcast":
         return verify_broadcast(candidates, windows, cfg)
-    return verify_hash_join(candidates, windows, cfg, num_buckets)
+    return verify_hash_join(candidates, windows, cfg, num_buckets, pre_split)
