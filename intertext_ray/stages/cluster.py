@@ -120,6 +120,184 @@ def doc_clusters_from_components(components: pa.Table) -> pa.Table:
     )
 
 
+def components_distributed(
+    matches: ray.data.Dataset,
+    num_buckets: int = 32,
+    max_iters: int = 200,
+) -> pa.Table:
+    """Distributed connected components — min-label propagation over the
+    verified-pair graph, every step a Ray Data shuffle (the scale path when
+    the pair graph outgrows driver memory; :func:`components_from_matches`
+    is the driver-side default since the graph is usually tiny relative to
+    the corpus).
+
+    Per iteration: co-group (labels ∪ edge-endpoint references) by node
+    bucket to resolve each endpoint's current label, emit the label to the
+    opposite endpoint, take the per-node min.  Labels only ever decrease, so
+    the global label sum is strictly decreasing until fixpoint — a
+    convergence test needing no join.  Component id = min packed node key,
+    matching :func:`components_from_matches` exactly.
+    """
+    from intertext_ray.functions.hashing import splitmix64
+
+    nb = np.uint64(num_buckets)
+
+    def pack_edges(b: pa.Table) -> pa.Table:
+        da = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        db = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        wa = b["win_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        wb = b["win_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = (da << np.uint64(32)) | wa
+        v = (db << np.uint64(32)) | wb
+        return pa.table({"u": pa.array(u, pa.uint64()), "v": pa.array(v, pa.uint64())})
+
+    edges = matches.map_batches(pack_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        n = np.unique(n)
+        return pa.table(
+            {"node": pa.array(n, pa.uint64()), "label": pa.array(n, pa.uint64())}
+        )
+
+    def dedup_nodes(g: pa.Table) -> pa.Table:
+        n = g["node"].to_numpy(zero_copy_only=False)
+        l = g["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(n, kind="stable")
+        n, l = n[order], l[order]
+        keep = np.ones(len(n), bool)
+        keep[1:] = n[1:] != n[:-1]
+        # per-node min label (labels sorted within equal nodes not needed:
+        # reduce via minimum.reduceat)
+        starts = np.nonzero(keep)[0]
+        lmin = np.minimum.reduceat(l, starts) if len(n) else l
+        return pa.table(
+            {
+                "node": pa.array(n[keep], pa.uint64()),
+                "label": pa.array(lmin, pa.uint64()),
+            }
+        )
+
+    def add_node_bucket(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((splitmix64(node) % nb).astype(np.int64))
+        )
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .map_batches(add_node_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_nodes, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def edge_refs(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        # one reference row per endpoint: resolve its label, send to peer
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v]), pa.uint64()),
+                "peer": pa.array(np.concatenate([v, u]), pa.uint64()),
+                "label": pa.nulls(2 * len(b), pa.uint64()),
+                "kind": pa.array(
+                    np.ones(2 * len(b), np.int8), pa.int8()
+                ),
+            }
+        )
+
+    refs = edges.map_batches(edge_refs, batch_format="pyarrow").materialize()
+    prev_sum = None
+    for _ in range(max_iters):
+        def tag_labels(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "peer": pa.nulls(len(t), pa.uint64()),
+                    "label": t["label"],
+                    "kind": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+                }
+            )
+
+        def resolve(g: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = g.to_pandas()
+            lab = df[df["kind"] == 0][["node", "label"]]
+            ref = df[df["kind"] == 1][["node", "peer"]]
+            merged = ref.merge(lab, on="node", how="inner")
+            # message to the peer + keep own labels in circulation
+            out_node = np.concatenate(
+                [merged["peer"].to_numpy(np.uint64), lab["node"].to_numpy(np.uint64)]
+            )
+            out_label = np.concatenate(
+                [merged["label"].to_numpy(np.uint64), lab["label"].to_numpy(np.uint64)]
+            )
+            return pa.table(
+                {
+                    "node": pa.array(out_node, pa.uint64()),
+                    "label": pa.array(out_label, pa.uint64()),
+                }
+            )
+
+        # pointer-jump refs: resolve label(label(n)) in the SAME co-group as
+        # the edge propagation — contracts chains exponentially (O(log d)
+        # rounds) at no extra shuffle
+        def jump_refs(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["label"],
+                    "peer": t["node"],
+                    "label": pa.nulls(len(t), pa.uint64()),
+                    "kind": pa.array(np.ones(len(t), np.int8), pa.int8()),
+                }
+            )
+
+        unioned = (
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+            .union(refs)
+            .union(labels.map_batches(jump_refs, batch_format="pyarrow"))
+        )
+        msgs = (
+            unioned.map_batches(add_node_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(resolve, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.map_batches(add_node_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(dedup_nodes, batch_format="pyarrow")
+            .materialize()
+        )
+        from ray.data.aggregate import Sum
+
+        s = labels.aggregate(Sum("label"))["sum(label)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    tbl = pa.concat_tables(
+        [b for b in labels.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    )
+    node = tbl["node"].to_numpy(zero_copy_only=False)
+    label = tbl["label"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(node >> np.uint64(32), pa.uint64()),
+            "window_id": pa.array(
+                (node & np.uint64(0xFFFFFFFF)).astype(np.int32), pa.int32()
+            ),
+            "component_id": pa.array(label, pa.uint64()),
+        }
+    )
+
+
 def dup_doc_pairs(matches: ray.data.Dataset) -> ray.data.Dataset:
     """Distinct (doc_a, doc_b) pairs with >= 1 verified match + match count
     (reference A4 ``SELECT DISTINCT file_id_a, file_id_b``,
