@@ -55,16 +55,12 @@ def run_bench() -> dict:
     # fixed per-run cost amortizes at both parallelism levels
     mult = int(os.environ.get("ITX_BENCH_MULT", "4"))
     cache = clips_corpus_for_sf(SF_DIR, with_audio=True, mult=mult)  # cached, untimed
-    import pyarrow.parquet as pq
-
     from intertext_ray.pipelines.documents import clips_table_path
 
     cpath = clips_table_path(cache)
     n_clips = read_clips(cpath).count()
     # warm page cache so we measure compute+shuffle, not first disk read
     read_clips(cpath).count()
-    import shutil
-
     def one_headline() -> tuple[float, int]:
         t0 = time.time()
         clips = read_clips(cpath)

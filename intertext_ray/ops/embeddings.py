@@ -16,7 +16,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from intertext_ray.functions.hashing import perm_seeds, splitmix64
+from intertext_ray.functions.hashing import splitmix64
 
 
 def _embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:

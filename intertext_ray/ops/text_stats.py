@@ -16,8 +16,6 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from intertext_ray.functions.hashing import splitmix64
-
 # marker stopwords per language for the n-gram/stopword language heuristic
 STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},

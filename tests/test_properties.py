@@ -1,0 +1,76 @@
+"""Property tests (SURVEY.md §5.3) — hypothesis over the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from intertext_ray.config import IntertextConfig
+from intertext_ray.functions.hashing import band_keys, minhash_texts, perm_seeds
+from intertext_ray.functions.text import get_sequences, tokenize, window_texts
+from intertext_ray.stages.candidates import pairs_within_runs
+
+CFG = IntertextConfig()
+SEEDS = perm_seeds(CFG.n_half, CFG.hash_seed)
+
+words_st = st.lists(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=8), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(words_st)
+def test_window_formula_and_content(words):
+    ws = window_texts(words, CFG.window_length, CFG.slide_length)
+    assert len(ws) == CFG.windows_per_doc(len(words))
+    for k, w in enumerate(ws):
+        assert w == " ".join(words[k * 4 : k * 4 + 14])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="abc \t\n", max_size=200))
+def test_tokenize_matches_str_split(text):
+    assert tokenize(text) == text.split()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefgh ", min_size=4, max_size=120), min_size=1, max_size=8))
+def test_minhash_batch_equals_singletons(texts):
+    batched = minhash_texts(texts, SEEDS, CFG.chargram_length, CFG.mirror)
+    for i, t in enumerate(texts):
+        single = minhash_texts([t], SEEDS, CFG.chargram_length, CFG.mirror)[0]
+        assert (batched[i] == single).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet="abcdefgh ", min_size=4, max_size=120))
+def test_equal_sigs_equal_bands(text):
+    sig = minhash_texts([text, text], SEEDS, CFG.chargram_length, CFG.mirror)
+    bk = band_keys(sig, CFG.hashband_length, CFG.hashband_step, CFG.hash_seed)
+    assert (bk[0] == bk[1]).all()
+    assert bk.shape[1] == CFG.n_bands
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=8), min_size=0, max_size=10))
+def test_pairs_within_runs_matches_bruteforce(counts):
+    counts = np.asarray(counts, dtype=np.int64)
+    ii, jj = pairs_within_runs(counts)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    expect = set()
+    start = 0
+    for c in counts:
+        for a in range(start, start + int(c)):
+            for b in range(a + 1, start + int(c)):
+                expect.add((a, b))
+        start += int(c)
+    assert got == expect
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-5, max_value=30), max_size=30))
+def test_get_sequences_partitions_input(ids):
+    runs = get_sequences(ids)
+    flat = [x for r in runs for x in r]
+    assert flat == sorted(set(ids))
+    for r in runs:
+        assert r == list(range(r[0], r[-1] + 1))
