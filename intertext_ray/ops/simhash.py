@@ -38,12 +38,22 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
     return out
 
 
+_token_hash_cache: dict[str, int] = {}
+
+
 def hash_bytes(s: str) -> int:
-    """Deterministic 64-bit value of a token (no Python hash())."""
-    h = np.uint64(0x9E3779B97F4A7C15)
-    for b in s.encode("utf-8"):
-        h = splitmix64(h ^ np.uint64(b))
-    return int(h)
+    """Deterministic 64-bit value of a token (no Python hash()); memoized —
+    corpora have small vocabularies relative to token occurrences."""
+    v = _token_hash_cache.get(s)
+    if v is None:
+        h = np.uint64(0x9E3779B97F4A7C15)
+        for b in s.encode("utf-8"):
+            h = splitmix64(h ^ np.uint64(b))
+        v = int(h)
+        if len(_token_hash_cache) > 1_000_000:
+            _token_hash_cache.clear()
+        _token_hash_cache[s] = v
+    return v
 
 
 def simhash_fingerprints(
