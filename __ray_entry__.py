@@ -211,6 +211,18 @@ def _q_lsh_candidates(sf_dir: str):
     return _i64(res.store.load("candidates"))
 
 
+def _q_only_focal(sf_dir: str):
+    """Reference --only: candidates restricted to a focal doc (doc 0).
+    Reuses the flagship run's checkpointed hashbands (the hashbands table is
+    independent of the --only filter, which applies at pair emission)."""
+    from intertext_ray.config import IntertextConfig
+    from intertext_ray.stages.candidates import candidates_stage
+
+    res = _dedup_run(sf_dir)
+    cfg = IntertextConfig(only_doc_id=0)
+    return _i64(candidates_stage(res.store.load("hashbands"), cfg, 16))
+
+
 def _q_matches(sf_dir: str):
     res = _dedup_run(sf_dir)
     return _i64(res.matches)
@@ -244,19 +256,6 @@ def _q_dup_doc_pairs(sf_dir: str):
     return _i64(dup_doc_pairs(_dedup_run(sf_dir).matches))
 
 
-def _q_only_focal(sf_dir: str):
-    """Reference --only: candidates restricted to a focal doc (doc 0)."""
-    from intertext_ray.config import IntertextConfig
-    from intertext_ray.stages.bands import hashbands_stage
-    from intertext_ray.stages.candidates import candidates_stage
-    from intertext_ray.stages.minhash import signatures_stage
-    from intertext_ray.stages.windows import windows_stage
-
-    cfg = IntertextConfig(only_doc_id=0)
-    w = windows_stage(_docs(sf_dir), cfg)
-    return _i64(
-        candidates_stage(hashbands_stage(signatures_stage(w, cfg), cfg), cfg, 16)
-    )
 
 
 def _q_word_counts(sf_dir: str):
@@ -402,7 +401,123 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles (SQL-expressible subset)
+#
+# Two oracle families:
+#
+# 1. FULLY INDEPENDENT SQL — recomputes the result from the raw testdata
+#    tables alone, including the pinned splitmix64 hash family expressed in
+#    HUGEINT-mod-2^64 arithmetic (``_sql_splitmix``): windows, counts, text
+#    stats, simhash fingerprints/near-dups, rolling fingerprints, ann_topk,
+#    cosine pairs, ngram jaccard.
+#
+# 2. POST-MINHASH RELATIONAL TWINS — the minhash/difflib kernels themselves
+#    are not SQL-expressible, so the flagship chain is verified from the
+#    engine's CHECKPOINTED stage parquet (written by the same ``queries()``
+#    run the driver compares against): the SQL re-derives every downstream
+#    relational step independently — band groupby -> pair emission ->
+#    DISTINCT (lsh_candidates, only_focal_candidates), recursive-CTE
+#    connected components over the verified edge list (dedup_components,
+#    dedup_clusters, clips_pipeline), run clustering via gaps-and-islands
+#    (pair_clusters), and aggregates (dup_doc_pairs).  ``dedup_matches``
+#    itself stays oracle-less: its content IS the difflib kernel
+#    (rows-only check; kernel pinned by ``tests/test_oracle.py`` exact
+#    parity + recall vs the quirk-modelled reference scan).
+#
+# The checkpoint paths assume the driver's sf0.01 correctness run
+# (``_dedup_run`` work dirs under /tmp, written by the queries above).
 # ---------------------------------------------------------------------------
+
+_MOD64 = "18446744073709551616"
+
+
+def _sql_mod64(e: str) -> str:
+    """HUGEINT expression -> UBIGINT (mod 2^64 wraparound arithmetic)."""
+    return f"CAST((({e}) % {_MOD64}) AS UBIGINT)"
+
+
+def _sql_mulmod(a: str, m: int) -> str:
+    """(a * m) mod 2^64 for UBIGINT ``a`` without overflowing INT128: split
+    ``a`` into 32-bit halves so every intermediate stays < 2^97."""
+    hi = f"(CAST(({a}) >> 32 AS HUGEINT) * {m}) % 4294967296"
+    lo = f"CAST(({a}) & 4294967295 AS HUGEINT) * {m}"
+    return _sql_mod64(f"({hi}) * 4294967296 + ({lo})")
+
+
+def _sql_splitmix(x: str) -> str:
+    """splitmix64 finalizer over a UBIGINT expression — value-identical to
+    ``intertext_ray.functions.hashing.splitmix64`` (verified in tests)."""
+    z1 = _sql_mod64(f"CAST({x} AS HUGEINT) + 11400714819323198485")
+    z2 = _sql_mulmod(f"xor({z1}, ({z1}) >> 30)", 13787848793156543929)
+    z3 = _sql_mulmod(f"xor({z2}, ({z2}) >> 27)", 10723151780598845931)
+    return f"xor({z3}, ({z3}) >> 31)"
+
+
+# splitmix64 byte-chain over each vocabulary token (ASCII testdata; the
+# engine hashes utf-8 bytes — identical for ASCII, see ops/simhash.hash_bytes)
+_SQL_TOKEN_CHAIN = f"""
+    vocab AS (SELECT DISTINCT w FROM toks),
+    chain(w, p, h) AS (
+      SELECT w, 0, CAST(11400714819323198485 AS UBIGINT) FROM vocab
+      UNION ALL
+      SELECT w, p + 1,
+             {_sql_splitmix("xor(h, CAST(ascii(substr(w, p + 1, 1)) AS UBIGINT))")}
+      FROM chain WHERE p < length(w)
+    ),
+    th AS (SELECT w, h FROM chain WHERE p = length(w))
+"""
+
+# SimHash fingerprint CTE (expects ``toks`` + the token chain): signed bit
+# sums weighted by token multiplicity; bit set iff sum > 0
+_SQL_SIMHASH_FP = f"""
+    tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    pw(b, v) AS (
+      SELECT 0, CAST(1 AS HUGEINT)
+      UNION ALL
+      SELECT b + 1, v * 2 FROM pw WHERE b < 63
+    ),
+    contrib AS (
+      SELECT tc.doc_id, pw.b, pw.v,
+             sum(tc.c * (2 * CAST((th.h >> pw.b) & CAST(1 AS UBIGINT) AS BIGINT) - 1)) AS s
+      FROM tc JOIN th USING (w) CROSS JOIN pw
+      GROUP BY tc.doc_id, pw.b, pw.v
+    ),
+    fp AS (
+      SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN v ELSE 0 END) AS UBIGINT) AS f
+      FROM contrib GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id, CAST(0 AS UBIGINT) FROM documents WHERE trim(text) = ''
+    )
+"""
+
+# work dirs of the checkpointed engine runs the relational twins read from
+# (driver correctness runs at sf0.01; clips corpus is 500 clips there)
+_ENTRY_WORK = "/tmp/itx_entry_sf0.01"
+_CLIPS_WORK = "/tmp/itx_clips_v2_n500_s42_a1/dedup_work"
+
+
+def _ck(stage: str, work: str = _ENTRY_WORK) -> str:
+    return f"read_parquet('{work}/{stage}/*.parquet')"
+
+
+def _sql_doc_clusters(matches_src: str) -> str:
+    """Connected components over the doc-pair graph of a verified match
+    edge list — an INDEPENDENT reimplementation (recursive CTE min-label
+    closure) of the engine's union-find."""
+    return f"""
+        WITH RECURSIVE
+        m AS (SELECT DISTINCT CAST(doc_a AS BIGINT) AS a, CAST(doc_b AS BIGINT) AS b
+              FROM {matches_src}),
+        edges AS (SELECT a AS u, b AS v FROM m UNION SELECT b, a FROM m),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        cc(node, label) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.v, cc.label FROM cc JOIN edges e ON e.u = cc.node
+          WHERE cc.label < e.v
+        )
+        SELECT node AS doc_id, min(label) AS dup_cluster_id
+        FROM cc GROUP BY node
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -510,4 +625,199 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*) AS "count" FROM toks GROUP BY word
         """,
+        # --- independent hash-family twins -------------------------------
+        "simhash_fingerprints": f"""
+            WITH RECURSIVE
+            toks AS ({_TOKS}),
+            {_SQL_TOKEN_CHAIN},
+            {_SQL_SIMHASH_FP}
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   lower(lpad(to_hex(f), 16, '0')) AS simhash_hex
+            FROM fp
+        """,
+        "simhash_near_dups": f"""
+            WITH RECURSIVE
+            toks AS ({_TOKS}),
+            {_SQL_TOKEN_CHAIN},
+            {_SQL_SIMHASH_FP}
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+                   CAST(b.doc_id AS BIGINT) AS doc_b,
+                   CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 8
+        """,
+        "rolling_fingerprints": _rolling_fp_sql(),
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS c
+              FROM q CROSS JOIN embeddings e
+            ),
+            r AS (
+              SELECT query_id, vec_id, c,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, vec_id ASC
+                     ) - 1 AS rank
+              FROM s
+            )
+            -- +1e-6 before floor mirrors the engine (self-cosine lands on
+            -- either side of 1.0 depending on float op order)
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+                   CAST(floor(1000 * c + 1e-6) AS BIGINT) AS cos_x1000
+            FROM r WHERE rank < 10
+        """,
+        # --- post-minhash relational twins (engine checkpoints) ----------
+        "lsh_candidates": f"""
+            WITH hb AS (SELECT band, doc_id, window_id FROM {_ck("hashbands")}),
+            sizes AS (SELECT band, count(*) AS n FROM hb GROUP BY band),
+            ok AS (SELECT band FROM sizes WHERE n <= 2000)  -- band_docs_cap
+            SELECT DISTINCT
+                   CAST(a.doc_id AS BIGINT) AS doc_a,
+                   CAST(b.doc_id AS BIGINT) AS doc_b,
+                   CAST(a.window_id AS BIGINT) AS win_a,
+                   CAST(b.window_id AS BIGINT) AS win_b
+            FROM hb a JOIN hb b ON a.band = b.band AND a.doc_id < b.doc_id
+            JOIN ok ON ok.band = a.band
+        """,
+        "only_focal_candidates": f"""
+            WITH hb AS (SELECT band, doc_id, window_id FROM {_ck("hashbands")}),
+            sizes AS (SELECT band, count(*) AS n FROM hb GROUP BY band),
+            ok AS (SELECT band FROM sizes WHERE n <= 2000)
+            SELECT DISTINCT
+                   CAST(a.doc_id AS BIGINT) AS doc_a,
+                   CAST(b.doc_id AS BIGINT) AS doc_b,
+                   CAST(a.window_id AS BIGINT) AS win_a,
+                   CAST(b.window_id AS BIGINT) AS win_b
+            FROM hb a JOIN hb b ON a.band = b.band AND a.doc_id < b.doc_id
+            JOIN ok ON ok.band = a.band
+            WHERE a.doc_id = 0 OR b.doc_id = 0
+        """,
+        "dup_doc_pairs": f"""
+            SELECT CAST(doc_a AS BIGINT) AS doc_a,
+                   CAST(doc_b AS BIGINT) AS doc_b,
+                   count(*) AS n_matches
+            FROM {_ck("matches")}
+            GROUP BY 1, 2
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE
+            m AS (SELECT * FROM {_ck("matches")}),
+            e AS (
+              SELECT CAST(doc_a AS HUGEINT) * 4294967296 + win_a AS u,
+                     CAST(doc_b AS HUGEINT) * 4294967296 + win_b AS v
+              FROM m
+            ),
+            edges AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            cc(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e2.v, cc.label FROM cc JOIN edges e2 ON e2.u = cc.node
+              WHERE cc.label < e2.v
+            )
+            SELECT CAST(node // 4294967296 AS BIGINT) AS doc_id,
+                   CAST(node % 4294967296 AS BIGINT) AS window_id,
+                   CAST(min(label) AS BIGINT) AS component_id
+            FROM cc GROUP BY node
+        """,
+        "dedup_clusters": _sql_doc_clusters(_ck("matches")),
+        "clips_pipeline": _sql_doc_clusters(_ck("matches", _CLIPS_WORK)),
+        "pair_clusters": f"""
+            WITH m AS (
+              SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+                     CAST(win_a AS BIGINT) AS win_a, CAST(win_b AS BIGINT) AS win_b,
+                     CAST(similarity AS BIGINT) AS similarity
+              FROM {_ck("matches")}
+            ),
+            -- gaps-and-islands: maximal runs of consecutive window ids per
+            -- side (the reference's get_sequences)
+            ia AS (
+              SELECT doc_a, doc_b, win_a,
+                     win_a - dense_rank() OVER (
+                       PARTITION BY doc_a, doc_b ORDER BY win_a) AS isa
+              FROM (SELECT DISTINCT doc_a, doc_b, win_a FROM m)
+            ),
+            ib AS (
+              SELECT doc_a, doc_b, win_b,
+                     win_b - dense_rank() OVER (
+                       PARTITION BY doc_a, doc_b ORDER BY win_b) AS isb
+              FROM (SELECT DISTINCT doc_a, doc_b, win_b FROM m)
+            ),
+            cells AS (
+              SELECT m.doc_a, m.doc_b, ia.isa, ib.isb, m.win_a, m.win_b,
+                     m.similarity
+              FROM m
+              JOIN ia ON ia.doc_a = m.doc_a AND ia.doc_b = m.doc_b
+                     AND ia.win_a = m.win_a
+              JOIN ib ON ib.doc_a = m.doc_a AND ib.doc_b = m.doc_b
+                     AND ib.win_b = m.win_b
+            ),
+            agg AS (
+              SELECT doc_a, doc_b, isa, isb,
+                     CAST(floor(CAST(sum(similarity) AS DOUBLE) / count(*)) AS BIGINT)
+                       AS similarity
+              FROM cells GROUP BY doc_a, doc_b, isa, isb
+            ),
+            asegs AS (
+              SELECT doc_a, doc_b, isa, isb,
+                     list(win_a ORDER BY win_a) AS a_segments
+              FROM (SELECT DISTINCT doc_a, doc_b, isa, isb, win_a FROM cells)
+              GROUP BY doc_a, doc_b, isa, isb
+            ),
+            bsegs AS (
+              SELECT doc_a, doc_b, isa, isb,
+                     list(win_b ORDER BY win_b) AS b_segments
+              FROM (SELECT DISTINCT doc_a, doc_b, isa, isb, win_b FROM cells)
+              GROUP BY doc_a, doc_b, isa, isb
+            )
+            SELECT agg.doc_a, agg.doc_b, asegs.a_segments, bsegs.b_segments,
+                   agg.similarity
+            FROM agg
+            JOIN asegs USING (doc_a, doc_b, isa, isb)
+            JOIN bsegs USING (doc_a, doc_b, isa, isb)
+            WHERE agg.similarity >= 50
+        """,
     }
+
+
+def _rolling_fp_sql(k: int = 8, keep_mod: int = 16) -> str:
+    """Independent SQL twin of ``ops.text_stats.rolling_fingerprints``: the
+    identical splitmix64 token chain + positional polynomial in
+    HUGEINT-mod-2^64 arithmetic."""
+    from intertext_ray.ops.text_stats import rolling_gram_weights
+
+    weights = ", ".join(
+        f"({j}, {int(p)})" for j, p in enumerate(rolling_gram_weights(k))
+    )
+    return f"""
+        WITH RECURSIVE
+        d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+          FROM documents WHERE trim(text) <> ''
+        ),
+        nn AS (SELECT doc_id, arr, len(arr) AS nt FROM d WHERE len(arr) >= {k}),
+        tok AS (
+          SELECT doc_id, i, arr[CAST(i AS BIGINT)] AS w
+          FROM nn, unnest(generate_series(1, nt)) u(i)
+        ),
+        toks AS (SELECT doc_id, w FROM tok),
+        {_SQL_TOKEN_CHAIN},
+        tokh AS (SELECT tok.doc_id, tok.i, th.h FROM tok JOIN th USING (w)),
+        pw(j, p) AS (VALUES {weights}),
+        terms AS (
+          SELECT a.doc_id, a.i,
+                 sum(CAST(b.h AS HUGEINT) * pw.p) AS s
+          FROM tokh a CROSS JOIN pw
+          JOIN tokh b ON b.doc_id = a.doc_id AND b.i = a.i + pw.j
+          GROUP BY a.doc_id, a.i
+          HAVING count(*) = {k}
+        ),
+        fpr AS (SELECT doc_id, {_sql_splitmix(_sql_mod64("s"))} AS f FROM terms)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               lower(lpad(to_hex(f), 16, '0')) AS fp_hex
+        FROM fpr WHERE f % {keep_mod} = 0
+    """

@@ -58,8 +58,10 @@ class IntertextConfig:
     # --- Ray execution knobs (ours) ---
     minhash_batch_size: int = 4096     # windows per minhash batch
     minhash_concurrency: int = 8       # actor pool size for the MinHasher
-    band_docs_cap: int = 2000          # hot-band cap: skip bands seen in more
-                                       # distinct docs (logged as dropped mass)
+    band_docs_cap: int = 2000          # hot-band cap: skip bands whose
+                                       # (doc,window) ROW count exceeds this
+                                       # (logged as dropped mass; mirrored by
+                                       # the single-process oracle for parity)
     pair_emit_chunk: int = 1 << 20     # max pairs emitted per map_groups chunk
     join_strategy: str = "hash"        # "hash" (ds.join) | "broadcast"
     num_shuffle_partitions: int = 0    # 0 = let Ray pick

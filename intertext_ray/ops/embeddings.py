@@ -2,9 +2,16 @@
 threshold near-dup pairs, and an LSH-bucketed scale variant.
 
 The query matrix is ``ray.put`` ONCE and read per actor — never re-shipped
-per batch; each batch does one float64 matmul against it (vectorized).  The
-LSH variant buckets vectors by random-hyperplane sign bits so only
-same-bucket pairs are scored — the scale path when N×Q matmuls get too big.
+per batch; each batch does one float64 matmul against it (vectorized).
+
+``cosine_dup_pairs`` (exact all-pairs) is CLUSTER-RESIDENT: dataset blocks
+are re-partitioned into hash buckets by worker tasks whose RESULTS stay in
+the object store (the driver only holds object refs); every bucket pair is
+scored by a task reading two refs; the output Dataset is assembled with
+``ray.data.from_arrow_refs`` — at no point does a vector matrix travel
+through the driver.  The LSH variant buckets vectors by random-hyperplane
+sign bits so only same-bucket pairs are scored — the scale path when B²
+bucket-pair matmuls get too big.
 """
 
 from __future__ import annotations
@@ -79,14 +86,14 @@ def ann_topk(
 ) -> pa.Table:
     """Exact brute-force cosine top-k for each query id (queries drawn from
     the dataset itself).  Returns (query_id, vec_id, rank, cos_x1000) —
-    deterministic tie-break by vec_id."""
-    qset = set(int(q) for q in query_ids)
-    qref = ray.put(qset)
+    deterministic tie-break by vec_id.  DuckDB twin:
+    ``oracle_sql()['ann_topk']`` (window function over
+    ``list_cosine_similarity``)."""
+    qarr = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        m = np.array([int(i) in ray.get(qref) for i in ids], bool)
-        return batch.filter(pa.array(m))
+        return batch.filter(pa.array(np.isin(ids, qarr)))
 
     qtbl = embeddings.map_batches(pick, batch_format="pyarrow").to_pandas()
     qtbl = qtbl.sort_values(id_col)
@@ -106,13 +113,71 @@ def ann_topk(
     for qid, grp in partials.groupby("query_id"):
         grp = grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
         for rank, r in enumerate(grp.itertuples()):
-            out.append((int(qid), int(r.vec_id), rank, math.floor(1000.0 * r.cos)))
+            # +1e-6 before floor: a query's cosine with itself computes as
+            # 0.999...9 or 1.000...1 depending on float op order (normalized
+            # matmul here vs dot/|a||b| in the SQL twin) — the epsilon makes
+            # floor(1000*cos) stable on both sides of such boundaries
+            out.append(
+                (int(qid), int(r.vec_id), rank, math.floor(1000.0 * r.cos + 1e-6))
+            )
     return pa.table(
         {
             "query_id": pa.array([o[0] for o in out], pa.int64()),
             "vec_id": pa.array([o[1] for o in out], pa.int64()),
             "rank": pa.array([o[2] for o in out], pa.int64()),
             "cos_x1000": pa.array([o[3] for o in out], pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _partition_block(tbl: pa.Table, num_buckets: int, id_col: str):
+    """Worker task: split one block into per-bucket (ids, normalized-matrix)
+    pieces.  Results stay in the object store (num_returns=num_buckets)."""
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(_embedding_matrix(tbl))
+    bk = ids % num_buckets
+    out = []
+    for b in range(num_buckets):
+        m = bk == b
+        out.append((ids[m].copy(), np.ascontiguousarray(mat[m])))
+    return tuple(out) if num_buckets > 1 else out[0]
+
+
+@ray.remote
+def _assemble_bucket(*pieces):
+    ids = np.concatenate([p[0] for p in pieces])
+    mat = np.vstack([p[1] for p in pieces]) if len(ids) else np.empty((0, 0))
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order] if len(ids) else mat
+
+
+@ray.remote
+def _score_bucket_pair(pa_i, pa_j, same: bool, threshold: float) -> pa.Table:
+    ids_a, mat_a = pa_i
+    ids_b, mat_b = pa_j
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return _cos_pairs_table([], [], [])
+    sims = mat_a @ mat_b.T
+    ia, ib = np.nonzero(sims >= threshold)
+    da, db = ids_a[ia], ids_b[ib]
+    if same:
+        keep = da < db
+    else:
+        keep = da != db
+    da, db, cs = da[keep], db[keep], sims[ia, ib][keep]
+    swap = da > db
+    a = np.where(swap, db, da)
+    b = np.where(swap, da, db)
+    return _cos_pairs_table(a, b, np.floor(1000.0 * cs))
+
+
+def _cos_pairs_table(a, b, cx) -> pa.Table:
+    return pa.table(
+        {
+            "a": pa.array(np.asarray(a, np.int64), pa.int64()),
+            "b": pa.array(np.asarray(b, np.int64), pa.int64()),
+            "cos_x1000": pa.array(np.asarray(cx, np.int64), pa.int64()),
         }
     )
 
@@ -125,63 +190,64 @@ def cosine_dup_pairs(
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs: (a, b) with cos >= threshold, a < b.
 
-    Exact all-pairs via bucketed block-matmul: rows are hash-bucketed by id;
-    every bucket PAIR is scored with one float64 matmul (map over the
-    bucket-pair list) — O(N²/B²) memory per task, exact results.  For
-    corpora where N² is infeasible, use :func:`lsh_cosine_dup_pairs`.
+    Exact all-pairs via bucketed block-matmul, fully cluster-resident: the
+    driver sees only object refs — blocks are hash-partitioned by worker
+    tasks, bucket matrices assembled by worker tasks, and each bucket PAIR
+    scored with one float64 matmul in a task — O((N/B)²) memory per task,
+    exact results.  For corpora where N² bucket-pair work is infeasible,
+    use :func:`lsh_cosine_dup_pairs`.
     """
-    mats: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    block_refs = embeddings.to_arrow_refs()
     nb = num_buckets
-    for b in embeddings.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        mat = _normalize(_embedding_matrix(b))
-        for bk in range(nb):
-            m = (ids % nb) == bk
-            if m.any():
-                prev = mats.get(bk)
-                if prev is None:
-                    mats[bk] = (ids[m].copy(), mat[m])
-                else:
-                    mats[bk] = (
-                        np.concatenate([prev[0], ids[m]]),
-                        np.vstack([prev[1], mat[m]]),
-                    )
-    refs = {bk: ray.put(v) for bk, v in mats.items()}
-    tasks = [(i, j) for i in sorted(refs) for j in sorted(refs) if i <= j]
+    piece_refs = [
+        _partition_block.options(num_returns=nb if nb > 1 else 1).remote(
+            r, nb, id_col
+        )
+        for r in block_refs
+    ]
+    if nb == 1:
+        piece_refs = [[r] for r in piece_refs]
+    buckets = [
+        _assemble_bucket.remote(*[pieces[b] for pieces in piece_refs])
+        for b in range(nb)
+    ]
+    out_refs = [
+        _score_bucket_pair.remote(buckets[i], buckets[j], i == j, threshold)
+        for i in range(nb)
+        for j in range(i, nb)
+    ]
+    ds = ray.data.from_arrow_refs(out_refs)
+    return ds.sort(["a", "b"])
 
-    @ray.remote
-    def score(pair):
-        i, j = pair
-        ids_a, mat_a = ray.get(refs[i])
-        ids_b, mat_b = ray.get(refs[j])
-        sims = mat_a @ mat_b.T
-        ia, ib = np.nonzero(sims >= threshold)
-        da, db = ids_a[ia], ids_b[ib]
-        if i == j:
-            keep = da < db
-        else:
-            keep = da != db
-        da, db, cs = da[keep], db[keep], sims[ia, ib][keep]
-        swap = da > db
-        a = np.where(swap, db, da)
-        b = np.where(swap, da, db)
-        return pa.table(
-            {
-                "a": pa.array(a.astype(np.int64), pa.int64()),
-                "b": pa.array(b.astype(np.int64), pa.int64()),
-                "cos_x1000": pa.array(
-                    np.floor(1000.0 * cs).astype(np.int64), pa.int64()
-                ),
-            }
+
+def _dedup_pairs_bucketed(pairs: ray.data.Dataset, num_buckets: int = 64):
+    """Exact (a, b) pair dedup as a bucketed groupby + vectorized
+    first-per-key (the engine-wide dedup pattern — no per-key map_groups)."""
+    nbu = np.uint64(num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bucket", pa.array(((splitmix64(a) ^ b) % nbu).astype(np.int64))
         )
 
-    tables = ray.get([score.remote(t) for t in tasks])
-    merged = pa.concat_tables(tables) if tables else pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "cos_x1000": pa.array([], pa.int64())}
+    def uniq(group: pa.Table) -> pa.Table:
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        c = group["cos_x1000"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, b, a))
+        a, b, c = a[order], b[order], c[order]
+        keep = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            keep[1:] = ~((a[1:] == a[:-1]) & (b[1:] == b[:-1]))
+        return _cos_pairs_table(a[keep], b[keep], c[keep])
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uniq, batch_format="pyarrow")
     )
-    ds = ray.data.from_arrow(merged)
-    return ds.sort(["a", "b"])
 
 
 def lsh_cosine_dup_pairs(
@@ -195,9 +261,7 @@ def lsh_cosine_dup_pairs(
     """Scale path: random-hyperplane LSH — each vector lands in ``n_tables``
     sign-buckets; only same-bucket pairs are exactly scored.  Approximate
     (recall < 1 by design) but shuffle-shaped like the MinHash path: explode
-    -> bucket groupby -> verify."""
-    import pandas as pd
-
+    -> bucket groupby -> verify -> bucketed dedup."""
     # deterministic planes from the pinned seed family
     first = embeddings.take(1)
     dim = len(first[0]["embedding"])
@@ -232,6 +296,8 @@ def lsh_cosine_dup_pairs(
 
     def verify(group: pa.Table) -> pa.Table:
         ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return _cos_pairs_table([], [], [])
         mat = _embedding_matrix(group, "vec")
         sims = mat @ mat.T
         ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
@@ -239,23 +305,11 @@ def lsh_cosine_dup_pairs(
         swap = da > db
         a = np.where(swap, db, da)
         b = np.where(swap, da, db)
-        return pa.table(
-            {
-                "a": pa.array(a.astype(np.int64)),
-                "b": pa.array(b.astype(np.int64)),
-                "cos_x1000": pa.array(
-                    np.floor(1000.0 * sims[ia, ib]).astype(np.int64)
-                ),
-            }
-        )
+        return _cos_pairs_table(a, b, np.floor(1000.0 * sims[ia, ib]))
 
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["a", "b"])
-
-    return (
+    raw = (
         embeddings.map_batches(explode, batch_format="pyarrow")
         .groupby("bucket_key")
         .map_groups(verify, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
+    return _dedup_pairs_bucketed(raw)

@@ -1,24 +1,24 @@
 """Char n-gram Jaccard similarity — exact pairwise dedup metric.
 
-Physical plan: explode docs to distinct (gram, doc_id) rows (vectorized over
-the concatenated utf-8 buffer), bucket-groupby gram to count pairwise
-intersections, broadcast per-doc gram counts for the union term.  A gram
-frequency cap bounds the quadratic blowup of stop-grams — at corpus scale,
-grams shared by thousands of docs carry no dedup signal; the cap is a knob
-and the dropped mass is measurable (same argument as the LSH hot-band cap).
+Physical plan: explode docs to distinct (gram, doc_id, doc_size) rows
+(vectorized over the concatenated utf-8 buffer), bucket-groupby gram to
+count pairwise intersections — each emitted pair CARRIES both doc sizes
+through the shuffle, so the union term needs no driver-side broadcast (at
+10⁹ docs a doc→size dict would be driver-resident state; 16 bytes/row in
+the shuffle is not).  A gram frequency cap bounds the quadratic blowup of
+stop-grams — at corpus scale, grams shared by thousands of docs carry no
+dedup signal; the cap is a knob and the dropped mass is measurable (same
+argument as the LSH hot-band cap).
 
-Output pairs carry ``jaccard_x1000 = floor(1000 * inter / union)`` — an
-integer, so the DuckDB oracle twin hashes identically.
+Output pairs carry ``jaccard_x1000 = floor(1000 * inter / union)`` — the
+floor of a float64 division, expression-identical to the DuckDB oracle
+twin so value-hash comparison is exact.
 """
 
 from __future__ import annotations
 
-import math
-from collections import Counter
-
 import numpy as np
 import pyarrow as pa
-import ray
 import ray.data
 
 from intertext_ray.functions.hashing import splitmix64
@@ -34,10 +34,12 @@ def doc_grams(text: str, n: int = 4) -> set[bytes]:
 
 
 def gram_rows(docs: ray.data.Dataset, text_col: str = "text", n: int = 4):
-    """Distinct (gram_hash:uint64, doc_id) rows per doc."""
+    """Distinct (gram_hash:uint64, doc_id, dsize) rows per doc — ``dsize``
+    (the doc's distinct-gram count) rides every row so downstream scoring
+    never needs a per-doc lookup table."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        out_doc, out_g = [], []
+        out_doc, out_g, out_sz = [], [], []
         for d, t in zip(
             batch["doc_id"].to_numpy(zero_copy_only=False),
             batch[text_col].to_pylist(),
@@ -51,14 +53,28 @@ def gram_rows(docs: ray.data.Dataset, text_col: str = "text", n: int = 4):
             hs = splitmix64(arr)
             out_doc.extend([int(d)] * len(hs))
             out_g.extend(hs.tolist())
+            out_sz.extend([len(gs)] * len(hs))
         return pa.table(
             {
                 "gram": pa.array(np.array(out_g, dtype=np.uint64), pa.uint64()),
                 "doc_id": pa.array(out_doc, pa.int64()),
+                "dsize": pa.array(out_sz, pa.int64()),
             }
         )
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _inter_table(a, b, sa, sb, inter) -> pa.Table:
+    return pa.table(
+        {
+            "doc_a": pa.array(np.asarray(a, np.int64), pa.int64()),
+            "doc_b": pa.array(np.asarray(b, np.int64), pa.int64()),
+            "size_a": pa.array(np.asarray(sa, np.int64), pa.int64()),
+            "size_b": pa.array(np.asarray(sb, np.int64), pa.int64()),
+            "inter": pa.array(np.asarray(inter, np.int64), pa.int64()),
+        }
+    )
 
 
 def ngram_jaccard_pairs(
@@ -73,14 +89,7 @@ def ngram_jaccard_pairs(
 
     ``gram_doc_cap``: drop grams appearing in more docs (0 = exact, no cap —
     use the cap at scale and account the divergence)."""
-    grams = gram_rows(docs, text_col, n).materialize()
-
-    # per-doc gram counts: small table, broadcast for the union term
-    sizes = dict(
-        (int(r["doc_id"]), int(r["count()"]))
-        for r in grams.groupby("doc_id").count().take_all()
-    )
-    sizes_ref = ray.put(sizes)
+    grams = gram_rows(docs, text_col, n)
     nb = _U64(num_buckets)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -89,55 +98,45 @@ def ngram_jaccard_pairs(
 
     def count_pairs(group: pa.Table) -> pa.Table:
         """Within a bucket: per-gram doc lists -> pairwise intersection
-        counts (partial; summed across buckets next)."""
+        counts (partial; summed across buckets next) — sizes ride along."""
         from intertext_ray.stages.candidates import pairs_within_runs
 
         g = group["gram"].to_numpy(zero_copy_only=False)
         d = group["doc_id"].to_numpy(zero_copy_only=False)
+        sz = group["dsize"].to_numpy(zero_copy_only=False)
         order = np.lexsort((d, g))
-        g, d = g[order], d[order]
+        g, d, sz = g[order], d[order], sz[order]
         nrow = len(g)
         if nrow == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "inter": pa.array([], pa.int64()),
-                }
-            )
+            return _inter_table([], [], [], [], [])
         starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])
         counts = np.diff(np.concatenate([starts, [nrow]]))
         if gram_doc_cap:
             keep_runs = counts <= gram_doc_cap
             keep_rows = np.repeat(keep_runs, counts)
-            g, d = g[keep_rows], d[keep_rows]
+            g, d, sz = g[keep_rows], d[keep_rows], sz[keep_rows]
             counts = counts[keep_runs]
         ii, jj = pairs_within_runs(counts)
-        da, db = d[ii], d[jj]
+        da, db, sa, sb = d[ii], d[jj], sz[ii], sz[jj]
         swap = da > db
         a = np.where(swap, db, da)
         b = np.where(swap, da, db)
-        # partial per-pair intersection counts within the bucket
-        c = Counter(zip(a.tolist(), b.tolist()))
-        if not c:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "inter": pa.array([], pa.int64()),
-                }
-            )
-        keys, vals = zip(*c.items())
-        ka, kb = zip(*keys)
-        return pa.table(
-            {
-                "doc_a": pa.array(ka, pa.int64()),
-                "doc_b": pa.array(kb, pa.int64()),
-                "inter": pa.array(vals, pa.int64()),
-            }
+        sa2 = np.where(swap, sb, sa)
+        sb2 = np.where(swap, sa, sb)
+        if len(a) == 0:
+            return _inter_table([], [], [], [], [])
+        # vectorized partial per-pair intersection counts within the bucket
+        order = np.lexsort((b, a))
+        a, b, sa2, sb2 = a[order], b[order], sa2[order], sb2[order]
+        head = np.ones(len(a), dtype=bool)
+        head[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        hstarts = np.nonzero(head)[0]
+        hcounts = np.diff(np.concatenate([hstarts, [len(a)]]))
+        return _inter_table(
+            a[hstarts], b[hstarts], sa2[hstarts], sb2[hstarts], hcounts
         )
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     partials = (
         grams.map_batches(add_bucket, batch_format="pyarrow")
@@ -145,26 +144,31 @@ def ngram_jaccard_pairs(
         .map_groups(count_pairs, batch_format="pyarrow")
     )
     totals = partials.groupby(["doc_a", "doc_b"]).aggregate(
-        Sum("inter", alias_name="inter")
+        Sum("inter", alias_name="inter"),
+        Max("size_a", alias_name="size_a"),
+        Max("size_b", alias_name="size_b"),
     )
 
+    # integer threshold (pct/100) so the DuckDB oracle's comparison is
+    # value-identical (no decimal-vs-double literal mismatch)
+    pct = int(round(min_jaccard * 100))
+
     def score(batch: pa.Table) -> pa.Table:
-        s = ray.get(sizes_ref)
         da = batch["doc_a"].to_numpy(zero_copy_only=False)
         db = batch["doc_b"].to_numpy(zero_copy_only=False)
+        sa = batch["size_a"].to_numpy(zero_copy_only=False)
+        sb = batch["size_b"].to_numpy(zero_copy_only=False)
         inter = batch["inter"].to_numpy(zero_copy_only=False)
-        jx, keep = [], []
-        # integer threshold (pct/100) so the DuckDB oracle's comparison is
-        # value-identical (no decimal-vs-double literal mismatch)
-        pct = int(round(min_jaccard * 100))
-        for i in range(len(da)):
-            union = s[int(da[i])] + s[int(db[i])] - int(inter[i])
-            keep.append(bool(union) and 100 * int(inter[i]) >= pct * union)
-            jx.append(math.floor(1000.0 * int(inter[i]) / union) if union else 0)
+        union = sa + sb - inter
+        keep = (union > 0) & (100 * inter >= pct * union)
+        # float64 division + floor — expression-identical to the SQL twin
+        jx = np.zeros(len(da), dtype=np.int64)
+        nz = union > 0
+        jx[nz] = np.floor(1000.0 * inter[nz] / union[nz]).astype(np.int64)
         t = pa.table(
             {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
+                "doc_a": pa.array(da, pa.int64()),
+                "doc_b": pa.array(db, pa.int64()),
                 "jaccard_x1000": pa.array(jx, pa.int64()),
             }
         )

@@ -1,71 +1,140 @@
 """SimHash near-duplicate detection.
 
-64-bit SimHash over word features (splitmix64-hashed, the same pinned family
-as the MinHash stage): sign-sum of feature bit vectors.  Near-dup candidates
-come from bucketing on bit-bands (4 × 16-bit bands -> Hamming distance <= 3
-guaranteed to collide in >= 1 band), verified by exact Hamming distance —
+64-bit SimHash over word features (splitmix64-chained token hashes, the same
+pinned family as the MinHash stage): sign-sum of feature bit vectors.
+Near-dup candidates come from bucketing on bit-bands whose COUNT IS DERIVED
+FROM THE RADIUS — splitting 64 bits into ``max_hamming + 1`` contiguous bands
+guarantees (pigeonhole) that any pair within Hamming ``max_hamming`` agrees
+exactly on at least one band — verified by exact Hamming distance.  This is
 the classic Charikar/Manku-Jain-Sarma layout, expressed as map_batches +
-bucketed groupby like the MinHash path.
+bucketed groupby like the MinHash path (reference analog: the LSH band
+pipeline, ``/root/reference/intertext/intertext.py:363-453``).
+
+Everything is vectorized over the Arrow string buffers: tokenization via
+``pyarrow.compute.utf8_split_whitespace``, token hashing as a splitmix64
+chain iterated per byte POSITION (max-token-length passes over the whole
+flat token array, no per-token Python), per-doc bit sums via
+``np.add.reduceat`` over the list offsets.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from intertext_ray.functions.hashing import splitmix64
 
 _U64 = np.uint64
-
-
-def simhash_batch(texts: list[str]) -> np.ndarray:
-    out = np.zeros(len(texts), dtype=np.uint64)
-    bits = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = t.split()
-        if not toks:
-            continue
-        # vectorized: hash each unique token, expand to ±1 bit contributions
-        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        hs = np.array(
-            [int(splitmix64(np.uint64(hash_bytes(w)))) for w in uniq], dtype=np.uint64
-        )
-        bitmat = ((hs[:, None] >> bits[None, :]) & _U64(1)).astype(np.int64)
-        contrib = (2 * bitmat - 1) * counts[:, None]
-        sums = contrib.sum(axis=0)
-        out[i] = ((sums > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)
-    return out
-
-
-_token_hash_cache: dict[str, int] = {}
+_GAMMA = _U64(0x9E3779B97F4A7C15)
 
 
 def hash_bytes(s: str) -> int:
-    """Deterministic 64-bit value of a token (no Python hash()); memoized —
-    corpora have small vocabularies relative to token occurrences."""
-    v = _token_hash_cache.get(s)
-    if v is None:
-        h = np.uint64(0x9E3779B97F4A7C15)
-        for b in s.encode("utf-8"):
-            h = splitmix64(h ^ np.uint64(b))
-        v = int(h)
-        if len(_token_hash_cache) > 1_000_000:
-            _token_hash_cache.clear()
-        _token_hash_cache[s] = v
-    return v
+    """Deterministic 64-bit value of one token (scalar reference used by
+    tests; the batch path is :func:`_chain_hash_tokens`).  Chain:
+    ``h = GAMMA; for byte: h = splitmix64(h ^ byte)``."""
+    h = _GAMMA
+    for b in s.encode("utf-8"):
+        h = splitmix64(h ^ _U64(b))
+    return int(h)
+
+
+def _chain_hash_tokens(arr: pa.Array) -> np.ndarray:
+    """Vectorized splitmix64 chain over an Arrow string array's utf-8
+    buffers: one pass per BYTE POSITION (bounded by the longest token), each
+    pass a vectorized xor+splitmix over every still-active token."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    n = len(arr)
+    h = np.full(n, _GAMMA, dtype=_U64)
+    if n == 0:
+        return h
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    max_len = int((ends - starts).max()) if n else 0
+    for p in range(max_len):
+        idx = starts + p
+        active = idx < ends
+        ia = idx[active]
+        h[active] = splitmix64(h[active] ^ data[ia].astype(_U64))
+    return h
+
+
+def simhash_batch(texts) -> np.ndarray:
+    """Batch of texts -> uint64 SimHash fingerprints (docs with no tokens
+    hash to 0).  Fully vectorized: tokenize (Arrow), chain-hash the flat
+    token array, per-doc signed bit sums via ``reduceat``."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=_U64)
+    if n_docs == 0:
+        return out
+    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    tok_counts = np.asarray(
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False), dtype=np.int64
+    )
+    # utf8_split_whitespace of '' yields [''] — treat empty-string tokens as
+    # absent (str.split() semantics)
+    tok_hash = _chain_hash_tokens(flat)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    valid = lens > 0
+    # signed bit contributions, reduced per doc over the flat layout
+    bits = np.arange(64, dtype=_U64)
+    bitmat = ((tok_hash[:, None] >> bits[None, :]) & _U64(1)).astype(np.int64)
+    contrib = 2 * bitmat - 1
+    contrib[~valid] = 0
+    doc_starts = np.concatenate([[0], np.cumsum(tok_counts)[:-1]])
+    nonempty = tok_counts > 0
+    if nonempty.any():
+        sums = np.add.reduceat(contrib, doc_starts[nonempty], axis=0)
+        fp = ((sums > 0).astype(_U64) << bits[None, :]).sum(axis=1, dtype=_U64)
+        out[nonempty] = fp
+    return out
 
 
 def simhash_fingerprints(
     docs: ray.data.Dataset, text_col: str = "text"
 ) -> ray.data.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
-        sh = simhash_batch(batch[text_col].to_pylist())
+        sh = simhash_batch(batch[text_col])
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(sh, pa.uint64())}
         )
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def band_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per band: 64 bits split into ``max_hamming + 1``
+    contiguous bands (minimum 4), widths differing by at most one.  With
+    ``h + 1`` bands, any two fingerprints within Hamming ``h`` agree on at
+    least one full band (pigeonhole) — guaranteed candidate recall."""
+    n_bands = max(4, int(max_hamming) + 1)
+    base, extra = divmod(64, n_bands)
+    layout = []
+    shift = 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        layout.append((shift, width))
+        shift += width
+    return layout
 
 
 def simhash_near_dups(
@@ -74,27 +143,30 @@ def simhash_near_dups(
     max_hamming: int = 3,
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) <= max_hamming.
-
-    Candidates: explode each fingerprint into 4 16-bit band keys (band value
-    + band index); any pair within Hamming <= 3 shares at least one exact
-    band (pigeonhole).  Band-key groupby -> pair emission -> exact Hamming
-    verify -> dedup, mirroring the MinHash/LSH physical plan.
+    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) <= max_hamming —
+    EXACT (full recall): the band count is derived from the radius
+    (:func:`band_layout`), so every qualifying pair collides in >= 1 band;
+    collisions are verified by exact Hamming distance and deduped.
+    Band-key groupby -> pair emission -> exact verify -> dedup, mirroring
+    the MinHash/LSH physical plan.
     """
     fps = simhash_fingerprints(docs, text_col)
+    layout = band_layout(max_hamming)
 
     def explode(batch: pa.Table) -> pa.Table:
         sh = batch["simhash"].to_numpy(zero_copy_only=False)
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
         bands = []
-        for b in range(4):
-            bands.append(((sh >> _U64(16 * b)) & _U64(0xFFFF)) | (_U64(b) << _U64(16)))
+        for i, (shift, width) in enumerate(layout):
+            mask = _U64((1 << width) - 1)
+            bands.append(((sh >> _U64(shift)) & mask) | (_U64(i) << _U64(32)))
         band = np.concatenate(bands)
+        k = len(layout)
         return pa.table(
             {
                 "band": pa.array(band, pa.uint64()),
-                "doc_id": pa.array(np.tile(doc, 4), pa.int64()),
-                "simhash": pa.array(np.tile(sh, 4), pa.uint64()),
+                "doc_id": pa.array(np.tile(doc, k), pa.int64()),
+                "simhash": pa.array(np.tile(sh, k), pa.uint64()),
             }
         )
 
@@ -164,13 +236,16 @@ def simhash_near_dups(
     )
 
 
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.int64)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = a ^ b
-    cnt = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & _U64(1)).astype(np.int64)
-        x = x >> _U64(1)
-    return cnt
+    """Vectorized popcount of a^b via a byte lookup table (8 lookups, not a
+    64-iteration shift loop)."""
+    x = (np.asarray(a, _U64) ^ np.asarray(b, _U64)).view(np.uint8)
+    return _POP8[x.reshape(-1, 8)].sum(axis=1)
 
 
 def _pairs_table(a, b, ham) -> pa.Table:

@@ -118,40 +118,88 @@ def content_fingerprints(
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def rolling_gram_weights(k: int = 8) -> np.ndarray:
+    """Pinned per-position multipliers for the k-gram polynomial hash: odd
+    32-bit constants derived from the splitmix family (small enough that a
+    128-bit product never overflows — the DuckDB oracle twin computes the
+    identical sum in HUGEINT arithmetic)."""
+    from intertext_ray.functions.hashing import splitmix64
+
+    idx = np.arange(k, dtype=np.uint64) + np.uint64(0xF1A5)
+    return (splitmix64(idx) >> np.uint64(32)) | np.uint64(1)
+
+
 def rolling_fingerprints(
     docs: ray.data.Dataset,
     text_col: str = "text",
     k: int = 8,
     keep_mod: int = 16,
 ) -> ray.data.Dataset:
-    """Winnowing-style document fingerprints: rolling hash over word
-    ``k``-grams, keeping hashes ≡ 0 (mod keep_mod) — a deterministic sparse
-    sketch usable for containment search.  Output (doc_id, fp:uint64) rows."""
+    """Winnowing-style document fingerprints: positional polynomial hash
+    over word ``k``-grams, keeping hashes ≡ 0 (mod keep_mod) — a
+    deterministic sparse sketch usable for containment search.  Output
+    (doc_id, fp_hex) rows, one per kept window position.
+
+    Fully vectorized (no per-gram Python): token hashes come from the
+    shared splitmix64 byte-chain over the flat Arrow token buffer; the
+    k-gram hash is ``splitmix64(sum_j th[i+j] * P[j] mod 2^64)`` computed as
+    ``k`` shifted multiply-adds over the whole batch.  The identical value
+    is SQL-expressible (``__ray_entry__.oracle_sql['rolling_fingerprints']``).
+    """
+    import pyarrow.compute as pc
+
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.simhash import _chain_hash_tokens
+
+    P = rolling_gram_weights(k)
 
     def fn(batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_doc, out_fp = [], []
-        for d, t in zip(doc_ids, batch[text_col].to_pylist()):
-            toks = t.split()
-            if len(toks) < k:
-                continue
-            hs = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()[:8],
-                        "little",
-                    )
-                    for i in range(len(toks) - k + 1)
-                ],
-                dtype=np.uint64,
-            )
-            kept = hs[hs % np.uint64(keep_mod) == 0]
-            out_doc.extend([int(d)] * len(kept))
-            out_fp.extend(kept.tolist())
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_docs = len(texts)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "fp_hex": pa.array([], pa.string()),
+            }
+        )
+        if n_docs == 0:
+            return empty
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        counts = np.asarray(counts, dtype=np.int64)
+        doc_idx = np.repeat(np.arange(n_docs), counts)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        valid = np.asarray(lens, dtype=np.int64) > 0
+        th = _chain_hash_tokens(flat)[valid]
+        dix = doc_idx[valid]
+        n = len(th)
+        if n < k:
+            return empty
+        # polynomial over every flat position, then mask windows that span
+        # a document boundary
+        total = n - k + 1
+        acc = np.zeros(total, dtype=np.uint64)
+        for j in range(k):
+            acc += th[j : j + total] * P[j]
+        in_doc = dix[:total] == dix[k - 1 :]
+        fp = splitmix64(acc[in_doc])
+        owner = dix[:total][in_doc]
+        keep = fp % np.uint64(keep_mod) == 0
+        fp, owner = fp[keep], owner[keep]
+        batch_docs = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "fp": pa.array(np.array(out_fp, dtype=np.uint64), pa.uint64()),
+                "doc_id": pa.array(
+                    batch_docs[owner].astype(np.int64), pa.int64()
+                ),
+                "fp_hex": pa.array(
+                    [f"{int(v):016x}" for v in fp], pa.string()
+                ),
             }
         )
 

@@ -95,8 +95,14 @@ def run_oracle(
         for band, d, w in triples:
             band_to_docwins[band].add((d, w))
 
-    # 2. candidates: exact groupby semantics (superset of reference, Q1-Q3)
+    # 2. candidates: exact groupby semantics (superset of reference, Q1-Q3).
+    # The hot-band row cap is mirrored from the engine
+    # (``stages/candidates.py _emit_pairs_from_sorted``): bands with more
+    # (doc,window) rows than ``band_docs_cap`` emit no pairs, so the oracle
+    # stays the engine's golden twin on capped corpora too.
     for band, vals in band_to_docwins.items():
+        if cfg.band_docs_cap and len(vals) > cfg.band_docs_cap:
+            continue
         if len({d for d, _ in vals}) < 2:
             continue
         for (da, wa), (db, wb) in combinations(sorted(vals), 2):

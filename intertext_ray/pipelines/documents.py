@@ -50,15 +50,23 @@ def clips_table_path(cache: str) -> str:
 
 
 def docs_as_int64(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Cast uint64 ids to int64 so outputs compare cleanly against DuckDB
-    (which has no uint64 in its default bridge)."""
+    """Cast every integer column (and list-of-integer column) to int64 so
+    outputs compare cleanly against DuckDB BIGINT results (DuckDB has no
+    uint64/int32 in its default pandas bridge)."""
 
     def cast(b: pa.Table) -> pa.Table:
         cols = {}
         for name in b.column_names:
             col = b[name]
-            if pa.types.is_uint64(col.type):
+            t = col.type
+            if pa.types.is_integer(t) and t != pa.int64():
                 col = pc.cast(col, pa.int64())
+            elif (
+                pa.types.is_list(t)
+                and pa.types.is_integer(t.value_type)
+                and t.value_type != pa.int64()
+            ):
+                col = pc.cast(col, pa.list_(pa.int64()))
             cols[name] = col
         return pa.table(cols)
 

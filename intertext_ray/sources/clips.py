@@ -45,6 +45,12 @@ def doc_ids_for_clip_ids(clip_ids: pa.Array | pa.ChunkedArray) -> np.ndarray:
     already in sorted order); anything else falls back to splitmix64 of the
     utf-8 bytes (collision odds ~n²/2⁶⁵ — negligible below ~10⁹ docs; for
     10¹²-clip corpora switch to the 128-bit variant or a dictionary pass).
+
+    NOTE: the components/cluster stages use packed (doc<<32|win) node keys
+    and REJECT doc_id >= 2^32 with a loud error (``stages/cluster.py``) —
+    the splitmix64 fallback produces full-64-bit ids, so corpora with
+    non-numeric clip ids must be renumbered densely (one sort/dictionary
+    pass at ingestion) before clustering; see SCALING.md §ids.
     """
     if isinstance(clip_ids, pa.ChunkedArray):
         clip_ids = clip_ids.combine_chunks()

@@ -56,11 +56,32 @@ class UnionFind:
             self.rank[ra] += 1
 
 
+_DOC_ID_LIMIT = 1 << 32
+
+
+def _check_doc_ids(*arrays) -> None:
+    """The packed (doc<<32|win) node-key / component_id representation needs
+    doc_id < 2^32.  Ids from the documented splitmix64 fallback
+    (``sources/clips.py``) can be full-64-bit — fail LOUDLY instead of
+    silently truncating/merging (renumber ids densely at ingestion, e.g.
+    ``sources.clips.doc_ids_for_clip_ids`` numeric ids, for this path)."""
+    for a in arrays:
+        if len(a) and int(np.asarray(a).max()) >= _DOC_ID_LIMIT:
+            raise ValueError(
+                "components: doc_id >= 2^32 cannot use the packed uint64 "
+                "node-key representation — renumber doc ids densely at "
+                "ingestion (see sources/clips.py docstring / SCALING.md §ids)"
+            )
+
+
 def components_from_matches(matches: ray.data.Dataset) -> pa.Table:
     """matches -> components table (doc_id, window_id, component_id).
 
     component_id = the minimum packed (doc<<32|window) node key of the
-    component — deterministic, independent of visit order.
+    component — deterministic, independent of visit order.  doc_id must be
+    < 2^32 (checked, loud error) so the packed key is exact; the same
+    packing is used by :func:`banish_filter` (Python ints) — the keyspaces
+    are value-identical under this check.
     """
     uf = UnionFind()
     for b in matches.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -68,6 +89,7 @@ def components_from_matches(matches: ray.data.Dataset) -> pa.Table:
         db = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         wa = b["win_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         wb = b["win_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        _check_doc_ids(da, db)
         # vectorized node packing; only the union loop itself is Python
         na = ((da << np.uint64(32)) | wa).tolist()
         nb = ((db << np.uint64(32)) | wb).tolist()
@@ -147,6 +169,7 @@ def components_distributed(
         db = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         wa = b["win_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         wb = b["win_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        _check_doc_ids(da, db)
         u = (da << np.uint64(32)) | wa
         v = (db << np.uint64(32)) | wb
         return pa.table({"u": pa.array(u, pa.uint64()), "v": pa.array(v, pa.uint64())})
@@ -176,10 +199,22 @@ def components_distributed(
         # reduce via minimum.reduceat)
         starts = np.nonzero(keep)[0]
         lmin = np.minimum.reduceat(l, starts) if len(n) else l
+        # convergence signal: a node CHANGED this round iff its new min label
+        # is below its previous label (the 'own'-tagged row).  Exact and
+        # overflow-free, unlike comparing successive Sum(label) values
+        # (uint64 sums can wrap / lose precision in lossy accumulators).
+        if "own" in g.column_names and len(n):
+            own = g["own"].to_numpy(zero_copy_only=False)[order]
+            l_own = np.where(own == 1, l, np.uint64(0xFFFFFFFFFFFFFFFF))
+            old = np.minimum.reduceat(l_own, starts)
+            changed = (lmin < old).astype(np.int64)
+        else:
+            changed = np.zeros(len(starts), dtype=np.int64)
         return pa.table(
             {
                 "node": pa.array(n[keep], pa.uint64()),
                 "label": pa.array(lmin, pa.uint64()),
+                "changed": pa.array(changed, pa.int64()),
             }
         )
 
@@ -213,7 +248,6 @@ def components_distributed(
         )
 
     refs = edges.map_batches(edge_refs, batch_format="pyarrow").materialize()
-    prev_sum = None
     for _ in range(max_iters):
         def tag_labels(t: pa.Table) -> pa.Table:
             return pa.table(
@@ -226,23 +260,27 @@ def components_distributed(
             )
 
         def resolve(g: pa.Table) -> pa.Table:
-            import pandas as pd
-
             df = g.to_pandas()
             lab = df[df["kind"] == 0][["node", "label"]]
             ref = df[df["kind"] == 1][["node", "peer"]]
             merged = ref.merge(lab, on="node", how="inner")
-            # message to the peer + keep own labels in circulation
+            # message to the peer + keep own labels in circulation ('own'
+            # marks the previous label so the next dedup pass can count
+            # changed nodes — the convergence signal)
             out_node = np.concatenate(
                 [merged["peer"].to_numpy(np.uint64), lab["node"].to_numpy(np.uint64)]
             )
             out_label = np.concatenate(
                 [merged["label"].to_numpy(np.uint64), lab["label"].to_numpy(np.uint64)]
             )
+            out_own = np.concatenate(
+                [np.zeros(len(merged), np.int8), np.ones(len(lab), np.int8)]
+            )
             return pa.table(
                 {
                     "node": pa.array(out_node, pa.uint64()),
                     "label": pa.array(out_label, pa.uint64()),
+                    "own": pa.array(out_own, pa.int8()),
                 }
             )
 
@@ -277,10 +315,9 @@ def components_distributed(
         )
         from ray.data.aggregate import Sum
 
-        s = labels.aggregate(Sum("label"))["sum(label)"]
-        if s == prev_sum:
+        n_changed = labels.aggregate(Sum("changed", alias_name="n"))["n"]
+        if not n_changed:
             break
-        prev_sum = s
 
     tbl = pa.concat_tables(
         [b for b in labels.iter_batches(batch_size=65536, batch_format="pyarrow")]

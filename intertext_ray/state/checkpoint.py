@@ -62,9 +62,10 @@ class CheckpointStore:
         tmp = final + f".tmp-{os.getpid()}"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        if os.path.exists(final):
-            shutil.rmtree(final)
         t0 = time.time()
+        # write the new artifact FULLY before touching the previous good
+        # checkpoint — a crash mid-write leaves the old one intact (resume
+        # re-reads it instead of recomputing the stage)
         ds.write_parquet(tmp)
         os.makedirs(tmp, exist_ok=True)
         if not glob.glob(os.path.join(tmp, "*.parquet")):
@@ -103,7 +104,15 @@ class CheckpointStore:
         }
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(man, f, indent=1)
+        # atomic swap: old checkpoint survives until the new one is complete
+        old = final + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(final):
+            os.rename(final, old)
         os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
         return self.load(stage)
 
     def get_or_compute(

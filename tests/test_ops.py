@@ -135,9 +135,42 @@ def test_rolling_fingerprints(toy_docs):
 
     fp = rolling_fingerprints(toy_docs, k=4, keep_mod=2).to_pandas()
     # identical docs 0/1 produce identical fingerprint sets
-    s0 = set(fp[fp.doc_id == 0].fp)
-    s1 = set(fp[fp.doc_id == 1].fp)
+    s0 = set(fp[fp.doc_id == 0].fp_hex)
+    s1 = set(fp[fp.doc_id == 1].fp_hex)
     assert s0 == s1
+
+
+def test_rolling_fingerprints_scalar_parity(ray_session):
+    """The vectorized polynomial hash equals a straight-line scalar
+    recomputation (independent of the Arrow-buffer batch path)."""
+    import numpy as np
+    import ray.data
+
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.simhash import hash_bytes
+    from intertext_ray.ops.text_stats import (
+        rolling_fingerprints,
+        rolling_gram_weights,
+    )
+
+    k, keep_mod = 3, 1
+    texts = {7: "alpha beta gamma delta epsilon", 8: "x y z"}
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in texts.items()]
+    )
+    got = rolling_fingerprints(ds, k=k, keep_mod=keep_mod).to_pandas()
+    P = rolling_gram_weights(k)
+    want = []
+    for d, t in texts.items():
+        toks = t.split()
+        for i in range(len(toks) - k + 1):
+            acc = np.uint64(0)
+            for j in range(k):
+                acc += np.uint64(hash_bytes(toks[i + j])) * P[j]
+            v = int(splitmix64(acc))
+            if v % keep_mod == 0:
+                want.append((d, f"{v:016x}"))
+    assert sorted(zip(got.doc_id, got.fp_hex)) == sorted(want)
 
 
 def test_multimodal_stub(ray_session):
