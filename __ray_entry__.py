@@ -726,62 +726,154 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters": _sql_doc_clusters(_ck("matches")),
         "clips_pipeline": _sql_doc_clusters(_ck("matches", _CLIPS_WORK)),
-        "pair_clusters": f"""
-            WITH m AS (
-              SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-                     CAST(win_a AS BIGINT) AS win_a, CAST(win_b AS BIGINT) AS win_b,
-                     CAST(similarity AS BIGINT) AS similarity
-              FROM {_ck("matches")}
-            ),
-            -- gaps-and-islands: maximal runs of consecutive window ids per
-            -- side (the reference's get_sequences)
-            ia AS (
-              SELECT doc_a, doc_b, win_a,
-                     win_a - dense_rank() OVER (
-                       PARTITION BY doc_a, doc_b ORDER BY win_a) AS isa
-              FROM (SELECT DISTINCT doc_a, doc_b, win_a FROM m)
-            ),
-            ib AS (
-              SELECT doc_a, doc_b, win_b,
-                     win_b - dense_rank() OVER (
-                       PARTITION BY doc_a, doc_b ORDER BY win_b) AS isb
-              FROM (SELECT DISTINCT doc_a, doc_b, win_b FROM m)
-            ),
-            cells AS (
-              SELECT m.doc_a, m.doc_b, ia.isa, ib.isb, m.win_a, m.win_b,
-                     m.similarity
-              FROM m
-              JOIN ia ON ia.doc_a = m.doc_a AND ia.doc_b = m.doc_b
-                     AND ia.win_a = m.win_a
-              JOIN ib ON ib.doc_a = m.doc_a AND ib.doc_b = m.doc_b
-                     AND ib.win_b = m.win_b
-            ),
-            agg AS (
-              SELECT doc_a, doc_b, isa, isb,
-                     CAST(floor(CAST(sum(similarity) AS DOUBLE) / count(*)) AS BIGINT)
-                       AS similarity
-              FROM cells GROUP BY doc_a, doc_b, isa, isb
-            ),
-            asegs AS (
-              SELECT doc_a, doc_b, isa, isb,
-                     list(win_a ORDER BY win_a) AS a_segments
-              FROM (SELECT DISTINCT doc_a, doc_b, isa, isb, win_a FROM cells)
-              GROUP BY doc_a, doc_b, isa, isb
-            ),
-            bsegs AS (
-              SELECT doc_a, doc_b, isa, isb,
-                     list(win_b ORDER BY win_b) AS b_segments
-              FROM (SELECT DISTINCT doc_a, doc_b, isa, isb, win_b FROM cells)
-              GROUP BY doc_a, doc_b, isa, isb
-            )
-            SELECT agg.doc_a, agg.doc_b, asegs.a_segments, bsegs.b_segments,
-                   agg.similarity
-            FROM agg
-            JOIN asegs USING (doc_a, doc_b, isa, isb)
-            JOIN bsegs USING (doc_a, doc_b, isa, isb)
-            WHERE agg.similarity >= 50
+        "pair_clusters": f"WITH {_pair_clusters_cte()} SELECT * FROM pcres",
+        "match_scatterplots": _scatterplots_sql(),
+        "audio_validate": f"""
+            -- the synthetic corpus is lossless/16-bit (FIXTURES.md): the
+            -- oracle encodes the north-rule per-row invariant — EVERY clip
+            -- must decode (decode_ok) and reconstruct at SNR >= 30 dB
+            SELECT codec, count(*) AS n, count(*) AS n_decoded,
+                   count(*) AS n_snr_ok
+            FROM read_parquet('{_CLIPS_WORK.rsplit("/", 1)[0]}/clips/*.parquet')
+            GROUP BY codec
         """,
     }
+
+
+def _pair_clusters_cte() -> str:
+    """CTE chain re-deriving the reference's per-pair run clustering
+    (``format_file_matches``) from the verified match checkpoint:
+    gaps-and-islands runs per side, cross product of runs keeping matched
+    cells, floor-mean similarity re-filtered by min_sim.  Ends in ``pcres``."""
+    return f"""
+        m AS (
+          SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+                 CAST(win_a AS BIGINT) AS win_a, CAST(win_b AS BIGINT) AS win_b,
+                 CAST(similarity AS BIGINT) AS similarity
+          FROM {_ck("matches")}
+        ),
+        ia AS (
+          SELECT doc_a, doc_b, win_a,
+                 win_a - dense_rank() OVER (
+                   PARTITION BY doc_a, doc_b ORDER BY win_a) AS isa
+          FROM (SELECT DISTINCT doc_a, doc_b, win_a FROM m)
+        ),
+        ib AS (
+          SELECT doc_a, doc_b, win_b,
+                 win_b - dense_rank() OVER (
+                   PARTITION BY doc_a, doc_b ORDER BY win_b) AS isb
+          FROM (SELECT DISTINCT doc_a, doc_b, win_b FROM m)
+        ),
+        cells AS (
+          SELECT m.doc_a, m.doc_b, ia.isa, ib.isb, m.win_a, m.win_b,
+                 m.similarity
+          FROM m
+          JOIN ia ON ia.doc_a = m.doc_a AND ia.doc_b = m.doc_b
+                 AND ia.win_a = m.win_a
+          JOIN ib ON ib.doc_a = m.doc_a AND ib.doc_b = m.doc_b
+                 AND ib.win_b = m.win_b
+        ),
+        agg AS (
+          SELECT doc_a, doc_b, isa, isb,
+                 CAST(floor(CAST(sum(similarity) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS similarity
+          FROM cells GROUP BY doc_a, doc_b, isa, isb
+        ),
+        asegs AS (
+          SELECT doc_a, doc_b, isa, isb,
+                 list(win_a ORDER BY win_a) AS a_segments
+          FROM (SELECT DISTINCT doc_a, doc_b, isa, isb, win_a FROM cells)
+          GROUP BY doc_a, doc_b, isa, isb
+        ),
+        bsegs AS (
+          SELECT doc_a, doc_b, isa, isb,
+                 list(win_b ORDER BY win_b) AS b_segments
+          FROM (SELECT DISTINCT doc_a, doc_b, isa, isb, win_b FROM cells)
+          GROUP BY doc_a, doc_b, isa, isb
+        ),
+        pcres AS (
+          SELECT agg.doc_a, agg.doc_b, asegs.a_segments, bsegs.b_segments,
+                 agg.similarity
+          FROM agg
+          JOIN asegs USING (doc_a, doc_b, isa, isb)
+          JOIN bsegs USING (doc_a, doc_b, isa, isb)
+          WHERE agg.similarity >= 50
+        )
+    """
+
+
+def _scatterplots_sql() -> str:
+    """Independent twin of ``format_clusters`` + ``scatterplot_aggregates``
+    over the pair-cluster CTE: excerpt strings rebuilt by word-slicing the
+    documents table (display_words == split() on newline-free testdata),
+    first-row-per-key selected by the same deterministic total order the
+    engine sorts by."""
+    return f"""
+        WITH {_pair_clusters_cte()},
+        dwords AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+          FROM documents
+        ),
+        formatted AS (
+          SELECT p.doc_a AS sfid, p.doc_b AS tfid,
+                 CAST(p.similarity AS DOUBLE) AS sim,
+                 array_to_string(p.a_segments, ',') AS ka,
+                 array_to_string(p.b_segments, ',') AS kb,
+                 array_to_string(
+                   da.arr[CAST(p.a_segments[1] * 4 + 1 AS BIGINT) :
+                          CAST(p.a_segments[len(p.a_segments)] * 4 + 14 AS BIGINT)],
+                   ' ') AS match_s,
+                 array_to_string(
+                   db.arr[CAST(p.b_segments[1] * 4 + 1 AS BIGINT) :
+                          CAST(p.b_segments[len(p.b_segments)] * 4 + 14 AS BIGINT)],
+                   ' ') AS match_t,
+                 row_number() OVER (
+                   ORDER BY p.doc_a, p.doc_b, p.similarity,
+                            array_to_string(p.a_segments, ','),
+                            array_to_string(p.b_segments, ',')) AS ord
+          FROM pcres p
+          JOIN dwords da ON da.doc_id = p.doc_a
+          JOIN dwords db ON db.doc_id = p.doc_b
+        ),
+        sides AS (
+          SELECT 'source' AS side, sfid AS fid, ka AS segkey, match_s AS mtch,
+                 sim, ord FROM formatted
+          UNION ALL
+          SELECT 'target', tfid, kb, match_t, sim, ord FROM formatted
+        ),
+        expanded AS (
+          SELECT s.side, u.unit,
+                 CASE u.unit
+                   WHEN 'segment_ids' THEN s.side || '.' ||
+                        CAST(s.fid AS VARCHAR) || '.' ||
+                        replace(s.segkey, ',', '.')
+                   WHEN 'file_id' THEN CAST(s.fid AS VARCHAR)
+                   ELSE 'Unknown' END AS key,
+                 s.sim, s.ord, CAST(s.fid AS VARCHAR) AS title, s.mtch
+          FROM sides s
+          CROSS JOIN (VALUES ('segment_ids'), ('file_id'), ('author')) u(unit)
+        ),
+        g AS (
+          SELECT side, unit, key, sum(sim) AS ssum, avg(sim) AS smean
+          FROM expanded GROUP BY side, unit, key
+        ),
+        f1 AS (
+          SELECT side, unit, key, title, mtch
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY side, unit, key ORDER BY ord) AS rn
+                FROM expanded)
+          WHERE rn = 1
+        )
+        SELECT g.side AS type, g.unit AS unit, s.statistic AS statistic,
+               g.key AS key,
+               CASE s.statistic WHEN 'sum' THEN g.ssum ELSE g.smean END
+                 AS similarity,
+               f1.title AS title, 'Unknown' AS author, f1.mtch AS match,
+               '' AS source_year, '' AS target_year
+        FROM g
+        JOIN f1 ON f1.side = g.side AND f1.unit = g.unit AND f1.key = g.key
+        CROSS JOIN (VALUES ('sum'), ('mean')) s(statistic)
+    """
 
 
 def _rolling_fp_sql(k: int = 8, keep_mod: int = 16) -> str:

@@ -66,6 +66,9 @@ class IntertextConfig:
     join_strategy: str = "hash"        # "hash" (ds.join) | "broadcast"
     num_shuffle_partitions: int = 0    # 0 = let Ray pick
     checkpoint_root: str | None = None # per-stage parquet checkpoints + manifests
+    # run_dedup(components='auto') switches from driver union-find to the
+    # distributed label-propagation backend above this many verified pairs
+    components_driver_max_pairs: int = 20_000_000
 
     @property
     def n_half(self) -> int:
@@ -91,6 +94,7 @@ class IntertextConfig:
             "join_strategy",
             "num_shuffle_partitions",
             "checkpoint_root",
+            "components_driver_max_pairs",
         ):
             d.pop(k)
         return hashlib.sha256(json.dumps(d, sort_keys=True).encode()).hexdigest()[:16]

@@ -23,6 +23,7 @@ from intertext_ray.stages.bands import hashbands_stage
 from intertext_ray.stages.candidates import band_metrics, candidates_stage
 from intertext_ray.stages.cluster import (
     banish_filter,
+    components_distributed,
     components_from_matches,
     doc_clusters_from_components,
     pair_clusters_stage,
@@ -54,6 +55,7 @@ def run_dedup(
     with_pair_clusters: bool = True,
     with_metrics: bool = False,
     checkpoints: bool = True,
+    components: str = "auto",
 ) -> DedupResult:
     """docs: Dataset(doc_id uint64, text string).  Returns all stage handles.
 
@@ -124,8 +126,23 @@ def run_dedup(
         else:
             matches = banish_filter(matches, banished_doc_ids, cfg).materialize()
 
-    components = components_from_matches(matches)
-    doc_clusters = doc_clusters_from_components(components)
+    # Components backend: the verified-pair graph is usually orders of
+    # magnitude smaller than the corpus, so driver union-find is the fast
+    # default — but past ``cfg.components_driver_max_pairs`` verified pairs
+    # the label-propagation shuffle variant takes over WITHOUT a code
+    # change (``components='auto'``; force with 'driver'/'distributed').
+    # Both produce identical tables (component_id = min packed node key;
+    # tested in tests/test_components_distributed.py).
+    if components == "auto":
+        n_matches = matches.count()
+        use_distributed = n_matches > cfg.components_driver_max_pairs
+    else:
+        use_distributed = components == "distributed"
+    if use_distributed:
+        components_tbl = components_distributed(matches, num_buckets)
+    else:
+        components_tbl = components_from_matches(matches)
+    doc_clusters = doc_clusters_from_components(components_tbl)
 
     pair_clusters = None
     if with_pair_clusters:
@@ -142,7 +159,7 @@ def run_dedup(
     return DedupResult(
         windows=windows,
         matches=matches,
-        components=components,
+        components=components_tbl,
         doc_clusters=doc_clusters,
         store=store,
         pair_clusters=pair_clusters,

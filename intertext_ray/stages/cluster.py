@@ -224,11 +224,16 @@ def components_distributed(
             "bucket", pa.array((splitmix64(node) % nb).astype(np.int64))
         )
 
+    # keep the label table at a CONSTANT block count: each round unions
+    # labels twice with refs, and groupby output inherits input block
+    # counts — without the repartition the block count (and per-round task
+    # overhead) grows geometrically with the iteration number
     labels = (
         edges.map_batches(init_labels, batch_format="pyarrow")
         .map_batches(add_node_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(dedup_nodes, batch_format="pyarrow")
+        .repartition(num_buckets)
         .materialize()
     )
 
@@ -311,6 +316,7 @@ def components_distributed(
             msgs.map_batches(add_node_bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(dedup_nodes, batch_format="pyarrow")
+            .repartition(num_buckets)
             .materialize()
         )
         from ray.data.aggregate import Sum

@@ -179,10 +179,20 @@ def format_clusters(
                 "target_url": mb.get("url", ""),
             }
         )
-    df = pd.DataFrame(rows).sort_values(
-        ["source_file_id", "target_file_id", "similarity"],
-        ignore_index=True,
+    df = pd.DataFrame(rows)
+    # deterministic TOTAL order: (source, target, segment-lists) is unique
+    # per row, so the row order — and hence `_id` and every downstream
+    # groupby-first — is independent of Ray block arrival order
+    df["_ka"] = df["source_segment_ids"].map(
+        lambda s: ",".join(str(x) for x in s)
     )
+    df["_kb"] = df["target_segment_ids"].map(
+        lambda s: ",".join(str(x) for x in s)
+    )
+    df = df.sort_values(
+        ["source_file_id", "target_file_id", "similarity", "_ka", "_kb"],
+        ignore_index=True,
+    ).drop(columns=["_ka", "_kb"])
     df.insert(0, "_id", np.arange(len(df)))
     return df
 

@@ -73,3 +73,40 @@ def test_matches_corpus(ray_session, small_corpus, oracle_result):
     a = _canon(components_from_matches(m))
     b = _canon(components_distributed(m, num_buckets=4))
     assert a == b
+
+
+def test_run_dedup_auto_threshold(ray_session, small_corpus, tmp_path):
+    """components='auto' switches to the distributed backend past the
+    pair-count threshold and produces identical clusters to the driver
+    union-find — the 100x path needs no code change."""
+    from intertext_ray.config import IntertextConfig
+    from intertext_ray.pipelines.dedup import run_dedup
+    from intertext_ray.sources.clips import clips_to_docs
+
+    clips, _, _ = small_corpus
+    docs = rd.from_arrow(clips_to_docs(clips).select(["doc_id", "text"]))
+    # threshold=0 forces every match over it -> distributed backend
+    cfg_dist = IntertextConfig(components_driver_max_pairs=0)
+    res_dist = run_dedup(
+        docs, cfg_dist, work_dir=str(tmp_path / "w1"), num_buckets=8,
+        with_pair_clusters=False,
+    )
+    cfg_drv = IntertextConfig()
+    res_drv = run_dedup(
+        docs, cfg_drv, work_dir=str(tmp_path / "w2"), num_buckets=8,
+        with_pair_clusters=False, components="driver",
+    )
+    assert _canon(res_dist.components) == _canon(res_drv.components)
+    dc_a = sorted(
+        zip(
+            res_dist.doc_clusters["doc_id"].to_pylist(),
+            res_dist.doc_clusters["dup_cluster_id"].to_pylist(),
+        )
+    )
+    dc_b = sorted(
+        zip(
+            res_drv.doc_clusters["doc_id"].to_pylist(),
+            res_drv.doc_clusters["dup_cluster_id"].to_pylist(),
+        )
+    )
+    assert dc_a == dc_b
