@@ -83,6 +83,265 @@ def match_strings(words: list[str], window_ids: list[int], cfg: IntertextConfig)
     }
 
 
+_FORMATTED_COLUMNS = [
+    "similarity", "probability", "source_file_id", "target_file_id",
+    "source_segment_ids", "target_segment_ids",
+    "source_prematch", "source_match", "source_postmatch",
+    "target_prematch", "target_match", "target_postmatch",
+    "source_author", "target_author", "source_title", "target_title",
+    "source_year", "target_year", "source_url", "target_url",
+]
+
+
+def format_clusters_ds(
+    pair_clusters: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    cfg: IntertextConfig,
+    metadata: dict[int, dict] | None = None,
+    counts: tuple[dict[str, int], int] | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """pair_clusters + doc texts -> formatted match rows as a DATASET
+    (``format_matches`` fields, reference ``:577-629``, without ``_id``).
+
+    Fully cluster-resident at corpus-proportional cluster counts: pair rows
+    explode to one row per side keyed by that side's doc; ONE bucketed
+    co-group with the docs table attaches the excerpt strings (each doc's
+    display-word list is built once per bucket); a second co-group on the
+    pair key pivots the two sides back together.  Only the small metadata /
+    word-count dicts are broadcast.  ``format_clusters`` is the driver-side
+    finisher (deterministic sort + ``_id``) for the api/ export.
+    """
+    from intertext_ray.functions.hashing import splitmix64
+
+    metadata = metadata or {}
+    meta_ref = ray.put(metadata)
+    counts_ref = ray.put(counts if counts else ({}, 0))
+    nb = np.uint64(num_buckets)
+    slide, wlen = cfg.slide_length, cfg.window_length
+
+    def orient_and_explode(t: pa.Table) -> pa.Table:
+        """Year-order the pair (N8) then emit one row per side keyed by
+        that side's doc id."""
+        md = ray.get(meta_ref)
+        da = t["doc_a"].to_pylist()
+        db = t["doc_b"].to_pylist()
+        aseg = t["a_segments"].to_pylist()
+        bseg = t["b_segments"].to_pylist()
+        sims = t["similarity"].to_pylist()
+        cols = {k: [] for k in (
+            "side", "key", "src_doc", "tgt_doc", "ka", "kb", "seg", "sim")}
+        for i in range(len(da)):
+            sa, sb = int(da[i]), int(db[i])
+            ga, gb = list(aseg[i]), list(bseg[i])
+            ma, mb = md.get(sa, {}), md.get(sb, {})
+            if ma.get("year") and mb.get("year") and mb["year"] < ma["year"]:
+                sa, sb, ga, gb = sb, sa, gb, ga
+            ka = ",".join(str(x) for x in ga)
+            kb = ",".join(str(x) for x in gb)
+            for side, key, seg in ((0, sa, ga), (1, sb, gb)):
+                cols["side"].append(side)
+                cols["key"].append(key)
+                cols["src_doc"].append(sa)
+                cols["tgt_doc"].append(sb)
+                cols["ka"].append(ka)
+                cols["kb"].append(kb)
+                cols["seg"].append(seg)
+                cols["sim"].append(int(sims[i]))
+        return pa.table(
+            {
+                "side": pa.array(cols["side"], pa.int8()),
+                "key": pa.array(cols["key"], pa.uint64()),
+                "src_doc": pa.array(cols["src_doc"], pa.uint64()),
+                "tgt_doc": pa.array(cols["tgt_doc"], pa.uint64()),
+                "ka": pa.array(cols["ka"], pa.string()),
+                "kb": pa.array(cols["kb"], pa.string()),
+                "seg": pa.array(cols["seg"], pa.list_(pa.int32())),
+                "sim": pa.array(cols["sim"], pa.int32()),
+                "text": pa.nulls(len(cols["side"]), pa.string()),
+            }
+        )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        doc = t["doc_id"]
+        return pa.table(
+            {
+                "side": pa.array(np.full(n, -1, np.int8)),
+                "key": pc_cast_u64(doc),
+                "src_doc": pa.nulls(n, pa.uint64()),
+                "tgt_doc": pa.nulls(n, pa.uint64()),
+                "ka": pa.nulls(n, pa.string()),
+                "kb": pa.nulls(n, pa.string()),
+                "seg": pa.nulls(n, pa.list_(pa.int32())),
+                "sim": pa.nulls(n, pa.int32()),
+                "text": t["text"],
+            }
+        )
+
+    def add_key_bucket(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((key % nb).astype(np.int64))
+        )
+
+    def attach_excerpts(g: pa.Table) -> pa.Table:
+        sides = g["side"].to_numpy(zero_copy_only=False)
+        is_doc = sides == -1
+        dwords: dict[int, list[str]] = {}
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        texts = g["text"].to_pylist()
+        for i in np.nonzero(is_doc)[0]:
+            dwords[int(keys[i])] = display_words(texts[i])
+        out = {
+            "side": [], "src_doc": [], "tgt_doc": [], "ka": [], "kb": [],
+            "seg": [], "sim": [], "prematch": [], "match": [], "postmatch": [],
+        }
+        segs = g["seg"].to_pylist()
+        srcs = g["src_doc"].to_pylist()
+        tgts = g["tgt_doc"].to_pylist()
+        kas = g["ka"].to_pylist()
+        kbs = g["kb"].to_pylist()
+        sims = g["sim"].to_pylist()
+        for i in np.nonzero(~is_doc)[0]:
+            words = dwords[int(keys[i])]
+            s = match_strings(words, segs[i], cfg)
+            out["side"].append(int(sides[i]))
+            out["src_doc"].append(int(srcs[i]))
+            out["tgt_doc"].append(int(tgts[i]))
+            out["ka"].append(kas[i])
+            out["kb"].append(kbs[i])
+            out["seg"].append(segs[i])
+            out["sim"].append(int(sims[i]))
+            out["prematch"].append(s["prematch"])
+            out["match"].append(s["match"])
+            out["postmatch"].append(s["postmatch"])
+        return pa.table(
+            {
+                "side": pa.array(out["side"], pa.int8()),
+                "src_doc": pa.array(out["src_doc"], pa.uint64()),
+                "tgt_doc": pa.array(out["tgt_doc"], pa.uint64()),
+                "ka": pa.array(out["ka"], pa.string()),
+                "kb": pa.array(out["kb"], pa.string()),
+                "seg": pa.array(out["seg"], pa.list_(pa.int32())),
+                "sim": pa.array(out["sim"], pa.int32()),
+                "prematch": pa.array(out["prematch"], pa.string()),
+                "match": pa.array(out["match"], pa.string()),
+                "postmatch": pa.array(out["postmatch"], pa.string()),
+            }
+        )
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        sd = t["src_doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        td = t["tgt_doc"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = splitmix64(splitmix64(sd) ^ td)
+        return t.append_column(
+            "bucket", pa.array((key % nb).astype(np.int64))
+        )
+
+    def pivot_pairs(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        md = ray.get(meta_ref)
+        cdict, ctotal = ray.get(counts_ref)
+        keys = ["src_doc", "tgt_doc", "ka", "kb", "sim"]
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1][keys + ["seg", "prematch", "match", "postmatch"]]
+        merged = a.merge(b, on=keys, how="inner", suffixes=("_s", "_t"))
+        rows = []
+        for r in merged.itertuples(index=False):
+            d = r._asdict() if hasattr(r, "_asdict") else dict(zip(merged.columns, r))
+            da, db = int(d["src_doc"]), int(d["tgt_doc"])
+            ma, mb = md.get(da, {}), md.get(db, {})
+            prob = -1.0
+            if cdict:
+                prob = (
+                    round(
+                        max(
+                            string_prob(d["match_s"], cdict, ctotal),
+                            string_prob(d["match_t"], cdict, ctotal),
+                        ),
+                        3,
+                    )
+                    * 1000
+                )
+            rows.append(
+                (
+                    int(d["sim"]), prob, da, db,
+                    list(d["seg_s"]), list(d["seg_t"]),
+                    d["prematch_s"], d["match_s"], d["postmatch_s"],
+                    d["prematch_t"], d["match_t"], d["postmatch_t"],
+                    ma.get("author", "Unknown"), mb.get("author", "Unknown"),
+                    ma.get("title", str(da)), mb.get("title", str(db)),
+                    str(ma.get("year", "")), str(mb.get("year", "")),
+                    # N9 (get_url, :632-635): plain url passthrough — the
+                    # $PAGE_ID substitution needs the XML page map (N10),
+                    # which has no analog for transcript rows
+                    ma.get("url", ""), mb.get("url", ""),
+                )
+            )
+        if not rows:
+            return _formatted_empty()
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "similarity": pa.array(cols[0], pa.int64()),
+                "probability": pa.array(cols[1], pa.float64()),
+                "source_file_id": pa.array(cols[2], pa.int64()),
+                "target_file_id": pa.array(cols[3], pa.int64()),
+                "source_segment_ids": pa.array(cols[4], pa.list_(pa.int64())),
+                "target_segment_ids": pa.array(cols[5], pa.list_(pa.int64())),
+                "source_prematch": pa.array(cols[6], pa.string()),
+                "source_match": pa.array(cols[7], pa.string()),
+                "source_postmatch": pa.array(cols[8], pa.string()),
+                "target_prematch": pa.array(cols[9], pa.string()),
+                "target_match": pa.array(cols[10], pa.string()),
+                "target_postmatch": pa.array(cols[11], pa.string()),
+                "source_author": pa.array(cols[12], pa.string()),
+                "target_author": pa.array(cols[13], pa.string()),
+                "source_title": pa.array(cols[14], pa.string()),
+                "target_title": pa.array(cols[15], pa.string()),
+                "source_year": pa.array(cols[16], pa.string()),
+                "target_year": pa.array(cols[17], pa.string()),
+                "source_url": pa.array(cols[18], pa.string()),
+                "target_url": pa.array(cols[19], pa.string()),
+            }
+        )
+
+    unioned = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        pair_clusters.map_batches(orient_and_explode, batch_format="pyarrow")
+    )
+    resolved = (
+        unioned.map_batches(add_key_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_excerpts, batch_format="pyarrow")
+    )
+    return (
+        resolved.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pivot_pairs, batch_format="pyarrow")
+    )
+
+
+def _formatted_empty() -> pa.Table:
+    fields = {}
+    for c in _FORMATTED_COLUMNS:
+        if c in ("similarity", "source_file_id", "target_file_id"):
+            fields[c] = pa.array([], pa.int64())
+        elif c == "probability":
+            fields[c] = pa.array([], pa.float64())
+        elif c in ("source_segment_ids", "target_segment_ids"):
+            fields[c] = pa.array([], pa.list_(pa.int64()))
+        else:
+            fields[c] = pa.array([], pa.string())
+    return pa.table(fields)
+
+
+def pc_cast_u64(col):
+    import pyarrow.compute as _pc
+
+    return _pc.cast(col, pa.uint64())
+
+
 def format_clusters(
     pair_clusters: ray.data.Dataset,
     docs: ray.data.Dataset,
@@ -90,96 +349,14 @@ def format_clusters(
     metadata: dict[int, dict] | None = None,
     counts: tuple[dict[str, int], int] | None = None,
 ) -> pd.DataFrame:
-    """pair_clusters + doc texts -> the formatted match table
-    (``format_matches`` fields, ``:577-629``, minus file paths/urls which
-    have no analog for table rows; ``_id`` is a deterministic row number, the
-    reference's uuid4->int renumber collapses to that).
-
-    The doc texts needed for excerpts are only those appearing in clusters —
-    a small set — fetched via a broadcast semi-join, not a shuffle.
+    """Driver-side finisher over :func:`format_clusters_ds`: deterministic
+    total sort + ``_id`` row number (the reference's uuid4->int renumber
+    collapses to that).  Only the final (small) formatted table and the
+    sort indices live on the driver; all excerpt/join work is distributed.
     """
-    metadata = metadata or {}
-    pc = pair_clusters.to_pandas()
-    if pc.empty:
-        return pd.DataFrame(
-            columns=[
-                "_id", "similarity", "probability", "source_file_id",
-                "target_file_id", "source_segment_ids", "target_segment_ids",
-                "source_prematch", "source_match", "source_postmatch",
-                "target_prematch", "target_match", "target_postmatch",
-                "source_author", "target_author", "source_title",
-                "target_title", "source_year", "target_year",
-                "source_url", "target_url",
-            ]
-        )
-    needed = set(pc.doc_a.astype(int)) | set(pc.doc_b.astype(int))
-    needed_ref = ray.put(needed)
-
-    def keep_needed(batch: pa.Table) -> pa.Table:
-        ids = ray.get(needed_ref)
-        m = np.array([int(d) in ids for d in
-                      batch["doc_id"].to_numpy(zero_copy_only=False)], bool)
-        return batch.filter(pa.array(m))
-
-    texts: dict[int, str] = {}
-    for b in docs.map_batches(keep_needed, batch_format="pyarrow").iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            texts[int(d)] = t
-    dwords = {d: display_words(t) for d, t in texts.items()}
-    cdict, ctotal = counts if counts else ({}, 0)
-
-    rows = []
-    for r in pc.itertuples():
-        da, db = int(r.doc_a), int(r.doc_b)
-        a_seg, b_seg, sim = list(r.a_segments), list(r.b_segments), int(r.similarity)
-        ma, mb = metadata.get(da, {}), metadata.get(db, {})
-        # order_match_pair (N8, :638-656): source = earlier publication
-        if ma.get("year") and mb.get("year") and mb["year"] < ma["year"]:
-            da, db, a_seg, b_seg, ma, mb = db, da, b_seg, a_seg, mb, ma
-        sa = match_strings(dwords[da], a_seg, cfg)
-        sb = match_strings(dwords[db], b_seg, cfg)
-        prob = -1.0
-        if cdict:
-            prob = (
-                round(
-                    max(
-                        string_prob(sa["match"], cdict, ctotal),
-                        string_prob(sb["match"], cdict, ctotal),
-                    ),
-                    3,
-                )
-                * 1000
-            )
-        rows.append(
-            {
-                "similarity": sim,
-                "probability": prob,
-                "source_file_id": da,
-                "target_file_id": db,
-                "source_segment_ids": a_seg,
-                "target_segment_ids": b_seg,
-                "source_prematch": sa["prematch"],
-                "source_match": sa["match"],
-                "source_postmatch": sa["postmatch"],
-                "target_prematch": sb["prematch"],
-                "target_match": sb["match"],
-                "target_postmatch": sb["postmatch"],
-                "source_author": ma.get("author", "Unknown"),
-                "target_author": mb.get("author", "Unknown"),
-                "source_title": ma.get("title", str(da)),
-                "target_title": mb.get("title", str(db)),
-                "source_year": str(ma.get("year", "")),
-                "target_year": str(mb.get("year", "")),
-                # N9 (get_url, :632-635): plain url passthrough — the
-                # $PAGE_ID substitution needs the XML page map (N10), which
-                # has no analog for transcript rows
-                "source_url": ma.get("url", ""),
-                "target_url": mb.get("url", ""),
-            }
-        )
-    df = pd.DataFrame(rows)
+    df = format_clusters_ds(pair_clusters, docs, cfg, metadata, counts).to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=["_id"] + _FORMATTED_COLUMNS)
     # deterministic TOTAL order: (source, target, segment-lists) is unique
     # per row, so the row order — and hence `_id` and every downstream
     # groupby-first — is independent of Ray block arrival order
@@ -205,10 +382,15 @@ def scatterplot_aggregates(formatted: pd.DataFrame) -> pd.DataFrame:
     for side in ("source", "target"):
         for unit in ("segment_ids", "file_id", "author"):
             if unit == "segment_ids":
-                key = formatted.apply(
-                    lambda r: f"{side}.{r[side + '_file_id']}."
-                    + ".".join(str(s) for s in r[side + "_segment_ids"]),
-                    axis=1,
+                key = pd.Series(
+                    [
+                        f"{side}.{f}." + ".".join(str(s) for s in segs)
+                        for f, segs in zip(
+                            formatted[f"{side}_file_id"],
+                            formatted[f"{side}_segment_ids"],
+                        )
+                    ],
+                    index=formatted.index,
                 ) if len(formatted) else pd.Series(dtype=str)
             else:
                 key = formatted[f"{side}_{unit}"].astype(str) if len(formatted) else pd.Series(dtype=str)

@@ -194,11 +194,17 @@ def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int
 
     def pivot_and_verify(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
+        keys = ["doc_a", "doc_b", "win_a", "win_b"]
         a = df[df["side"] == 0].rename(columns={"text": "text_a"})
-        b = df[df["side"] == 1][["doc_a", "doc_b", "win_a", "win_b", "text"]].rename(
-            columns={"text": "text_b"}
-        )
-        merged = a.merge(b, on=["doc_a", "doc_b", "win_a", "win_b"], how="inner")
+        b = df[df["side"] == 1][keys + ["text"]].rename(columns={"text": "text_b"})
+        # candidate dedup fused into the pair co-group: the same candidate
+        # reached via bands in different buckets arrives here multiple times
+        # (candidates_stage(dedup=False) streaming path) — all copies share
+        # this pbucket, so a per-side drop_duplicates IS the exact global
+        # dedup (reference A3) at no extra exchange
+        a = a.drop_duplicates(subset=keys)
+        b = b.drop_duplicates(subset=keys)
+        merged = a.merge(b, on=keys, how="inner")
         t = pa.table(
             {
                 "doc_a": pa.array(merged["doc_a"].to_numpy(np.uint64), pa.uint64()),

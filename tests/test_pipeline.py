@@ -132,3 +132,21 @@ def test_banish_pipeline(ray_session, tmp_path):
         with_pair_clusters=False,
     )
     assert res.matches.count() == 0
+
+
+def test_streaming_equals_checkpointed(pipeline_run, oracle_result, tmp_path):
+    """checkpoints=False (one pipelined execution, candidate dedup fused
+    into the verify join) produces the IDENTICAL match set + similarities
+    as the checkpointed path / oracle."""
+    _, docs, _ = pipeline_run
+    res = run_dedup(
+        docs, CFG, work_dir=str(tmp_path / "stream"), num_buckets=8,
+        checkpoints=False, with_pair_clusters=False,
+    )
+    m = res.matches.to_pandas()
+    eng = {
+        (int(r.doc_a), int(r.doc_b), int(r.win_a), int(r.win_b)): int(r.similarity)
+        for r in m.itertuples()
+    }
+    assert eng == oracle_result.matches
+    assert len(m) == len(eng)  # fused dedup left no duplicate match rows
