@@ -111,13 +111,15 @@ def run_dedup(
             metrics["bands"] = band_metrics(hashbands, cap=cfg.band_docs_cap)
         # pre_split=False: in one streaming chain the upstream stages already
         # emit enough blocks; the extra AllToAll barriers only cost overlap.
-        # dedup=False (hash join only): the global candidate dedup exchange
-        # is fused into the verify join's pair co-group — one less barrier
-        # per run at ~1.16x duplicate rows through the join (measured)
-        fuse_dedup = cfg.join_strategy == "hash"
-        candidates = candidates_stage(
-            hashbands, cfg, num_buckets, pre_split=False, dedup=not fuse_dedup
-        )
+        # NOTE dedup stays ON: fusing the candidate dedup into the verify
+        # join's pair co-group (candidates_stage(dedup=False)) was measured
+        # BOTH ways — it saves one AllToAll but ships every duplicate into
+        # the join, and near-identical windows collide in MANY of their 85
+        # bands: residual duplication is 1.16x on the low-similarity
+        # documents corpus but 9.0x on the clips corpus (104,445 vs 11,592
+        # candidate rows at sf0.01), which cost ~2-3x headline wall time.
+        # The early dedup removes ~89% of join traffic and wins.
+        candidates = candidates_stage(hashbands, cfg, num_buckets, pre_split=False)
         matches = matches_stage(
             candidates, windows, cfg, num_buckets, pre_split=False
         ).materialize()
