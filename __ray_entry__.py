@@ -492,7 +492,7 @@ _SQL_SIMHASH_FP = f"""
 # work dirs of the checkpointed engine runs the relational twins read from
 # (driver correctness runs at sf0.01; clips corpus is 500 clips there)
 _ENTRY_WORK = "/tmp/itx_entry_sf0.01"
-_CLIPS_WORK = "/tmp/itx_clips_v2_n500_s42_a1/dedup_work"
+_CLIPS_WORK = "/tmp/itx_clips_v3_n500_s42_a1/dedup_work"
 
 
 def _ck(stage: str, work: str = _ENTRY_WORK) -> str:

@@ -57,7 +57,7 @@ class IntertextConfig:
 
     # --- Ray execution knobs (ours) ---
     minhash_batch_size: int = 4096     # windows per minhash batch
-    minhash_concurrency: int = 8       # actor pool size for the MinHasher
+    minhash_concurrency: int = 8       # minhash stage parallelism hint (pre-split factor)
     band_docs_cap: int = 2000          # hot-band cap: skip bands whose
                                        # (doc,window) ROW count exceeds this
                                        # (logged as dropped mass; mirrored by

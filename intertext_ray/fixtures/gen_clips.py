@@ -265,10 +265,14 @@ def gen_corpus(
 
 
 def write_corpus(
-    out_dir: str, n_clips: int, seed: int = 42, shards: int = 16, **kw
+    out_dir: str, n_clips: int, seed: int = 42, shards: int = 64, **kw
 ) -> dict:
     """Write clips/ (sharded parquet dir — parallel reads + the resumable
-    per-shard layout), truth.parquet and metadata.json under out_dir."""
+    per-shard layout), truth.parquet and metadata.json under out_dir.
+
+    64 shards with small row groups: the parquet DECODE runs one task per
+    file (a single big row group cannot split across read tasks), so shard
+    count — not SplitBlocks — sets read parallelism."""
     os.makedirs(out_dir, exist_ok=True)
     clips, truth, metadata = gen_corpus(n_clips, seed, **kw)
     clips_dir = os.path.join(out_dir, "clips")
@@ -278,7 +282,11 @@ def write_corpus(
     for s in range(shards):
         part = clips.slice(s * step, step)
         if len(part):
-            pq.write_table(part, os.path.join(clips_dir, f"part-{s:04d}.parquet"))
+            pq.write_table(
+                part,
+                os.path.join(clips_dir, f"part-{s:04d}.parquet"),
+                row_group_size=max(64, step // 4),
+            )
     pq.write_table(truth, os.path.join(out_dir, "truth.parquet"))
     with open(os.path.join(out_dir, "metadata.json"), "w") as f:
         json.dump(metadata, f)

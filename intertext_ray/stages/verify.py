@@ -182,6 +182,13 @@ def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int
 
     from intertext_ray.functions.hashing import splitmix64
 
+    # the pivot stage carries the difflib scorer — per-row cost is highly
+    # variable (quick-ratio rejects vs full ratio), so bucket it 4x finer
+    # than the join to shrink the straggler tail (measured: max task 20.5s
+    # vs 7s mean at 163 buckets); the extra sort partitions on the small
+    # half-resolved rows are cheap
+    nb_pivot = _U64(4 * num_buckets)
+
     def add_pair_bucket(t: pa.Table) -> pa.Table:
         da = t["doc_a"].to_numpy(zero_copy_only=False)
         db = t["doc_b"].to_numpy(zero_copy_only=False)
@@ -189,7 +196,7 @@ def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int
         wb = t["win_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         key = splitmix64(splitmix64(splitmix64(da) ^ db) ^ (wa << _U64(32) | wb))
         return t.append_column(
-            "pbucket", pa.array((key % nb).astype(np.int64))
+            "pbucket", pa.array((key % nb_pivot).astype(np.int64))
         )
 
     def pivot_and_verify(g: pa.Table) -> pa.Table:
