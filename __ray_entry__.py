@@ -369,7 +369,29 @@ def _q_image_features(sf_dir: str):
     return feats.select_columns(["clip_id", "feature"])
 
 
+def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Apply session-level Ray Data execution tuning before a query runs
+    (the driver owns ray.init; this only touches DataContext).  The per-op
+    resource reservation fragments CPUs across long map->sort chains —
+    measured 120s -> 86s on the mult=8 clips headline at 32 cpus — and with
+    no actor pools in the hot path it protects nothing."""
+
+    def wrapped(sf_dir: str):
+        from ray.data import DataContext
+
+        DataContext.get_current().op_resource_reservation_ratio = 0.0
+        return fn(sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    return {k: _tuned(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "windows": _q_windows,
         "window_counts": _q_window_counts,
@@ -492,7 +514,7 @@ _SQL_SIMHASH_FP = f"""
 # work dirs of the checkpointed engine runs the relational twins read from
 # (driver correctness runs at sf0.01; clips corpus is 500 clips there)
 _ENTRY_WORK = "/tmp/itx_entry_sf0.01"
-_CLIPS_WORK = "/tmp/itx_clips_v3_n500_s42_a1/dedup_work"
+_CLIPS_WORK = "/tmp/itx_clips_v4_n500_s42_a1/dedup_work"
 
 
 def _ck(stage: str, work: str = _ENTRY_WORK) -> str:

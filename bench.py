@@ -37,7 +37,13 @@ def run_bench() -> dict:
     import ray.data as rd
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # the streaming executor's per-op resource reservation fragments CPUs
+    # across this 15-op DAG (measured: map stages ran at ~8/32 effective
+    # parallelism); with no actor pools left in the hot path the reservation
+    # protects nothing — disabling it measured 120s -> 86s at mult=8/32cpus
+    ctx.op_resource_reservation_ratio = 0.0
 
     from intertext_ray.config import IntertextConfig
     from intertext_ray.fixtures.gen_clips import clip_signal

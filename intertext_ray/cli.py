@@ -72,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
     import pyarrow as pa
     import ray.data as rd
 
+    # per-op resource reservation fragments CPUs across the long map->sort
+    # chain (no actor pools left in the hot path to protect); measured
+    # 120s -> 86s on the mult=8 clips headline at 32 cpus
+    rd.DataContext.get_current().op_resource_reservation_ratio = 0.0
+
     from intertext_ray.config import IntertextConfig
     from intertext_ray.pipelines.dedup import run_dedup
     from intertext_ray.sources.clips import clips_to_docs, read_clips

@@ -25,7 +25,7 @@ from intertext_ray.functions.audio import encode_clip
 from intertext_ray.functions.hashing import splitmix64
 
 SAMPLE_RATES = [8000, 16000, 22050, 44100]
-CODECS = ["pcm_s16le", "wav"]
+CODECS = ["pcm_s16le", "wav", "ulaw", "alaw"]
 # edit rates planting difflib-similarity bands ~{95, 75, 55, 45}; the last
 # deliberately lands below min_sim=50 to exercise the verifier reject path
 # while still colliding in LSH (FIXTURES.md §2)

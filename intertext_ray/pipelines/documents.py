@@ -37,7 +37,7 @@ def clips_corpus_for_sf(sf_dir: str, with_audio: bool = True, mult: int = 1):
 
     n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     n_clips = max(200, n_docs * mult)
-    cache = f"/tmp/itx_clips_v3_n{n_clips}_s42_a{int(with_audio)}"
+    cache = f"/tmp/itx_clips_v4_n{n_clips}_s42_a{int(with_audio)}"
     if not os.path.exists(os.path.join(cache, "clips")):
         write_corpus(cache, n_clips, seed=42, with_audio=with_audio)
     return cache
