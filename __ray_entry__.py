@@ -172,6 +172,19 @@ def _q_ann_topk(sf_dir: str):
     return ann_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF scale path for ANN top-k (approximate; recall vs the exact path
+    is pinned in tests/test_embeddings_ivf.py — no SQL twin by design)."""
+    import ray.data
+
+    from intertext_ray.ops.embeddings import ann_topk_ivf
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_cells=16, nprobe=6)
+
+
 def _q_simhash(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -403,6 +416,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "cosine_dup_pairs": _q_cosine_pairs,
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dups": _q_simhash_pairs,
         "rolling_fingerprints": _q_rolling_fp,

@@ -1,5 +1,5 @@
-"""Embedding ops: brute-force cosine ANN top-k (broadcast query matrix),
-threshold near-dup pairs, and an LSH-bucketed scale variant.
+"""Embedding ops: cosine ANN top-k (exact brute-force baseline + IVF
+scale path), threshold near-dup pairs, and an LSH-bucketed scale variant.
 
 The query matrix is ``ray.put`` ONCE and read per actor — never re-shipped
 per batch; each batch does one float64 matmul against it (vectorized).
@@ -313,3 +313,157 @@ def lsh_cosine_dup_pairs(
         .map_groups(verify, batch_format="pyarrow")
     )
     return _dedup_pairs_bucketed(raw)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — the 100 TB scale path for top-k search
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    embeddings: ray.data.Dataset,
+    n_cells: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 8,
+    seed: int = 0x1BF,
+) -> np.ndarray:
+    """Coarse quantizer: k-means over a bounded sample (sample ≪ corpus, so
+    driver-side Lloyd iterations are scale-correct — the FULL dataset never
+    leaves the cluster; only ``sample_rows`` rows do).  Deterministic from
+    ``seed``.  Returns (n_cells, dim) L2-normalized centroids."""
+    sample = embeddings.limit(sample_rows).to_pandas()
+    mat = _normalize(np.vstack(sample["embedding"].to_numpy()))
+    rng = np.random.default_rng(int(splitmix64(np.uint64(seed))))
+    n_cells = min(n_cells, len(mat))
+    cent = mat[rng.choice(len(mat), size=n_cells, replace=False)]
+    for _ in range(iters):
+        # cosine assignment == argmax dot on normalized vectors
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                cent[c] = mat[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_assign(
+    embeddings: ray.data.Dataset,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Index build: tag every vector with its nearest-centroid ``cell``
+    (one broadcast ``ray.put`` of the centroid matrix, one matmul per
+    batch).  At scale, write the result partitioned by ``cell`` so queries
+    read only the probed partitions."""
+    cref = ray.put(np.ascontiguousarray(centroids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        vecs = _normalize(_embedding_matrix(batch))
+        cell = np.argmax(vecs @ cent.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell, pa.int32()))
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
+def ann_topk_ivf(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> pa.Table:
+    """Approximate cosine top-k via IVF: only the ``nprobe`` cells nearest
+    each query are scanned (~nprobe/n_cells of the corpus instead of all of
+    it).  Same output schema as :func:`ann_topk`; recall < 1 by design —
+    measured against the exact path in tests/test_embeddings_ivf.py.
+
+    The scan filters to the union of probed cells AT THE READ (cell
+    pruning), then scores each batch against the broadcast query matrix
+    with per-query cell masks — no driver-side vector materialization
+    beyond the queries themselves."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_cells=n_cells)
+    n_cells = len(centroids)
+    nprobe = min(nprobe, n_cells)
+
+    qarr = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, qarr)))
+
+    qtbl = embeddings.map_batches(pick, batch_format="pyarrow").to_pandas()
+    qtbl = qtbl.sort_values(id_col)
+    qmat = _normalize(np.vstack(qtbl["embedding"].to_numpy()))
+    qids = qtbl[id_col].to_numpy()
+
+    # per-query probe cells; scan set = their union
+    qcells = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    scan_cells = np.unique(qcells)
+    probe_mask = np.zeros((len(qids), n_cells), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, qcells[qi]] = True
+
+    assigned = ivf_assign(embeddings, centroids, id_col)
+
+    def keep_cells(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(cell, scan_cells)))
+
+    bref = ray.put({"ids": qids, "mat": qmat, "probe": probe_mask})
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(bref)
+        vecs = _normalize(_embedding_matrix(batch))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        sims = vecs @ q["mat"].T  # (batch, nq)
+        # mask rows outside each query's probed cells
+        allowed = q["probe"][:, cell].T  # (batch, nq)
+        sims = np.where(allowed, sims, -np.inf)
+        kk = min(k, len(ids))
+        out_q, out_v, out_c = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = (
+                np.argpartition(-col, kk - 1)[:kk]
+                if kk < len(col)
+                else np.arange(len(col))
+            )
+            for t in top:
+                if np.isfinite(col[t]):
+                    out_q.append(int(q["ids"][qi]))
+                    out_v.append(int(ids[t]))
+                    out_c.append(float(col[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = (
+        assigned.map_batches(keep_cells, batch_format="pyarrow")
+        .map_batches(score, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        for rank, r in enumerate(grp.itertuples()):
+            out.append(
+                (int(qid), int(r.vec_id), rank, math.floor(1000.0 * r.cos + 1e-6))
+            )
+    return pa.table(
+        {
+            "query_id": pa.array([o[0] for o in out], pa.int64()),
+            "vec_id": pa.array([o[1] for o in out], pa.int64()),
+            "rank": pa.array([o[2] for o in out], pa.int64()),
+            "cos_x1000": pa.array([o[3] for o in out], pa.int64()),
+        }
+    )

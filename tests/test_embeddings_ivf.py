@@ -1,0 +1,66 @@
+"""IVF ANN scale path: recall against the exact brute-force baseline, cell
+pruning actually prunes, and determinism from the pinned seed."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from intertext_ray.ops.embeddings import (
+    ann_topk,
+    ann_topk_ivf,
+    ivf_assign,
+    train_ivf_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    # clustered synthetic embeddings: IVF recall is only meaningful when the
+    # data has coarse structure (uniform vectors make every cell equidistant)
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 12, 50, 32
+    centers = rng.standard_normal((n_clusters, dim)) * 3.0
+    vecs = np.vstack(
+        [centers[c] + rng.standard_normal((per, dim)) for c in range(n_clusters)]
+    )
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    return rd.from_arrow(tbl)
+
+
+def test_ivf_recall_vs_exact(emb_ds):
+    qids = [0, 57, 123, 305, 588]
+    exact = ann_topk(emb_ds, qids, k=10).to_pandas()
+    approx = ann_topk_ivf(emb_ds, qids, k=10, n_cells=12, nprobe=4).to_pandas()
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_full_probe_equals_exact(emb_ds):
+    """nprobe == n_cells scans everything -> identical to brute force."""
+    qids = [3, 77]
+    exact = ann_topk(emb_ds, qids, k=5).to_pandas()
+    full = ann_topk_ivf(emb_ds, qids, k=5, n_cells=8, nprobe=8).to_pandas()
+    assert exact.values.tolist() == full.values.tolist()
+
+
+def test_ivf_assign_partitions_and_determinism(emb_ds):
+    cent1 = train_ivf_centroids(emb_ds, n_cells=8)
+    cent2 = train_ivf_centroids(emb_ds, n_cells=8)
+    assert np.array_equal(cent1, cent2)  # pinned seed
+    assigned = ivf_assign(emb_ds, cent1).to_pandas()
+    assert assigned["cell"].between(0, 7).all()
+    # coarse structure -> multiple non-empty cells, none owning everything
+    sizes = assigned.groupby("cell").size()
+    assert len(sizes) >= 4
+    assert sizes.max() < len(assigned)
