@@ -26,11 +26,43 @@ STOPWORDS = {
 EN_STOPWORDS = STOPWORDS["en"]
 
 
+def _flat_tokens(texts: pa.Array):
+    """Whitespace tokenization over the whole batch at once — semantics of
+    Python ``str.split()`` (runs collapse, empties dropped), computed with
+    Arrow kernels: no per-row Python, no materialized Python strings.
+    Returns (flat token array, doc index per token, token count per doc).
+    (Divergence note: exotic control chars 0x1c-0x1f are str.split()
+    whitespace but not Unicode whitespace — absent from this data model.)"""
+    import pyarrow.compute as pc
+
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    counts = np.asarray(
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False), dtype=np.int64
+    )
+    lens = np.asarray(
+        pc.utf8_length(flat).to_numpy(zero_copy_only=False), dtype=np.int64
+    )
+    doc_idx = np.repeat(np.arange(len(texts)), counts)
+    keep = lens > 0  # leading/trailing-whitespace artifacts
+    doc_idx = doc_idx[keep]
+    return (
+        flat.filter(pa.array(keep)),
+        doc_idx,
+        np.bincount(doc_idx, minlength=len(texts)).astype(np.int64),
+    )
+
+
 def token_counts(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """(doc_id, n_tokens) — whitespace tokenization (reference N1)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        n = [len(t.split()) for t in batch[text_col].to_pylist()]
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        _, _, n = _flat_tokens(texts)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -44,29 +76,55 @@ def token_counts(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dat
 def quality_scores(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """(doc_id, n_tokens, n_unique_tokens, ttr_x1000, stopword_x1000,
     mean_token_len_x100) — integer-scaled quality signals (length, lexical
-    diversity, stopword ratio)."""
+    diversity, stopword ratio).  Vectorized: distinct-token counts via
+    dictionary encoding (exact string identity) + a (doc, code) lexsort;
+    stopword membership via ``pc.is_in``; per-doc sums via ``bincount``."""
+    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        nt, nu, ttr, sw, mtl = [], [], [], [], []
-        for t in texts:
-            toks = t.split()
-            n = len(toks)
-            u = len(set(toks))
-            nt.append(n)
-            nu.append(u)
-            ttr.append(math.floor(1000.0 * u / n) if n else 0)
-            s = sum(1 for w in toks if w in EN_STOPWORDS)
-            sw.append(math.floor(1000.0 * s / n) if n else 0)
-            total_len = sum(len(w) for w in toks)
-            mtl.append(math.floor(100.0 * total_len / n) if n else 0)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, dix, n = _flat_tokens(texts)
+        nd = len(texts)
+        codes = np.asarray(
+            pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        order = np.lexsort((codes, dix))
+        ds, cs = dix[order], codes[order]
+        first = np.ones(len(ds), dtype=bool)
+        if len(ds) > 1:
+            first[1:] = (ds[1:] != ds[:-1]) | (cs[1:] != cs[:-1])
+        nu = np.bincount(ds[first], minlength=nd).astype(np.int64)
+        sw_mask = np.asarray(
+            pc.is_in(flat, value_set=pa.array(sorted(EN_STOPWORDS))).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        sw = np.bincount(dix[sw_mask], minlength=nd).astype(np.int64)
+        tl = np.bincount(
+            dix,
+            weights=np.asarray(
+                pc.utf8_length(flat).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            ),
+            minlength=nd,
+        ).astype(np.int64)
+        nz = n > 0
+        ttr = np.zeros(nd, np.int64)
+        swx = np.zeros(nd, np.int64)
+        mtl = np.zeros(nd, np.int64)
+        ttr[nz] = np.floor(1000.0 * nu[nz] / n[nz]).astype(np.int64)
+        swx[nz] = np.floor(1000.0 * sw[nz] / n[nz]).astype(np.int64)
+        mtl[nz] = np.floor(100.0 * tl[nz] / n[nz]).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(nt, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
                 "n_unique_tokens": pa.array(nu, pa.int64()),
                 "ttr_x1000": pa.array(ttr, pa.int64()),
-                "stopword_x1000": pa.array(sw, pa.int64()),
+                "stopword_x1000": pa.array(swx, pa.int64()),
                 "mean_token_len_x100": pa.array(mtl, pa.int64()),
             }
         )
@@ -79,22 +137,33 @@ def lang_id(
 ) -> ray.data.Dataset:
     """(doc_id, pred_lang) — stopword-marker language heuristic: the
     language whose marker-word ratio is highest wins if >= min_ratio, else
-    'und'.  Ties broken by language code order (deterministic)."""
+    'und'.  Ties broken by language code order (deterministic).  Vectorized:
+    one ``pc.is_in`` + ``bincount`` per language over the flat token array."""
+    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch[text_col].to_pylist():
-            toks = t.split()
-            n = len(toks)
-            best, best_r = "und", min_ratio
-            if n:
-                for lang in sorted(STOPWORDS):
-                    r = sum(1 for w in toks if w in STOPWORDS[lang]) / n
-                    if r > best_r:
-                        best, best_r = lang, r
-            preds.append(best)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, dix, n = _flat_tokens(texts)
+        nd = len(texts)
+        best_r = np.full(nd, float(min_ratio))
+        best = np.full(nd, "und", dtype=object)
+        nz = n > 0
+        for lang in sorted(STOPWORDS):
+            m = np.asarray(
+                pc.is_in(
+                    flat, value_set=pa.array(sorted(STOPWORDS[lang]))
+                ).to_numpy(zero_copy_only=False)
+            )
+            cnt = np.bincount(dix[m], minlength=nd).astype(np.float64)
+            r = np.zeros(nd)
+            r[nz] = cnt[nz] / n[nz]
+            win = r > best_r
+            best[win] = lang
+            best_r[win] = r[win]
         return pa.table(
-            {"doc_id": batch["doc_id"], "pred_lang": pa.array(preds, pa.string())}
+            {"doc_id": batch["doc_id"], "pred_lang": pa.array(list(best), pa.string())}
         )
 
     return docs.map_batches(fn, batch_format="pyarrow")
