@@ -51,9 +51,14 @@ class IntertextConfig:
     # focal-doc filter (reference --only, intertext.py:439-445): keep only
     # candidates touching this doc id
     only_doc_id: int | None = None
-    # XML front-end knobs (reference S3/N10, intertext.py:1166-1177)
+    # XML front-end knobs (reference S3/N10, intertext.py:1166-1177,
+    # 1192-1237); when xml_page_tag is set, build per-doc window->page maps
+    # at ingestion (functions.text.window_page_map) and pass them to the
+    # export formatter for $PAGE_ID url substitution (N9)
     xml_base_tag: str | None = None
     xml_remove_tags: tuple[str, ...] = ()
+    xml_page_tag: str | None = None
+    xml_page_attr: str | None = None
 
     # --- Ray execution knobs (ours) ---
     minhash_batch_size: int = 4096     # windows per minhash batch

@@ -101,6 +101,75 @@ def extract_xml_text(
     return html.unescape(s)
 
 
+def window_page_map(
+    markup: str,
+    slide_length: int = 4,
+    xml_page_tag: str | None = None,
+    xml_page_attr: str | None = None,
+) -> dict[int, str] | None:
+    """Window-id -> page-id map for XML inputs (reference N10
+    ``get_window_map``, ``intertext/intertext.py:1192-1237``): the document
+    is split at ``<tag ``/``<tag/>`` boundaries (lowercased, string ops —
+    same as the reference), each page's id comes from ``xml_page_attr``,
+    else from text between the page tags, else the sequential page index;
+    window ids advance every ``slide_length`` words CONTINUOUSLY across
+    pages (per-page word index, reference quirk preserved: a window
+    straddling a break maps to the later page, content before the first
+    page tag is skipped).  Returns None when ``xml_page_tag`` is unset.
+
+    Tag stripping uses :func:`extract_xml_text`'s regex engine in place of
+    the reference's BeautifulSoup (bs4 absent here — documented S3
+    divergence)."""
+    if not xml_page_tag:
+        return None
+    tag = xml_page_tag.lower()
+    attr = xml_page_attr.lower() if xml_page_attr else None
+    f = markup.lower()
+    pagebreak = "\x00_$pb$_\x00"  # deterministic stand-in for the
+    # reference's random sentinel (never occurs in text)
+    f = f.replace(f"<{tag} ", pagebreak)
+    f = f.replace(f"<{tag}/>", pagebreak)
+    pages = f.split(pagebreak)
+    d: dict[int, str] = {}
+    window_id = 0
+    for page_index, page in enumerate(pages[1:]):
+        if attr:
+            head = page.split(">")[0]
+            parts = head.split(f"{attr}=")
+            page_id = parts[1].split(" ")[0] if len(parts) > 1 else ""
+            page_id = page_id.replace('"', "").replace("'", "").rstrip("/>")
+        elif f"</{tag}" in page:
+            page_id = page.split(f"</{tag}")[0]
+            if ">" in page_id:
+                page_id = page_id.split(">")[1]
+        else:
+            page_id = page_index
+        page_id = str(page_id).strip()
+        body = ">".join(page.split(">")[1:])
+        words = extract_xml_text(body).split()
+        for word_index in range(len(words)):
+            if word_index and (word_index % slide_length == 0):
+                window_id += 1
+            d[window_id] = page_id
+    return d
+
+
+def substitute_page_url(
+    url: str,
+    window_pages: dict[int, str] | None,
+    first_window: int | None,
+) -> str:
+    """Reference N9 ``get_url`` (``intertext/intertext.py:632-635``): when a
+    page map exists, ``$PAGE_ID`` in the metadata url is replaced with the
+    page of the cluster's first window; otherwise the url passes through."""
+    if window_pages is None:
+        return url
+    return url.replace(
+        "$PAGE_ID",
+        window_pages.get(int(first_window), "") if first_window is not None else "",
+    )
+
+
 def display_words(text: str) -> list[str]:
     """Display-variant word list (reference ``get_words(display=True)``,
     ``intertext/intertext.py:1146-1156``): newlines become ``<br/>`` suffixes

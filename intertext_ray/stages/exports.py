@@ -21,7 +21,7 @@ import ray
 import ray.data
 
 from intertext_ray.config import IntertextConfig
-from intertext_ray.functions.text import display_words
+from intertext_ray.functions.text import display_words, substitute_page_url
 
 
 def word_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -100,6 +100,7 @@ def format_clusters_ds(
     metadata: dict[int, dict] | None = None,
     counts: tuple[dict[str, int], int] | None = None,
     num_buckets: int = 64,
+    page_maps: dict[int, dict[int, str]] | None = None,
 ) -> ray.data.Dataset:
     """pair_clusters + doc texts -> formatted match rows as a DATASET
     (``format_matches`` fields, reference ``:577-629``, without ``_id``).
@@ -117,6 +118,9 @@ def format_clusters_ds(
     metadata = metadata or {}
     meta_ref = ray.put(metadata)
     counts_ref = ray.put(counts if counts else ({}, 0))
+    # N10: per-doc window->page maps (built by functions.text.window_page_map
+    # at ingestion for XML corpora); broadcast once, read per bucket task
+    pages_ref = ray.put(page_maps or {})
     nb = np.uint64(num_buckets)
     slide, wlen = cfg.slide_length, cfg.window_length
 
@@ -243,6 +247,7 @@ def format_clusters_ds(
         df = g.to_pandas()
         md = ray.get(meta_ref)
         cdict, ctotal = ray.get(counts_ref)
+        pmaps = ray.get(pages_ref)
         keys = ["src_doc", "tgt_doc", "ka", "kb", "sim"]
         a = df[df["side"] == 0]
         b = df[df["side"] == 1][keys + ["seg", "prematch", "match", "postmatch"]]
@@ -273,10 +278,16 @@ def format_clusters_ds(
                     ma.get("author", "Unknown"), mb.get("author", "Unknown"),
                     ma.get("title", str(da)), mb.get("title", str(db)),
                     str(ma.get("year", "")), str(mb.get("year", "")),
-                    # N9 (get_url, :632-635): plain url passthrough — the
-                    # $PAGE_ID substitution needs the XML page map (N10),
-                    # which has no analog for transcript rows
-                    ma.get("url", ""), mb.get("url", ""),
+                    # N9 (get_url, :632-635): $PAGE_ID -> page of the
+                    # cluster's first window via the N10 page map when one
+                    # exists for the doc (XML corpora); plain passthrough
+                    # otherwise (transcript rows)
+                    substitute_page_url(
+                        ma.get("url", ""), pmaps.get(da),
+                        list(d["seg_s"])[0] if len(d["seg_s"]) else None),
+                    substitute_page_url(
+                        mb.get("url", ""), pmaps.get(db),
+                        list(d["seg_t"])[0] if len(d["seg_t"]) else None),
                 )
             )
         if not rows:
@@ -348,13 +359,16 @@ def format_clusters(
     cfg: IntertextConfig,
     metadata: dict[int, dict] | None = None,
     counts: tuple[dict[str, int], int] | None = None,
+    page_maps: dict[int, dict[int, str]] | None = None,
 ) -> pd.DataFrame:
     """Driver-side finisher over :func:`format_clusters_ds`: deterministic
     total sort + ``_id`` row number (the reference's uuid4->int renumber
     collapses to that).  Only the final (small) formatted table and the
     sort indices live on the driver; all excerpt/join work is distributed.
     """
-    df = format_clusters_ds(pair_clusters, docs, cfg, metadata, counts).to_pandas()
+    df = format_clusters_ds(
+        pair_clusters, docs, cfg, metadata, counts, page_maps=page_maps
+    ).to_pandas()
     if df.empty:
         return pd.DataFrame(columns=["_id"] + _FORMATTED_COLUMNS)
     # deterministic TOTAL order: (source, target, segment-lists) is unique
