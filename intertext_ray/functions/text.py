@@ -15,11 +15,32 @@ import unicodedata
 import numpy as np
 
 
+# Latin characters unidecode transliterates but NFKD cannot decompose —
+# pinned to unidecode's published outputs so strip_diacritics matches it on
+# the full Latin range (remaining divergence: non-Latin scripts, which
+# unidecode transliterates and we pass through; documented)
+_UNIDECODE_EXTRAS = str.maketrans(
+    {
+        "ß": "ss", "ẞ": "SS",
+        "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+        "ø": "o", "Ø": "O", "đ": "d", "Đ": "D",
+        "ð": "d", "Ð": "D", "þ": "th", "Þ": "Th",
+        "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+        "ŋ": "ng", "Ŋ": "NG", "ı": "i", "ĸ": "k",
+        "ſ": "s", "ť": "t", "ŧ": "t", "Ŧ": "T",
+    }
+)
+
+
 def strip_diacritics(text: str) -> str:
     """Diacritic folding (reference uses ``unidecode``,
     ``intertext/intertext.py:1143-1144``; unidecode is not in this
-    environment, so we pin NFKD + combining-mark strip — a documented
-    divergence that only matters when ``strip_diacritics=True``)."""
+    environment, so we pin an explicit table for the non-decomposable Latin
+    characters — matching unidecode's outputs — followed by NFKD +
+    combining-mark strip.  Remaining divergence: non-Latin scripts pass
+    through instead of transliterating; only matters when
+    ``strip_diacritics=True`` on such corpora)."""
+    text = text.translate(_UNIDECODE_EXTRAS)
     return "".join(
         c for c in unicodedata.normalize("NFKD", text) if not unicodedata.combining(c)
     )

@@ -66,3 +66,20 @@ def test_verify_pair_semantics():
     # int cast, not round (reference int(sim))
     s = string_sim("abcd", "abce")
     assert verify_pair("abcd", "abce", 50, 14) == int(s)
+
+
+def test_strip_diacritics_unidecode_parity():
+    """The explicit table matches unidecode's published outputs for the
+    non-decomposable Latin range (reference intertext.py:1143-1144)."""
+    from intertext_ray.functions.text import strip_diacritics as sd
+
+    for src, want in {
+        "Straße": "Strasse",
+        "cœur": "coeur",
+        "Ærø": "AEro",
+        "país café": "pais cafe",
+        "Łódź": "Lodz",
+        "þorn": "thorn",
+        "ðe": "de",
+    }.items():
+        assert sd(src) == want
