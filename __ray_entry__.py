@@ -35,6 +35,12 @@ _TOKS = (
     "FROM documents WHERE trim(text) <> ''"
 )
 
+# ops.text_stats.BPE_TOKEN_PATTERN with the leading apostrophe doubled for a
+# SQL string literal (both sides evaluate it in RE2)
+_BPE_SQL_PATTERN = (
+    "''(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+)
+
 
 def _docs(sf_dir: str):
     from intertext_ray.sources.clips import read_documents
@@ -118,6 +124,12 @@ def _q_token_counts(sf_dir: str):
     from intertext_ray.ops.text_stats import token_counts
 
     return token_counts(_docs(sf_dir))
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    from intertext_ray.ops.text_stats import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir))
 
 
 def _q_quality(sf_dir: str):
@@ -410,6 +422,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "window_counts": _q_window_counts,
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
         "quality_scores": _q_quality,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
@@ -596,6 +609,14 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_tokens
             FROM documents
         """,
+        "bpe_token_counts": (
+            # same RE2 pattern, same engine family as the pyarrow kernel
+            # (intertext_ray.ops.text_stats.BPE_TOKEN_PATTERN); the leading
+            # apostrophe in the pattern is SQL-escaped as ''
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'" + _BPE_SQL_PATTERN + "'"
+            ")) AS n_bpe_tokens FROM documents"
+        ),
         "quality_scores": f"""
             WITH toks AS ({_TOKS})
             SELECT doc_id,

@@ -169,6 +169,34 @@ def lang_id(
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+# GPT-2-style pretokenizer pattern, lookahead-free so the SAME RE2 engine
+# evaluates it in pyarrow (count_substring_regex) and DuckDB
+# (regexp_extract_all) — the oracle twin is count-exact by construction
+BPE_TOKEN_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_counts(
+    docs: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """(doc_id, n_bpe_tokens) — BPE-ish pretokenization count (contractions,
+    letter runs, digit runs, punctuation runs, whitespace runs), one
+    vectorized RE2 scan per batch.  A byte-pair merge step would only lower
+    counts further; this is the standard pretokenizer granularity used for
+    budget estimates."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[text_col], BPE_TOKEN_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def content_fingerprints(
     docs: ray.data.Dataset, text_col: str = "text"
 ) -> ray.data.Dataset:

@@ -239,3 +239,23 @@ def test_exports_roundtrip(ray_session, tmp_path):
     cfgj = json.load(open(f"{out}/config.json"))
     assert cfgj["files_with_matches"] == [0, 1]
     assert json.load(open(f"{out}/texts/2.json"))[0] == "x"
+
+
+def test_bpe_token_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.text_stats import bpe_token_counts
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["Hello world", "it's 2024, don't stop!", ""]),
+            }
+        )
+    )
+    out = bpe_token_counts(docs).to_pandas().sort_values("doc_id")
+    # "Hello world" -> [Hello][ world]; the contraction splits as
+    # [it]['s][ 2024][,][ don][']+[t]... counted by the same RE2 scan
+    assert list(out.n_bpe_tokens) == [2, 8, 0]
