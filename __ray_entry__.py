@@ -197,6 +197,43 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_cells=16, nprobe=6)
 
 
+def _q_windowed_events(sf_dir: str):
+    import ray.data
+
+    from intertext_ray.ops.events import windowed_event_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return windowed_event_stats(ev, window_hours=1)
+
+
+def _q_sessions(sf_dir: str):
+    import ray.data
+
+    from intertext_ray.ops.events import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return sessionize(ev, gap_minutes=30).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+
+
+def _q_asof(sf_dir: str):
+    import ray.data
+
+    from intertext_ray.ops.events import asof_join_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return asof_join_events(ev, left_type="click", right_type="view")
+
+
 def _q_simhash(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -423,6 +460,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_token_counts,
+        "windowed_event_stats": _q_windowed_events,
+        "event_sessions": _q_sessions,
+        "asof_click_view": _q_asof,
         "quality_scores": _q_quality,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
@@ -608,6 +648,58 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        "windowed_event_stats": """
+            -- tumbling 1h window; integer cents via the same IEEE
+            -- floor(x*100 + 0.5) the engine computes
+            SELECT user_id,
+                   epoch_us(date_trunc('hour', ts)) AS window_start_us,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "event_sessions": """
+            -- gaps-and-islands sessionization, 30-min gap
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), marked AS (
+                SELECT *,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                                 OR ts_us - lag(ts_us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id)
+            ), sess AS (
+                SELECT *,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id
+                                           ROWS UNBOUNDED PRECEDING) - 1
+                           AS session_idx
+                FROM marked
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts_us) AS first_ts_us, max(ts_us) AS last_ts_us,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "asof_click_view": """
+            -- each click matched to the latest view at-or-before it; the
+            -- right side is pre-deduped to max(event_id) per (user, ts) so
+            -- the tie-break is deterministic on both engines
+            WITH r AS (
+                SELECT user_id, ts, max(event_id) AS event_id
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                   coalesce(r.event_id, -1) AS matched_event_id,
+                   coalesce(epoch_us(r.ts), -1) AS matched_ts_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "bpe_token_counts": (
             # same RE2 pattern, same engine family as the pyarrow kernel

@@ -1,0 +1,237 @@
+"""Event-stream operators over the ``events`` table (ts-ordered telemetry):
+tumbling-window aggregates, gap-based sessionization, and an as-of join —
+the three "operators Ray Data lacks" expressed as compositions of
+``map_batches`` (partial aggregation / vectorized kernels) + one bucketed
+``groupby`` each, per the engine-wide pattern.
+
+Scale posture:
+
+- ``windowed_event_stats`` pre-aggregates INSIDE each batch (combiner)
+  before the global groupby, so the shuffle carries one row per
+  (user, window) per batch — not per event.
+- ``sessionize`` / ``asof_join_events`` co-locate each user's events with a
+  hash bucket shuffle, then run one vectorized lexsort + boundary scan per
+  bucket — no per-user ``map_groups``, no Python loop over rows.  The
+  partitioning assumption: one USER's events fit a worker heap (same
+  contract as any keyed window operator); hot users would need a
+  user+day compound key.
+
+Values are integer cents (``round(value*100)``) so sums are exact integers
+— the DuckDB twins in ``__ray_entry__.oracle_sql`` hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from intertext_ray.functions.hashing import splitmix64
+
+_US_PER_HOUR = np.int64(3_600_000_000)
+
+
+def _ts_us(batch: pa.Table, col: str = "ts") -> np.ndarray:
+    """timestamp[us] column -> int64 epoch microseconds."""
+    import pyarrow.compute as pc
+
+    return pc.cast(batch[col], pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _cents(batch: pa.Table, col: str = "value") -> np.ndarray:
+    # floor(x*100 + 0.5), NOT np.round (banker's) — floor+0.5 is the same
+    # IEEE expression DuckDB's twin uses, so sums hash-match exactly
+    v = batch[col].to_numpy(zero_copy_only=False)
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def windowed_event_stats(
+    events: ray.data.Dataset, window_hours: int = 1
+) -> ray.data.Dataset:
+    """Tumbling-window aggregate: per (user_id, window_start) -> event count
+    and exact integer-cents sum.  Partial aggregation inside every batch,
+    then ONE small groupby over the partials (keys ≪ events)."""
+    from ray.data.aggregate import Sum
+
+    w_us = np.int64(window_hours) * _US_PER_HOUR
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(batch)
+        win = (ts // w_us) * w_us
+        order = np.lexsort((win, users))
+        u, w, c = users[order], win[order], cents[order]
+        first = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            first[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        seg = np.cumsum(first) - 1
+        n = np.bincount(seg)
+        s = np.bincount(seg, weights=c.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[first], pa.int64()),
+                "window_start_us": pa.array(w[first], pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_start_us"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+
+def _add_user_bucket(num_buckets: int):
+    nb = np.uint64(num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((splitmix64(u) % nb).astype(np.int64))
+        )
+
+    return add_bucket
+
+
+def sessionize(
+    events: ray.data.Dataset,
+    gap_minutes: int = 30,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Session windows: a user's events belong to one session until a gap
+    > ``gap_minutes`` opens a new one.  Output one row per session:
+    (user_id, session_idx, n_events, first_ts_us, last_ts_us, sum_cents);
+    ``session_idx`` counts that user's sessions in time order from 0.
+
+    One hash-bucket shuffle on user_id, then a single vectorized
+    (user, ts, event_id) lexsort + boundary cumsum per bucket — the classic
+    gaps-and-islands computation with no per-user Python."""
+    gap_us = np.int64(gap_minutes) * np.int64(60_000_000)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        ts = _ts_us(g)
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(g)
+        order = np.lexsort((eid, ts, users))
+        u, t, c = users[order], ts[order], cents[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "first_ts_us": pa.array([], pa.int64()),
+                    "last_ts_us": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            same_user = u[1:] == u[:-1]
+            new_sess[1:] = ~same_user | ((t[1:] - t[:-1]) > gap_us)
+        sid = np.cumsum(new_sess) - 1  # global segment id within bucket
+        n_ev = np.bincount(sid)
+        first_ts = t[new_sess]
+        # last ts of each segment = value before each next boundary
+        seg_ends = np.concatenate([np.nonzero(new_sess)[0][1:] - 1, [n - 1]])
+        last_ts = t[seg_ends]
+        s_cents = np.bincount(sid, weights=c.astype(np.float64)).astype(np.int64)
+        sess_user = u[new_sess]
+        # per-user session index in time order (sessions are emitted in
+        # (user, time) order by construction)
+        first_of_user = np.ones(len(sess_user), dtype=bool)
+        if len(sess_user) > 1:
+            first_of_user[1:] = sess_user[1:] != sess_user[:-1]
+        run = np.arange(len(sess_user))
+        run_start = np.maximum.accumulate(np.where(first_of_user, run, 0))
+        sess_idx = run - run_start
+        return pa.table(
+            {
+                "user_id": pa.array(sess_user.astype(np.int64), pa.int64()),
+                "session_idx": pa.array(sess_idx, pa.int64()),
+                "n_events": pa.array(n_ev, pa.int64()),
+                "first_ts_us": pa.array(first_ts, pa.int64()),
+                "last_ts_us": pa.array(last_ts, pa.int64()),
+                "sum_cents": pa.array(s_cents, pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(_add_user_bucket(num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def asof_join_events(
+    events: ray.data.Dataset,
+    left_type: str = "click",
+    right_type: str = "view",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """As-of join within the event stream: each ``left_type`` event is
+    matched to the LATEST ``right_type`` event of the same user at or
+    before its timestamp (ties: the largest event_id — deterministic).
+    Output (event_id, user_id, ts_us, matched_event_id, matched_ts_us);
+    unmatched left rows get -1.
+
+    Same bucket co-location as :func:`sessionize`; the per-bucket kernel is
+    one lexsort + ``np.searchsorted`` per user segment boundary — no
+    row-wise Python.  DuckDB twin: ``ASOF JOIN``."""
+    import pyarrow.compute as pc
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        types = g["event_type"]
+        lmask = pc.equal(types, pa.scalar(left_type)).to_numpy(zero_copy_only=False)
+        rmask = pc.equal(types, pa.scalar(right_type)).to_numpy(zero_copy_only=False)
+        ts = _ts_us(g)
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+
+        lt, lu, le = ts[lmask], users[lmask], eid[lmask]
+        rt, ru, re_ = ts[rmask], users[rmask], eid[rmask]
+        nl, nr = len(lt), len(rt)
+        # vectorized merge: one stream sorted by (user, ts, side, event_id)
+        # with right rows BEFORE left rows at equal ts (ties qualify), then
+        # a forward-fill of the last right position, reset at user runs
+        side = np.concatenate([np.zeros(nr, np.int8), np.ones(nl, np.int8)])
+        u_all = np.concatenate([ru, lu])
+        t_all = np.concatenate([rt, lt])
+        e_all = np.concatenate([re_, le])
+        order = np.lexsort((e_all, side, t_all, u_all))
+        u_s, t_s, e_s, sd = u_all[order], t_all[order], e_all[order], side[order]
+        n = nl + nr
+        pos = np.arange(n, dtype=np.int64)
+        last_r = np.maximum.accumulate(np.where(sd == 0, pos, -1))
+        ustart = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            ustart[1:] = np.where(u_s[1:] != u_s[:-1], pos[1:], 0)
+        ustart = np.maximum.accumulate(ustart)
+        valid = (last_r >= ustart) & (last_r >= 0)
+        is_l = sd == 1
+        m = np.where(valid[is_l], e_s[np.clip(last_r[is_l], 0, None)], -1)
+        mt = np.where(valid[is_l], t_s[np.clip(last_r[is_l], 0, None)], -1)
+        out = pa.table(
+            {
+                "event_id": pa.array(e_s[is_l].astype(np.int64), pa.int64()),
+                "user_id": pa.array(u_s[is_l].astype(np.int64), pa.int64()),
+                "ts_us": pa.array(t_s[is_l], pa.int64()),
+                "matched_event_id": pa.array(m.astype(np.int64), pa.int64()),
+                "matched_ts_us": pa.array(mt.astype(np.int64), pa.int64()),
+            }
+        )
+        return out
+
+    return (
+        events.map_batches(_add_user_bucket(num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

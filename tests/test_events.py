@@ -1,0 +1,122 @@
+"""Event-stream operators: tumbling windows, sessionization, as-of join
+(semantics pinned on tiny hand-checked streams; sf-scale parity vs the
+DuckDB twins is the driver's contract check)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+US = 1_000_000
+HOUR = 3600 * US
+
+
+def _events(rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)"""
+    eid, ts, uid, et, val = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "ts": pa.array(list(ts), pa.timestamp("us")),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(et, pa.string()),
+                "value": pa.array(val, pa.float64()),
+            }
+        )
+    )
+
+
+def test_windowed_event_stats(ray_session):
+    from intertext_ray.ops.events import windowed_event_stats
+
+    ev = _events(
+        [
+            (0, 10 * US, 1, "view", 1.00),
+            (1, 20 * US, 1, "view", 2.50),
+            (2, HOUR + 5 * US, 1, "view", 4.00),
+            (3, 30 * US, 2, "click", 0.10),
+        ]
+    )
+    out = (
+        windowed_event_stats(ev, window_hours=1)
+        .to_pandas()
+        .sort_values(["user_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [
+        [1, 0, 2, 350],
+        [1, HOUR, 1, 400],
+        [2, 0, 1, 10],
+    ]
+
+
+def test_sessionize_gap_boundaries(ray_session):
+    from intertext_ray.ops.events import sessionize
+
+    gap = 30 * 60 * US
+    ev = _events(
+        [
+            (0, 0, 1, "view", 1.0),
+            (1, gap, 1, "view", 1.0),        # exactly the gap: SAME session
+            (2, 2 * gap + 1, 1, "view", 1.0),  # gap+1 later: new session
+            (3, 5, 2, "view", 2.0),
+        ]
+    )
+    out = (
+        sessionize(ev, gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out.user_id == 1]
+    assert list(u1.session_idx) == [0, 1]
+    assert list(u1.n_events) == [2, 1]
+    assert list(u1.first_ts_us) == [0, 2 * gap + 1]
+    assert list(u1.last_ts_us) == [gap, 2 * gap + 1]
+    assert list(out[out.user_id == 2].n_events) == [1]
+
+
+def test_asof_join_ties_and_unmatched(ray_session):
+    from intertext_ray.ops.events import asof_join_events
+
+    ev = _events(
+        [
+            (0, 100, 1, "view", 0.0),
+            (1, 100, 1, "view", 0.0),   # same ts: max event_id wins
+            (2, 100, 1, "click", 0.0),  # tie at-or-before -> event 1
+            (3, 50, 1, "click", 0.0),   # before any view -> unmatched
+            (4, 500, 2, "click", 0.0),  # other user, no views -> unmatched
+            (5, 200, 1, "view", 0.0),
+            (6, 300, 1, "click", 0.0),  # latest view at 200 -> event 5
+        ]
+    )
+    out = (
+        asof_join_events(ev, left_type="click", right_type="view")
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert out.loc[2, "matched_event_id"] == 1
+    assert out.loc[3, "matched_event_id"] == -1
+    assert out.loc[4, "matched_event_id"] == -1
+    assert out.loc[6, "matched_event_id"] == 5
+    assert out.loc[6, "matched_ts_us"] == 200
+
+
+def test_windowed_partial_aggregation_invariance(ray_session):
+    """Result is independent of batch/block layout (the partial-aggregate
+    combiner is exact)."""
+    from intertext_ray.ops.events import windowed_event_stats
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, int(rng.integers(0, 5 * HOUR)), int(rng.integers(1, 9)), "view",
+         float(rng.integers(0, 10000)) / 100.0)
+        for i in range(400)
+    ]
+    a = windowed_event_stats(_events(rows)).to_pandas()
+    b = windowed_event_stats(_events(rows).repartition(13)).to_pandas()
+    key = ["user_id", "window_start_us"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
