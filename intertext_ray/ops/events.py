@@ -92,6 +92,10 @@ def _add_user_bucket(num_buckets: int):
 
     def add_bucket(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # drop parquet/pandas schema metadata: the shuffle's reduce stage
+        # hashes schemas for dedup and a metadata dict breaks that (warning
+        # noise), and the metadata is dead weight in the exchange
+        t = t.replace_schema_metadata(None)
         return t.append_column(
             "bucket", pa.array((splitmix64(u) % nb).astype(np.int64))
         )
