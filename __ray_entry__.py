@@ -674,10 +674,12 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY ts_us, event_id)
             ), sess AS (
                 SELECT *,
-                       SUM(new_sess) OVER (PARTITION BY user_id
-                                           ORDER BY ts_us, event_id
-                                           ROWS UNBOUNDED PRECEDING) - 1
-                           AS session_idx
+                       -- CAST: windowed SUM is HUGEINT in DuckDB, which
+                       -- round-trips to pandas as object dtype
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                                ORDER BY ts_us, event_id
+                                                ROWS UNBOUNDED PRECEDING) - 1
+                            AS BIGINT) AS session_idx
                 FROM marked
             )
             SELECT user_id, session_idx, count(*) AS n_events,
