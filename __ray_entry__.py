@@ -234,6 +234,27 @@ def _q_asof(sf_dir: str):
     return asof_join_events(ev, left_type="click", right_type="view")
 
 
+def _q_event_session_assignment(sf_dir: str):
+    """Range join: every event tagged with the containing session of its
+    user (intervals = sessionize output; non-overlapping by construction)."""
+    import ray.data
+
+    from intertext_ray.ops.events import range_join_events, sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    sessions = sessionize(ev, gap_minutes=30).map_batches(
+        lambda b: b.rename_columns(
+            ["user_id", "interval_id", "n_events", "start_us", "end_us",
+             "sum_cents"]
+        ).select(["user_id", "interval_id", "start_us", "end_us"]),
+        batch_format="pyarrow",
+    )
+    return range_join_events(ev, sessions)
+
+
 def _q_simhash(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -463,6 +484,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "windowed_event_stats": _q_windowed_events,
         "event_sessions": _q_sessions,
         "asof_click_view": _q_asof,
+        "event_session_assignment": _q_event_session_assignment,
         "quality_scores": _q_quality,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
@@ -686,6 +708,37 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_us) AS first_ts_us, max(ts_us) AS last_ts_us,
                    CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM sess GROUP BY user_id, session_idx
+        """,
+        "event_session_assignment": """
+            -- range join: ts BETWEEN the session's first/last (sessions
+            -- re-derived by the same gaps-and-islands CTE)
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                FROM events
+            ), marked AS (
+                SELECT *,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                                 OR ts_us - lag(ts_us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id)
+            ), sess AS (
+                SELECT *,
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                                ORDER BY ts_us, event_id
+                                                ROWS UNBOUNDED PRECEDING) - 1
+                            AS BIGINT) AS session_idx
+                FROM marked
+            ), agg AS (
+                SELECT user_id, session_idx,
+                       min(ts_us) AS f, max(ts_us) AS l
+                FROM sess GROUP BY user_id, session_idx
+            )
+            SELECT ev.event_id, ev.user_id, epoch_us(ev.ts) AS ts_us,
+                   coalesce(a.session_idx, -1) AS interval_id
+            FROM events ev LEFT JOIN agg a
+              ON ev.user_id = a.user_id
+             AND epoch_us(ev.ts) BETWEEN a.f AND a.l
         """,
         "asof_click_view": """
             -- each click matched to the latest view at-or-before it; the

@@ -239,3 +239,93 @@ def asof_join_events(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def range_join_events(
+    events: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Range (interval) join: each event is matched to the interval of the
+    same ``user_id`` whose ``[start_us, end_us]`` contains its timestamp.
+    ``intervals``: Dataset(user_id, interval_id, start_us, end_us) with
+    non-overlapping intervals per user (the semantics contract — e.g. the
+    output of :func:`sessionize`).  Output one row per event:
+    (event_id, user_id, ts_us, interval_id) with -1 for no containing
+    interval.
+
+    Same user-hash co-location as the other keyed window ops; the kernel
+    unions interval-start rows with event rows, sorts once by
+    (user, ts, side) and forward-fills the active interval — O(n log n)
+    per bucket, no per-row Python."""
+    import pyarrow.compute as pc
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ts = _ts_us(t)
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "eid": pc.cast(t["event_id"], pa.int64()),
+                "iid": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
+                "end_us": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
+                "side": pa.array(np.ones(len(t), np.int8), pa.int8()),
+            }
+        )
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_us": pc.cast(t["start_us"], pa.int64()),
+                "eid": pa.array(np.full(len(t), -1, np.int64), pa.int64()),
+                "iid": pc.cast(t["interval_id"], pa.int64()),
+                "end_us": pc.cast(t["end_us"], pa.int64()),
+                "side": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        iid = g["iid"].to_numpy(zero_copy_only=False)
+        end = g["end_us"].to_numpy(zero_copy_only=False)
+        sd = g["side"].to_numpy(zero_copy_only=False)
+        # interval-start rows before events at equal ts (containment is
+        # inclusive on both ends)
+        order = np.lexsort((sd, ts, u))
+        u, ts, eid, iid, end, sd = (
+            u[order], ts[order], eid[order], iid[order], end[order], sd[order]
+        )
+        n = len(u)
+        pos = np.arange(n, dtype=np.int64)
+        last_iv = np.maximum.accumulate(np.where(sd == 0, pos, -1))
+        ustart = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            ustart[1:] = np.where(u[1:] != u[:-1], pos[1:], 0)
+        ustart = np.maximum.accumulate(ustart)
+        ok = (last_iv >= ustart) & (last_iv >= 0)
+        is_ev = sd == 1
+        src = np.clip(last_iv[is_ev], 0, None)
+        inside = ok[is_ev] & (ts[is_ev] <= end[src])
+        out_iid = np.where(inside, iid[src], -1)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[is_ev], pa.int64()),
+                "user_id": pa.array(u[is_ev], pa.int64()),
+                "ts_us": pa.array(ts[is_ev], pa.int64()),
+                "interval_id": pa.array(out_iid.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tagged = events.map_batches(tag_events, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow")
+    )
+    return (
+        tagged.map_batches(_add_user_bucket(num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

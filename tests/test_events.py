@@ -120,3 +120,36 @@ def test_windowed_partial_aggregation_invariance(ray_session):
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_range_join_boundaries_and_unmatched(ray_session):
+    from intertext_ray.ops.events import range_join_events
+
+    ev = _events(
+        [
+            (0, 100, 1, "view", 0.0),   # inside interval 7 (inclusive start)
+            (1, 200, 1, "view", 0.0),   # inclusive end
+            (2, 201, 1, "view", 0.0),   # past the end -> unmatched
+            (3, 99, 1, "view", 0.0),    # before the start -> unmatched
+            (4, 150, 2, "view", 0.0),   # user without intervals -> unmatched
+            (5, 300, 1, "view", 0.0),   # inside interval 8
+        ]
+    )
+    iv = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1], pa.int64()),
+                "interval_id": pa.array([7, 8], pa.int64()),
+                "start_us": pa.array([100, 250], pa.int64()),
+                "end_us": pa.array([200, 400], pa.int64()),
+            }
+        )
+    )
+    out = range_join_events(ev, iv).to_pandas().set_index("event_id")
+    assert out.loc[0, "interval_id"] == 7
+    assert out.loc[1, "interval_id"] == 7
+    assert out.loc[2, "interval_id"] == -1
+    assert out.loc[3, "interval_id"] == -1
+    assert out.loc[4, "interval_id"] == -1
+    assert out.loc[5, "interval_id"] == 8
+    assert len(out) == 6
