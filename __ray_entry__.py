@@ -234,6 +234,17 @@ def _q_asof(sf_dir: str):
     return asof_join_events(ev, left_type="click", right_type="view")
 
 
+def _q_sliding_events(sf_dir: str):
+    import ray.data
+
+    from intertext_ray.ops.events import sliding_event_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return sliding_event_stats(ev, window_hours=2, slide_hours=1)
+
+
 def _q_event_session_assignment(sf_dir: str):
     """Range join: every event tagged with the containing session of its
     user (intervals = sessionize output; non-overlapping by construction)."""
@@ -485,6 +496,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": _q_sessions,
         "asof_click_view": _q_asof,
         "event_session_assignment": _q_event_session_assignment,
+        "sliding_event_stats": _q_sliding_events,
         "quality_scores": _q_quality,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
@@ -708,6 +720,23 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_us) AS first_ts_us, max(ts_us) AS last_ts_us,
                    CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM sess GROUP BY user_id, session_idx
+        """,
+        "sliding_event_stats": """
+            -- 2h windows sliding every 1h: each event covers 2 window
+            -- starts, enumerated with generate_series (integer us grid)
+            SELECT user_id, ws AS window_start_us,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM (
+                SELECT user_id,
+                       CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+                       unnest(generate_series(
+                           (epoch_us(ts) // 3600000000) * 3600000000
+                               - 3600000000,
+                           (epoch_us(ts) // 3600000000) * 3600000000,
+                           3600000000)) AS ws
+                FROM events
+            ) GROUP BY user_id, ws
         """,
         "event_session_assignment": """
             -- range join: ts BETWEEN the session's first/last (sessions

@@ -329,3 +329,58 @@ def range_join_events(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def sliding_event_stats(
+    events: ray.data.Dataset,
+    window_hours: int = 2,
+    slide_hours: int = 1,
+) -> ray.data.Dataset:
+    """Sliding-window aggregate: windows of ``window_hours`` starting every
+    ``slide_hours`` (window must be a multiple of slide); each event lands
+    in window/slide consecutive windows.  Same combiner shape as
+    :func:`windowed_event_stats` — the replication factor rides INSIDE the
+    batch-local partial aggregation, so the shuffle still carries one row
+    per (user, window) per batch."""
+    from ray.data.aggregate import Sum
+
+    if window_hours % slide_hours:
+        raise ValueError("window_hours must be a multiple of slide_hours")
+    nw = window_hours // slide_hours
+    s_us = np.int64(slide_hours) * _US_PER_HOUR
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(batch)
+        base = (ts // s_us) * s_us
+        # event at t covers window starts base, base-s, ..., base-(nw-1)s
+        offs = (np.arange(nw, dtype=np.int64) * s_us)[:, None]
+        win = (base[None, :] - offs).reshape(-1)
+        u = np.tile(users, nw)
+        c = np.tile(cents, nw)
+        order = np.lexsort((win, u))
+        u, w, c = u[order], win[order], c[order]
+        first = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            first[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        seg = np.cumsum(first) - 1
+        n = np.bincount(seg)
+        s = np.bincount(seg, weights=c.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[first].astype(np.int64), pa.int64()),
+                "window_start_us": pa.array(w[first], pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_start_us"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )

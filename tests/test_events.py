@@ -153,3 +153,21 @@ def test_range_join_boundaries_and_unmatched(ray_session):
     assert out.loc[4, "interval_id"] == -1
     assert out.loc[5, "interval_id"] == 8
     assert len(out) == 6
+
+
+def test_sliding_window_covers_two_windows(ray_session):
+    from intertext_ray.ops.events import sliding_event_stats
+
+    ev = _events([(0, HOUR + 10 * US, 1, "view", 1.00)])
+    out = (
+        sliding_event_stats(ev, window_hours=2, slide_hours=1)
+        .to_pandas()
+        .sort_values("window_start_us")
+        .reset_index(drop=True)
+    )
+    # one event at 1h+10s covers windows starting at 0h and 1h
+    assert out.values.tolist() == [[1, 0, 1, 100], [1, HOUR, 1, 100]]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_event_stats(ev, window_hours=3, slide_hours=2)
