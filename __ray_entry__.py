@@ -245,6 +245,28 @@ def _q_sliding_events(sf_dir: str):
     return sliding_event_stats(ev, window_hours=2, slide_hours=1)
 
 
+def _q_containment(sf_dir: str):
+    """Containment search: docs sharing rolling k-gram fingerprints with a
+    query passage (= the full text of doc 1, so doc 1 and any doc sharing
+    its 4-grams must surface; k=4 / keep_mod=4 for a denser sketch on the
+    tiny-vocab testdata)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from intertext_ray.ops.text_stats import containment_search
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    row = t.filter(pc.equal(t["doc_id"], pa_scalar_i64(1)))
+    passage = " ".join(row["text"].to_pylist()[0].split())
+    return containment_search(_docs(sf_dir), passage, k=4, keep_mod=4)
+
+
+def pa_scalar_i64(v: int):
+    import pyarrow as pa
+
+    return pa.scalar(v, pa.int64())
+
+
 def _q_event_session_assignment(sf_dir: str):
     """Range join: every event tagged with the containing session of its
     user (intervals = sessionize output; non-overlapping by construction)."""
@@ -497,6 +519,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_view": _q_asof,
         "event_session_assignment": _q_event_session_assignment,
         "sliding_event_stats": _q_sliding_events,
+        "containment_search": _q_containment,
         "quality_scores": _q_quality,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
@@ -880,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.f, b.f)) <= 8
         """,
         "rolling_fingerprints": _rolling_fp_sql(),
+        "containment_search": _containment_sql(k=4, keep_mod=4, qdoc=1),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qe
@@ -1107,6 +1131,48 @@ def _scatterplots_sql() -> str:
         JOIN f1 ON f1.side = g.side AND f1.unit = g.unit AND f1.key = g.key
         CROSS JOIN (VALUES ('sum'), ('mean')) s(statistic)
     """
+
+
+def _containment_sql(k: int = 8, keep_mod: int = 16, qdoc: int = 0) -> str:
+    """Twin of ``ops.text_stats.containment_search`` with the passage =
+    the full text of doc ``qdoc`` (rebuilt from the table itself)."""
+    from intertext_ray.ops.text_stats import rolling_gram_weights
+
+    weights = ", ".join(
+        f"({j}, {int(p)})" for j, p in enumerate(rolling_gram_weights(k))
+    )
+    return f"""
+        WITH RECURSIVE
+        d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+          FROM documents WHERE trim(text) <> ''
+        ),
+        nn AS (SELECT doc_id, arr, len(arr) AS nt FROM d WHERE len(arr) >= {k}),
+        tok AS (
+          SELECT doc_id, i, arr[CAST(i AS BIGINT)] AS w
+          FROM nn, unnest(generate_series(1, nt)) u(i)
+        ),
+        toks AS (SELECT doc_id, w FROM tok),
+        {{chain}},
+        tokh AS (SELECT tok.doc_id, tok.i, th.h FROM tok JOIN th USING (w)),
+        pw(j, p) AS (VALUES {weights}),
+        terms AS (
+          SELECT a.doc_id, a.i,
+                 sum(CAST(b.h AS HUGEINT) * pw.p) AS s
+          FROM tokh a CROSS JOIN pw
+          JOIN tokh b ON b.doc_id = a.doc_id AND b.i = a.i + pw.j
+          GROUP BY a.doc_id, a.i
+          HAVING count(*) = {k}
+        ),
+        fpr AS (SELECT doc_id, i, {{fp}} AS f FROM terms),
+        fps AS (SELECT DISTINCT doc_id, f FROM fpr WHERE f % {keep_mod} = 0),
+        qfp AS (
+          SELECT DISTINCT f FROM fpr
+          WHERE doc_id = {qdoc} AND f % {keep_mod} = 0
+        )
+        SELECT CAST(x.doc_id AS BIGINT) AS doc_id, count(*) AS n_shared
+        FROM fps x JOIN qfp USING (f) GROUP BY x.doc_id
+    """.format(chain=_SQL_TOKEN_CHAIN, fp=_sql_splitmix(_sql_mod64("s")))
 
 
 def _rolling_fp_sql(k: int = 8, keep_mod: int = 16) -> str:

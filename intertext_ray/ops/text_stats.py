@@ -243,6 +243,17 @@ def rolling_fingerprints(
     ``k`` shifted multiply-adds over the whole batch.  The identical value
     is SQL-expressible (``__ray_entry__.oracle_sql['rolling_fingerprints']``).
     """
+    def fn(batch: pa.Table) -> pa.Table:
+        return rolling_fp_batch(batch, text_col=text_col, k=k, keep_mod=keep_mod)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def rolling_fp_batch(
+    batch: pa.Table, text_col: str = "text", k: int = 8, keep_mod: int = 16
+) -> pa.Table:
+    """Batch kernel behind :func:`rolling_fingerprints` (module-level so
+    driver-side passage fingerprinting reuses the identical code path)."""
     import pyarrow.compute as pc
 
     from intertext_ray.functions.hashing import splitmix64
@@ -250,54 +261,126 @@ def rolling_fingerprints(
 
     P = rolling_gram_weights(k)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        n_docs = len(texts)
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "fp_hex": pa.array([], pa.string()),
-            }
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "fp_hex": pa.array([], pa.string()),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    counts = np.asarray(counts, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n_docs), counts)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    valid = np.asarray(lens, dtype=np.int64) > 0
+    th = _chain_hash_tokens(flat)[valid]
+    dix = doc_idx[valid]
+    n = len(th)
+    if n < k:
+        return empty
+    # polynomial over every flat position, then mask windows that span
+    # a document boundary
+    total = n - k + 1
+    acc = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        acc += th[j : j + total] * P[j]
+    in_doc = dix[:total] == dix[k - 1 :]
+    fp = splitmix64(acc[in_doc])
+    owner = dix[:total][in_doc]
+    keep = fp % np.uint64(keep_mod) == 0
+    fp, owner = fp[keep], owner[keep]
+    batch_docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                batch_docs[owner].astype(np.int64), pa.int64()
+            ),
+            "fp_hex": pa.array(
+                [f"{int(v):016x}" for v in fp], pa.string()
+            ),
+        }
+    )
+
+
+def containment_search(
+    docs: ray.data.Dataset,
+    passage: str,
+    text_col: str = "text",
+    k: int = 8,
+    keep_mod: int = 16,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Find documents CONTAINING (sharing k-gram fingerprints with) a query
+    passage: (doc_id, n_shared) where n_shared = distinct rolling
+    fingerprints of the passage also present in the doc.
+
+    Scale shape: the passage's fingerprint set is tiny (positions/keep_mod)
+    and broadcast once; the corpus side streams through the same
+    fingerprint kernel, keeps only colliding rows (typically a vanishing
+    fraction), and one small bucketed groupby counts distinct shared prints
+    per doc — the index side never materializes."""
+    import ray
+
+    from intertext_ray.functions.hashing import splitmix64
+
+    qt = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            text_col: pa.array([passage], pa.string()),
+        }
+    )
+    qfps = set(rolling_fp_batch(qt, text_col, k, keep_mod)["fp_hex"].to_pylist())
+    qref = ray.put(sorted(qfps))
+    nbu = np.uint64(num_buckets)
+
+    def match(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fps = rolling_fp_batch(batch, text_col, k, keep_mod)
+        if fps.num_rows == 0:
+            return fps.append_column("bucket", pa.array([], pa.int64()))
+        qs = ray.get(qref)
+        keep = pc.is_in(fps["fp_hex"], value_set=pa.array(qs, pa.string()))
+        fps = fps.filter(keep)
+        d = fps["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return fps.append_column(
+            "bucket", pa.array((splitmix64(d) % nbu).astype(np.int64))
         )
-        if n_docs == 0:
-            return empty
-        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        counts = np.asarray(counts, dtype=np.int64)
-        doc_idx = np.repeat(np.arange(n_docs), counts)
-        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        valid = np.asarray(lens, dtype=np.int64) > 0
-        th = _chain_hash_tokens(flat)[valid]
-        dix = doc_idx[valid]
-        n = len(th)
-        if n < k:
-            return empty
-        # polynomial over every flat position, then mask windows that span
-        # a document boundary
-        total = n - k + 1
-        acc = np.zeros(total, dtype=np.uint64)
-        for j in range(k):
-            acc += th[j : j + total] * P[j]
-        in_doc = dix[:total] == dix[k - 1 :]
-        fp = splitmix64(acc[in_doc])
-        owner = dix[:total][in_doc]
-        keep = fp % np.uint64(keep_mod) == 0
-        fp, owner = fp[keep], owner[keep]
-        batch_docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.asarray(
+            [int(x, 16) for x in g["fp_hex"].to_pylist()], dtype=np.uint64
+        )
+        order = np.lexsort((h, d))
+        ds_, hs = d[order], h[order]
+        first = np.ones(len(ds_), dtype=bool)
+        if len(ds_) > 1:
+            first[1:] = (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])
+        seg_doc = ds_[first]
+        doc_first = np.ones(len(seg_doc), dtype=bool)
+        if len(seg_doc) > 1:
+            doc_first[1:] = seg_doc[1:] != seg_doc[:-1]
+        seg_ids = np.cumsum(doc_first) - 1
+        n = np.bincount(seg_ids)
         return pa.table(
             {
-                "doc_id": pa.array(
-                    batch_docs[owner].astype(np.int64), pa.int64()
-                ),
-                "fp_hex": pa.array(
-                    [f"{int(v):016x}" for v in fp], pa.string()
-                ),
+                "doc_id": pa.array(seg_doc[doc_first].astype(np.int64), pa.int64()),
+                "n_shared": pa.array(n, pa.int64()),
             }
         )
 
-    return docs.map_batches(fn, batch_format="pyarrow")
+    return (
+        docs.map_batches(match, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_distinct, batch_format="pyarrow")
+    )

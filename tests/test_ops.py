@@ -259,3 +259,36 @@ def test_bpe_token_counts(ray_session):
     # "Hello world" -> [Hello][ world]; the contraction splits as
     # [it]['s][ 2024][,][ don][']+[t]... counted by the same RE2 scan
     assert list(out.n_bpe_tokens) == [2, 8, 0]
+
+
+def test_containment_search(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.text_stats import containment_search
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        base,  # contains the passage verbatim
+                        "prefix words here " + base + " suffix words",
+                        " ".join(f"other{i}" for i in range(60)),  # unrelated
+                    ]
+                ),
+            }
+        )
+    )
+    passage = " ".join(f"tok{i}" for i in range(20, 50))
+    out = (
+        containment_search(docs, passage, k=4, keep_mod=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert 1 in out.index and 2 in out.index
+    assert 3 not in out.index
+    # the verbatim container shares every passage fingerprint
+    assert out.loc[1, "n_shared"] == out.loc[2, "n_shared"]
