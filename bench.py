@@ -167,6 +167,37 @@ def run_bench() -> dict:
     simhash_near_dups(docs1k, max_hamming=8).count()
     queries["simhash_near_dups_1k"] = round(time.time() - t0, 3)
 
+    # ---- event-stream ops (windows / sessions / asof / range join) ----
+    from intertext_ray.ops.events import (
+        asof_join_events,
+        range_join_events,
+        sessionize,
+        windowed_event_stats,
+    )
+
+    t0 = time.time()
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet")
+    windowed_event_stats(ev).count()
+    sessions = sessionize(ev)
+    sess_iv = sessions.map_batches(
+        lambda b: b.rename_columns(
+            ["user_id", "interval_id", "n_events", "start_us", "end_us",
+             "sum_cents"]
+        ).select(["user_id", "interval_id", "start_us", "end_us"]),
+        batch_format="pyarrow",
+    )
+    range_join_events(ev, sess_iv).count()
+    asof_join_events(ev).count()
+    queries["event_ops"] = round(time.time() - t0, 3)
+
+    # ---- IVF ANN (scale path) ----
+    from intertext_ray.ops.embeddings import ann_topk_ivf
+
+    t0 = time.time()
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ann_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4, 5, 6, 7], k=10, n_cells=32, nprobe=8)
+    queries["ann_topk_ivf"] = round(time.time() - t0, 3)
+
     for k, v in sorted(queries.items()):
         print(f"# {k}: {v}", file=sys.stderr)
 
