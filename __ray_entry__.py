@@ -322,6 +322,26 @@ def _q_rolling_fp(sf_dir: str):
     return rolling_fingerprints(_docs(sf_dir))
 
 
+def _q_substring_pairs(sf_dir: str):
+    from intertext_ray.ops.substring import substring_dup_pairs
+
+    return substring_dup_pairs(_docs(sf_dir), k=8, num_buckets=32)
+
+
+def _q_duplicate_spans(sf_dir: str):
+    from intertext_ray.ops.substring import duplicate_spans
+
+    return duplicate_spans(_docs(sf_dir), k=8, num_buckets=32)
+
+
+def _q_suffix_spans(sf_dir: str):
+    """Suffix-array path (prefix doubling + banded LCP) at one bucket =
+    globally exact; shares the duplicate_spans islands oracle."""
+    from intertext_ray.ops.substring import suffix_repeat_spans
+
+    return suffix_repeat_spans(_docs(sf_dir), min_len=8, num_buckets=1)
+
+
 def _q_lsh_candidates(sf_dir: str):
     res = _dedup_run(sf_dir)
     return _i64(res.store.load("candidates"))
@@ -530,6 +550,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dups": _q_simhash_pairs,
         "rolling_fingerprints": _q_rolling_fp,
+        "substring_dup_pairs": _q_substring_pairs,
+        "duplicate_spans": _q_duplicate_spans,
+        "suffix_repeat_spans": _q_suffix_spans,
         "word_counts": _q_word_counts,
         "lsh_candidates": _q_lsh_candidates,
         "dedup_matches": _q_matches,
@@ -903,6 +926,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.f, b.f)) <= 8
         """,
         "rolling_fingerprints": _rolling_fp_sql(),
+        "substring_dup_pairs": _substring_pairs_sql(k=8),
+        "duplicate_spans": _dup_spans_sql(k=8),
+        "suffix_repeat_spans": _dup_spans_sql(k=8),
         "containment_search": _containment_sql(k=4, keep_mod=4, qdoc=1),
         "ann_topk": """
             WITH q AS (
@@ -1173,6 +1199,77 @@ def _containment_sql(k: int = 8, keep_mod: int = 16, qdoc: int = 0) -> str:
         SELECT CAST(x.doc_id AS BIGINT) AS doc_id, count(*) AS n_shared
         FROM fps x JOIN qfp USING (f) GROUP BY x.doc_id
     """.format(chain=_SQL_TOKEN_CHAIN, fp=_sql_splitmix(_sql_mod64("s")))
+
+
+def _gram_fpr_prefix(k: int) -> str:
+    """Shared CTE prefix for the exact-substring oracles: ``fpr(doc_id,
+    i, f)`` = every word-k-gram position with the pinned polynomial hash
+    (the rolling_fingerprints hash at keep_mod=1, positions kept)."""
+    from intertext_ray.ops.text_stats import rolling_gram_weights
+
+    weights = ", ".join(
+        f"({j}, {int(p)})" for j, p in enumerate(rolling_gram_weights(k))
+    )
+    return f"""
+        WITH RECURSIVE
+        d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+          FROM documents WHERE trim(text) <> ''
+        ),
+        nn AS (SELECT doc_id, arr, len(arr) AS nt FROM d WHERE len(arr) >= {k}),
+        tok AS (
+          SELECT doc_id, i, arr[CAST(i AS BIGINT)] AS w
+          FROM nn, unnest(generate_series(1, nt)) u(i)
+        ),
+        toks AS (SELECT doc_id, w FROM tok),
+        {_SQL_TOKEN_CHAIN},
+        tokh AS (SELECT tok.doc_id, tok.i, th.h FROM tok JOIN th USING (w)),
+        pw(j, p) AS (VALUES {weights}),
+        terms AS (
+          SELECT a.doc_id, a.i,
+                 sum(CAST(b.h AS HUGEINT) * pw.p) AS s
+          FROM tokh a CROSS JOIN pw
+          JOIN tokh b ON b.doc_id = a.doc_id AND b.i = a.i + pw.j
+          GROUP BY a.doc_id, a.i
+          HAVING count(*) = {k}
+        ),
+        fpr AS (SELECT doc_id, i, {_sql_splitmix(_sql_mod64("s"))} AS f FROM terms)
+    """
+
+
+def _substring_pairs_sql(k: int = 8) -> str:
+    """Twin of ``ops.substring.substring_dup_pairs``: doc pairs sharing a
+    verbatim k-word run, with the distinct-shared-gram count."""
+    return f"""
+        {_gram_fpr_prefix(k)},
+        dfp AS (SELECT DISTINCT doc_id, f FROM fpr)
+        SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+               CAST(b.doc_id AS BIGINT) AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM dfp a JOIN dfp b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """
+
+
+def _dup_spans_sql(k: int = 8) -> str:
+    """Twin of ``ops.substring.duplicate_spans`` AND (at num_buckets=1)
+    ``suffix_repeat_spans``: duplicated-gram positions merged into
+    maximal spans by the gaps-and-islands row_number trick."""
+    return f"""
+        {_gram_fpr_prefix(k)},
+        dupf AS (SELECT f FROM fpr GROUP BY f HAVING count(*) >= 2),
+        dup AS (SELECT doc_id, i FROM fpr JOIN dupf USING (f)),
+        isl AS (
+          SELECT doc_id, i,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM dup
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(min(i) AS BIGINT) AS start_pos,
+               CAST(max(i) + {k - 1} AS BIGINT) AS end_pos,
+               CAST(count(*) AS BIGINT) AS n_grams
+        FROM isl GROUP BY doc_id, grp
+    """
 
 
 def _rolling_fp_sql(k: int = 8, keep_mod: int = 16) -> str:
