@@ -322,6 +322,20 @@ def _q_rolling_fp(sf_dir: str):
     return rolling_fingerprints(_docs(sf_dir))
 
 
+def _q_survivors(sf_dir: str):
+    """Keep-one-per-cluster corpus (the dedup deliverable a training
+    pipeline consumes): all docs minus non-minimal dup-cluster members."""
+    import ray.data as rd
+
+    from intertext_ray.sources.clips import read_documents
+    from intertext_ray.stages.cluster import survivors_filter
+
+    res = _dedup_run(sf_dir)
+    return survivors_filter(
+        read_documents(sf_dir), rd.from_arrow(res.doc_clusters)
+    )
+
+
 def _q_substring_pairs(sf_dir: str):
     from intertext_ray.ops.substring import substring_dup_pairs
 
@@ -558,6 +572,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_matches": _q_matches,
         "dedup_components": _q_components,
         "dedup_clusters": _q_clusters,
+        "dedup_survivors": _q_survivors,
         "pair_clusters": _q_pair_clusters,
         "dup_doc_pairs": _q_dup_doc_pairs,
         "only_focal_candidates": _q_only_focal,
@@ -686,6 +701,28 @@ def _sql_doc_clusters(matches_src: str) -> str:
         )
         SELECT node AS doc_id, min(label) AS dup_cluster_id
         FROM cc GROUP BY node
+    """
+
+
+def _sql_survivors(matches_src: str) -> str:
+    """Twin of ``stages.cluster.survivors_filter`` over the engine's
+    verified match edges: recursive min-label closure, then drop every
+    cluster member except the minimum doc."""
+    return f"""
+        WITH RECURSIVE
+        m AS (SELECT DISTINCT CAST(doc_a AS BIGINT) AS a, CAST(doc_b AS BIGINT) AS b
+              FROM {matches_src}),
+        edges AS (SELECT a AS u, b AS v FROM m UNION SELECT b, a FROM m),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        cc(node, label) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.v, cc.label FROM cc JOIN edges e ON e.u = cc.node
+          WHERE cc.label < e.v
+        ),
+        cl AS (SELECT node, min(label) AS lbl FROM cc GROUP BY node)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> lbl)
     """
 
 
@@ -1008,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cc GROUP BY node
         """,
         "dedup_clusters": _sql_doc_clusters(_ck("matches")),
+        "dedup_survivors": _sql_survivors(_ck("matches")),
         "clips_pipeline": _sql_doc_clusters(_ck("matches", _CLIPS_WORK)),
         "pair_clusters": f"WITH {_pair_clusters_cte()} SELECT * FROM pcres",
         "match_scatterplots": _scatterplots_sql(),

@@ -174,6 +174,67 @@ def doc_clusters_from_components(components: pa.Table) -> pa.Table:
     )
 
 
+def survivors_filter(
+    docs: ray.data.Dataset,
+    doc_clusters: ray.data.Dataset,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """The keep-one-per-cluster deliverable of a training-data dedup: the
+    doc_ids that SURVIVE — every doc except non-minimal members of dup
+    clusters (``dup_cluster_id`` is the cluster's minimum doc, so the
+    keeper is the doc equal to its own cluster id).
+
+    Cluster-resident anti-join: both sides reduce to slim (doc_id, flag)
+    rows, one hash-bucketed shuffle co-locates each doc with any drop
+    marker, the per-group filter is a vectorized sorted membership test —
+    no driver-side drop set, no broadcast proportional to the dup count.
+    """
+    from intertext_ray.functions.hashing import splitmix64
+
+    nb = np.uint64(num_buckets)
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "drop": pa.array(np.zeros(len(d), np.int8), pa.int8()),
+                "bucket": pa.array(
+                    (splitmix64(d.astype(np.uint64)) % nb).astype(np.int64)
+                ),
+            }
+        )
+
+    def drop_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["dup_cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = d[d != c]
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "drop": pa.array(np.ones(len(d), np.int8), pa.int8()),
+                "bucket": pa.array(
+                    (splitmix64(d.astype(np.uint64)) % nb).astype(np.int64)
+                ),
+            }
+        )
+
+    def keep(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        f = group["drop"].to_numpy(zero_copy_only=False)
+        dropped = np.unique(d[f == 1])
+        src = d[f == 0]
+        mask = ~np.isin(src, dropped)
+        return pa.table({"doc_id": pa.array(src[mask], pa.int64())})
+
+    tagged = docs.select_columns(["doc_id"]).map_batches(
+        doc_side, batch_format="pyarrow"
+    ).union(
+        doc_clusters.map_batches(drop_side, batch_format="pyarrow")
+    )
+    return tagged.groupby("bucket").map_groups(keep, batch_format="pyarrow")
+
+
 def components_distributed(
     matches: ray.data.Dataset,
     num_buckets: int = 32,
