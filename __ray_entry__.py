@@ -322,6 +322,12 @@ def _q_rolling_fp(sf_dir: str):
     return rolling_fingerprints(_docs(sf_dir))
 
 
+def _q_repetition(sf_dir: str):
+    from intertext_ray.ops.text_stats import repetition_scores
+
+    return repetition_scores(_docs(sf_dir))
+
+
 def _q_survivors(sf_dir: str):
     """Keep-one-per-cluster corpus (the dedup deliverable a training
     pipeline consumes): all docs minus non-minimal dup-cluster members."""
@@ -555,6 +561,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_stats": _q_sliding_events,
         "containment_search": _q_containment,
         "quality_scores": _q_quality,
+        "repetition_scores": _q_repetition,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -887,6 +894,55 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY doc_id
             UNION ALL
             SELECT doc_id, 0, 0, 0, 0, 0 FROM documents WHERE trim(text) = ''
+        """,
+        "repetition_scores": """
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents WHERE trim(text) <> ''
+            ),
+            n AS (SELECT doc_id, arr, len(arr) AS nt FROM d),
+            tok AS (
+              SELECT doc_id, i, arr[CAST(i AS BIGINT)] AS w
+              FROM n, unnest(generate_series(1, nt)) u(i)
+            ),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+            dup AS (
+              SELECT doc_id,
+                     COALESCE(sum(c) FILTER (WHERE c >= 2), 0) AS dup_word_occ
+              FROM wc GROUP BY doc_id
+            ),
+            bgc AS (
+              SELECT doc_id, max(c) AS mc FROM (
+                SELECT a.doc_id, a.w || ' ' || b.w AS g, count(*) AS c
+                FROM tok a JOIN tok b
+                  ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                GROUP BY a.doc_id, g
+              ) GROUP BY doc_id
+            ),
+            tgc AS (
+              SELECT doc_id, max(c) AS mc FROM (
+                SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c3.w AS g,
+                       count(*) AS c
+                FROM tok a
+                JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN tok c3 ON c3.doc_id = a.doc_id AND c3.i = a.i + 2
+                GROUP BY a.doc_id, g
+              ) GROUP BY doc_id
+            )
+            SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+                   CAST(nt AS BIGINT) AS n_tokens,
+                   CAST(dup.dup_word_occ AS BIGINT) AS dup_word_occ,
+                   CAST(greatest(nt - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(bgc.mc, 0) AS BIGINT) AS top_bigram_count,
+                   CAST(greatest(nt - 2, 0) AS BIGINT) AS n_trigrams,
+                   CAST(COALESCE(tgc.mc, 0) AS BIGINT) AS top_trigram_count
+            FROM n
+            JOIN dup ON dup.doc_id = n.doc_id
+            LEFT JOIN bgc ON bgc.doc_id = n.doc_id
+            LEFT JOIN tgc ON tgc.doc_id = n.doc_id
+            UNION ALL
+            SELECT doc_id, 0, 0, 0, 0, 0, 0
+            FROM documents WHERE trim(text) = ''
         """,
         "lang_id": f"""
             WITH toks AS ({_TOKS}),

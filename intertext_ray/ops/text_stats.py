@@ -215,6 +215,78 @@ def content_fingerprints(
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def repetition_scores(
+    docs: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Gopher-style (Rae et al. 2021) within-document repetition signals,
+    as exact integer counts (fractions = count/denominator, derivable;
+    integers hash-compare exactly against the DuckDB twin):
+
+    (doc_id, n_tokens, dup_word_occ, n_bigrams, top_bigram_count,
+    n_trigrams, top_trigram_count) where ``dup_word_occ`` = occurrences of
+    words appearing >= 2 times in the doc, ``top_k-gram_count`` = count of
+    the doc's most frequent word k-gram (0 when the doc has < k tokens).
+
+    Vectorized: one flat tokenization + chain hash per batch, k-gram ids
+    via the pinned polynomial, per-(doc, gram) run counts from a lexsort —
+    no per-doc Python."""
+    from intertext_ray.ops.simhash import _chain_hash_tokens
+
+    def _per_doc_run_stats(dix, key, n_docs):
+        """(dup_occ, top_count) per doc over (doc, key) runs."""
+        dup = np.zeros(n_docs, dtype=np.int64)
+        top = np.zeros(n_docs, dtype=np.int64)
+        if len(key) == 0:
+            return dup, top
+        order = np.lexsort((key, dix))
+        d2, k2 = dix[order], key[order]
+        new = np.ones(len(d2), dtype=bool)
+        new[1:] = (d2[1:] != d2[:-1]) | (k2[1:] != k2[:-1])
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.concatenate([starts, [len(d2)]]))
+        run_doc = d2[starts]
+        rep = counts >= 2
+        np.add.at(dup, run_doc[rep], counts[rep])
+        np.maximum.at(top, run_doc, counts)
+        return dup, top
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_docs = len(texts)
+        flat, dix, nt = _flat_tokens(texts)
+        th = _chain_hash_tokens(flat)
+        dup_w, _ = _per_doc_run_stats(dix, th, n_docs)
+        out = {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(nt, pa.int64()),
+            "dup_word_occ": pa.array(dup_w, pa.int64()),
+        }
+        for k, name in ((2, "bigram"), (3, "trigram")):
+            n = len(th)
+            n_grams = np.maximum(nt - k + 1, 0)
+            if n >= k:
+                P = rolling_gram_weights(k)
+                total = n - k + 1
+                acc = np.zeros(total, dtype=np.uint64)
+                for j in range(k):
+                    acc += th[j : j + total] * P[j]
+                in_doc = dix[:total] == dix[k - 1 :]
+                from intertext_ray.functions.hashing import splitmix64
+
+                g = splitmix64(acc[in_doc])
+                gd = dix[:total][in_doc]
+                _, top = _per_doc_run_stats(gd, g, n_docs)
+            else:
+                top = np.zeros(n_docs, dtype=np.int64)
+            out[f"n_{name}s"] = pa.array(n_grams, pa.int64())
+            out[f"top_{name}_count"] = pa.array(top, pa.int64())
+        return pa.table(out)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def rolling_gram_weights(k: int = 8) -> np.ndarray:
     """Pinned per-position multipliers for the k-gram polynomial hash: odd
     32-bit constants derived from the splitmix family (small enough that a
