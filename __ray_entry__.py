@@ -322,6 +322,18 @@ def _q_rolling_fp(sf_dir: str):
     return rolling_fingerprints(_docs(sf_dir))
 
 
+def _q_top_bigrams(sf_dir: str):
+    from intertext_ray.ops.text_stats import top_ngrams
+
+    return top_ngrams(_docs(sf_dir), n=2, top=20)
+
+
+def _q_hash_split(sf_dir: str):
+    from intertext_ray.ops.sampling import hash_split
+
+    return hash_split(_docs(sf_dir), permille_train=900, salt=0)
+
+
 def _q_repetition(sf_dir: str):
     from intertext_ray.ops.text_stats import repetition_scores
 
@@ -562,6 +574,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "containment_search": _q_containment,
         "quality_scores": _q_quality,
         "repetition_scores": _q_repetition,
+        "top_bigrams": _q_top_bigrams,
+        "hash_split": _q_hash_split,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -894,6 +908,31 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY doc_id
             UNION ALL
             SELECT doc_id, 0, 0, 0, 0, 0 FROM documents WHERE trim(text) = ''
+        """,
+        "top_bigrams": """
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents WHERE trim(text) <> ''
+            ),
+            n AS (SELECT doc_id, arr, len(arr) AS nt FROM d),
+            tok AS (
+              SELECT doc_id, i, arr[CAST(i AS BIGINT)] AS w
+              FROM n, unnest(generate_series(1, nt)) u(i)
+            ),
+            bg AS (
+              SELECT a.w || ' ' || b.w AS gram
+              FROM tok a JOIN tok b
+                ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            ),
+            c AS (SELECT gram, count(*) AS n_occ FROM bg GROUP BY gram)
+            SELECT gram, CAST(n_occ AS BIGINT) AS n_occ
+            FROM c ORDER BY n_occ DESC, gram LIMIT 20
+        """,
+        "hash_split": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN {_sql_splitmix("CAST(doc_id AS UBIGINT)")} % 1000 < 900
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
         """,
         "repetition_scores": """
             WITH d AS (

@@ -14,6 +14,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 # marker stopwords per language for the n-gram/stopword language heuristic
@@ -285,6 +286,68 @@ def repetition_scores(
         return pa.table(out)
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def top_ngrams(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    n: int = 2,
+    top: int = 20,
+) -> ray.data.Dataset:
+    """Corpus-wide most frequent word ``n``-grams: (gram, n_occ), the
+    top ``top`` rows by (count DESC, gram ASC) — a deterministic total
+    order, so the result set is stable under any execution plan.
+
+    The scale pattern is pre-aggregation BEFORE the shuffle: each batch
+    emits its gram counts via one Arrow hash aggregate (the combiner), so
+    the groupby-sum exchanges at most |distinct grams per batch| rows, not
+    one row per occurrence; the final sort+limit runs over distinct grams
+    only."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if len(texts) == 0:
+            return empty
+        flat, dix, _ = _flat_tokens(texts)
+        total = len(flat) - n + 1
+        if total <= 0:
+            return empty
+        parts = [flat.slice(j, total) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        in_doc = pa.array(dix[:total] == dix[n - 1 :])
+        t = pa.table({"gram": grams.filter(in_doc)})
+        agg = t.group_by("gram").aggregate([("gram", "count")])
+        return pa.table(
+            {
+                "gram": agg["gram"],
+                "partial": pc.cast(agg["gram_count"], pa.int64()),
+            }
+        )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gram": b["gram"],
+                "n_occ": pc.cast(b["sum(partial)"], pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .sum("partial")
+        .map_batches(rename, batch_format="pyarrow")
+        .sort(["n_occ", "gram"], descending=[True, False])
+        .limit(top)
+    )
 
 
 def rolling_gram_weights(k: int = 8) -> np.ndarray:

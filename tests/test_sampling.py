@@ -1,0 +1,64 @@
+"""Deterministic hash split + corpus-wide top n-grams."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_hash_split_deterministic_and_balanced(ray_session):
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.sampling import hash_split
+
+    ids = list(range(2000))
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(["x"] * len(ids))})
+    )
+    got = {r["doc_id"]: r["split"] for r in hash_split(docs, permille_train=900).take_all()}
+    for i in ids:
+        expect = "train" if int(splitmix64(np.uint64(i)) % np.uint64(1000)) < 900 else "val"
+        assert got[i] == expect
+    frac = sum(1 for v in got.values() if v == "train") / len(ids)
+    assert 0.87 < frac < 0.93
+    # salt produces a different (but deterministic) assignment
+    got2 = {r["doc_id"]: r["split"] for r in hash_split(docs, salt=7).take_all()}
+    assert got2 != got
+
+
+def test_top_ngrams_brute_force(ray_session):
+    from intertext_ray.ops.text_stats import top_ngrams
+
+    rng = np.random.default_rng(2)
+    vocab = [f"w{i}" for i in range(5)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for _ in range(60)
+    ] + ["", "solo"]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    c = Counter()
+    for t in texts:
+        toks = t.split()
+        c.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["gram"], r["n_occ"]) for r in top_ngrams(docs, n=2, top=10).take_all()]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expect
+
+
+def test_top_ngrams_trigram(ray_session):
+    from intertext_ray.ops.text_stats import top_ngrams
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a b c a b c a b", "b c a"], pa.string()),
+            }
+        )
+    )
+    got = {(r["gram"], r["n_occ"]) for r in top_ngrams(docs, n=3, top=3).take_all()}
+    assert got == {("a b c", 2), ("b c a", 3), ("c a b", 2)}
