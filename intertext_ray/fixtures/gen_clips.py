@@ -100,6 +100,7 @@ def gen_corpus(
     dur_range_ms: tuple[int, int] = (500, 2000),
     include_stub_codec: bool = False,
     with_audio: bool = True,
+    flac_every: int = 0,
 ):
     """Return (clips: pa.Table, truth: pa.Table, metadata: dict).
 
@@ -221,12 +222,17 @@ def gen_corpus(
         np.int32
     )
     codecs = [CODECS[k % len(CODECS)] for k in range(n_clips)]
+    if flac_every > 0:
+        # real compressed rows (functions/flac.py); kept OUT of the default
+        # rotation so benchmark corpora/caches stay comparable across rounds
+        for k in range(1, n_clips, flac_every):
+            codecs[k] = "flac"
     if include_stub_codec:
         for k in range(0, n_clips, 17):
-            codecs[k] = "flac"
+            codecs[k] = "opus"
     blobs: list[bytes] = []
     for k in range(n_clips):
-        if not with_audio or codecs[k] == "flac":
+        if not with_audio or codecs[k] == "opus":
             blobs.append(b"")
             continue
         n_samp = int(srs[k]) * int(durs[k]) // 1000

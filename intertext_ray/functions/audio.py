@@ -15,9 +15,14 @@ opaque ``binary`` column with typed metadata (``sr_hz``, ``dur_ms``,
                   implementation and the 30 dB north-rule floor).
 - ``alaw``      — G.711 A-law (13-bit magnitude, 0x55 even-bit inversion),
                   same posture as ``ulaw``.
-- anything else (``flac``/``opus``/...) — STUB: raises
-  ``UnsupportedCodecError``; the Ray-side plumbing (schema, batch sizing)
-  is identical, only the decoder body is missing in this container.
+- ``flac``      — REAL lossless compression (fixed predictors + Rice
+                  residuals, CRC-8/16 + MD5 verified), pure-Python subset
+                  decoder in ``functions/flac.py`` (RFC 9639).
+- anything else (``opus``/...) — STUB: raises ``UnsupportedCodecError``;
+  the Ray-side plumbing (schema, batch sizing) is identical, only the
+  decoder body is missing in this container.  (IMA ADPCM was prototyped
+  and REJECTED: 17-25 dB SNR on the multi-tone fixture signals, below
+  the 30 dB north-rule floor.)
 
 The per-row invariant (north_rule): decoded PCM must match the expected
 signal with SNR >= 30 dB, and the transcript must be byte-equal through every
@@ -141,6 +146,10 @@ def encode_clip(pcm: np.ndarray, sr_hz: int, codec: str) -> bytes:
         return encode_ulaw(pcm)
     if codec == "alaw":
         return encode_alaw(pcm)
+    if codec == "flac":
+        from intertext_ray.functions.flac import encode_flac
+
+        return encode_flac(pcm, sr_hz)
     raise UnsupportedCodecError(codec)
 
 
@@ -157,6 +166,13 @@ def decode_clip(data: bytes, sr_hz: int, codec: str) -> np.ndarray:
         return decode_ulaw(data)
     if codec == "alaw":
         return decode_alaw(data)
+    if codec == "flac":
+        from intertext_ray.functions.flac import decode_flac
+
+        pcm, flac_sr = decode_flac(data)
+        if flac_sr != sr_hz:
+            raise ValueError(f"flac sr {flac_sr} != metadata sr {sr_hz}")
+        return pcm
     raise UnsupportedCodecError(codec)
 
 

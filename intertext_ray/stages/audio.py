@@ -8,7 +8,7 @@ equal to the CPU count deadlocks the streaming executor; a low floor never
 ramps — measured ~min effective actors for the whole stage).  Each batch is
 decoded and checked against the per-row invariant: decoded PCM matches the expected
 signal with SNR >= 30 dB and the transcript survives byte-identically.
-Codecs without a decoder in this container (flac/opus/...) are STUBBED: rows
+Codecs without a decoder in this container (opus/...) are STUBBED: rows
 pass through with ``decode_ok=false, decode_error='unsupported codec'`` —
 the Ray-side plumbing (schema, actor signature, batch sizing) is real and
 tested, only the codec body is absent (per driver instruction).

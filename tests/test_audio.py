@@ -11,6 +11,7 @@ from intertext_ray.functions.audio import (
     encode_wav,
     snr_db,
 )
+from intertext_ray.fixtures.gen_clips import clip_signal
 
 
 def test_pcm_roundtrip():
@@ -95,9 +96,40 @@ def test_g711_clip_snr_floor(codec):
 
 def test_stub_codec_raises():
     with pytest.raises(UnsupportedCodecError):
-        encode_clip(np.zeros(4, np.int16), 8000, "flac")
+        encode_clip(np.zeros(4, np.int16), 8000, "opus")
     with pytest.raises(UnsupportedCodecError):
         decode_clip(b"xxxx", 8000, "opus")
+
+
+def test_flac_roundtrip_lossless():
+    """FLAC is a real codec here: lossless (SNR inf), actually compressed
+    on tonal fixture signals, and integrity-checked (CRC-16 + MD5)."""
+    from intertext_ray.functions.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(3)
+    for sig in (
+        np.zeros(0, np.int16),
+        np.array([32767, -32768, 0, 1], np.int16),
+        np.full(9000, -777, np.int16),
+        rng.integers(-32768, 32768, size=7001).astype(np.int16),
+        clip_signal(42, 5, 16000, 16000),
+    ):
+        enc = encode_flac(sig, 16000)
+        dec, sr = decode_flac(enc)
+        assert sr == 16000 and np.array_equal(dec, sig)
+    tonal = clip_signal(42, 5, 16000, 16000)
+    assert len(encode_flac(tonal, 16000)) < 0.95 * 2 * len(tonal)
+    dec = decode_clip(encode_clip(tonal, 16000, "flac"), 16000, "flac")
+    assert snr_db(tonal, dec) == float("inf")
+
+
+def test_flac_corruption_detected():
+    from intertext_ray.functions.flac import decode_flac, encode_flac
+
+    enc = bytearray(encode_flac(clip_signal(42, 1, 8000, 8000), 8000))
+    enc[len(enc) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac(bytes(enc))
 
 
 def test_snr():
@@ -115,7 +147,7 @@ def test_validator_stage(ray_session):
     from intertext_ray.fixtures.gen_clips import clip_signal, gen_corpus
     from intertext_ray.stages.audio import audio_validate_stage
 
-    clips, _, _ = gen_corpus(40, seed=7, include_stub_codec=True)
+    clips, _, _ = gen_corpus(40, seed=7, include_stub_codec=True, flac_every=9)
     expected = lambda cid, sr, ns: clip_signal(7, int(cid.split("_")[1]), sr, ns)
     out = audio_validate_stage(
         rd.from_arrow(clips), expected_signal=expected, concurrency=2
