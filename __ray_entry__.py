@@ -322,6 +322,18 @@ def _q_rolling_fp(sf_dir: str):
     return rolling_fingerprints(_docs(sf_dir))
 
 
+def _q_assign_chunks(sf_dir: str):
+    from intertext_ray.ops.packing import assign_chunks
+
+    return assign_chunks(_docs(sf_dir), budget_tokens=512, range_size=64)
+
+
+def _q_redact_pii(sf_dir: str):
+    from intertext_ray.ops.redact import redact_pii
+
+    return redact_pii(_docs(sf_dir))
+
+
 def _q_top_bigrams(sf_dir: str):
     from intertext_ray.ops.text_stats import top_ngrams
 
@@ -576,6 +588,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _q_repetition,
         "top_bigrams": _q_top_bigrams,
         "hash_split": _q_hash_split,
+        "assign_chunks": _q_assign_chunks,
+        "redact_pii": _q_redact_pii,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -909,6 +923,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 0, 0, 0, 0, 0 FROM documents WHERE trim(text) = ''
         """,
+        "assign_chunks": f"""
+            WITH toks AS ({_TOKS}),
+            tc AS (
+              SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, 0 FROM documents WHERE trim(text) = ''
+            ),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(CAST(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS BIGINT), 0) AS cum_before
+              FROM tc
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   cum_before,
+                   cum_before // 512 AS chunk_id
+            FROM s
+        """,
+        "redact_pii": _redact_sql(),
         "top_bigrams": """
             WITH d AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
@@ -1332,6 +1368,27 @@ def _containment_sql(k: int = 8, keep_mod: int = 16, qdoc: int = 0) -> str:
         SELECT CAST(x.doc_id AS BIGINT) AS doc_id, count(*) AS n_shared
         FROM fps x JOIN qfp USING (f) GROUP BY x.doc_id
     """.format(chain=_SQL_TOKEN_CHAIN, fp=_sql_splitmix(_sql_mod64("s")))
+
+
+def _redact_sql() -> str:
+    """Twin of ``ops.redact.redact_pii`` — the SAME RE2 patterns applied
+    in the same order; counts taken on the text state each pattern sees."""
+    from intertext_ray.ops.redact import PII_PATTERNS
+
+    cur = "text"
+    count_exprs = []
+    for name, pat, repl in PII_PATTERNS:
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    counts = ",\n                   ".join(count_exprs)
+    return f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {cur} AS clean_text,
+                   {counts}
+            FROM documents
+        """
 
 
 def _gram_fpr_prefix(k: int) -> str:

@@ -190,6 +190,14 @@ def run_bench() -> dict:
     asof_join_events(ev).count()
     queries["event_ops"] = round(time.time() - t0, 3)
 
+    # ---- exact-substring dedup (suffix-array family) ----
+    from intertext_ray.ops.substring import duplicate_spans, substring_dup_pairs
+
+    t0 = time.time()
+    substring_dup_pairs(read_documents(SF_DIR), k=8, num_buckets=32).count()
+    duplicate_spans(read_documents(SF_DIR), k=8, num_buckets=32).count()
+    queries["substring_ops"] = round(time.time() - t0, 3)
+
     # ---- IVF ANN (scale path) ----
     from intertext_ray.ops.embeddings import ann_topk_ivf
 
