@@ -534,6 +534,61 @@ def _q_audio_validate(sf_dir: str):
     )
 
 
+def _audio_dup_clips(sf_dir: str):
+    """Ray Dataset over the cached planted-audio-dup corpus for this sf
+    tier (deterministic synthetic — no external data)."""
+    import os
+
+    from intertext_ray.fixtures.gen_audio import audio_dup_corpus_for_sf
+    from intertext_ray.sources.clips import read_clips
+
+    cache = audio_dup_corpus_for_sf(sf_dir)
+    return read_clips(
+        os.path.join(cache, "clips"),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )
+
+
+def _q_audio_fingerprints(sf_dir: str):
+    """Haitsma-Kalker subfingerprints per clip (no SQL twin: FFT is not
+    DuckDB-expressible; local tests pin determinism + robustness)."""
+    from intertext_ray.ops.audio_dedup import audio_fingerprints
+    from intertext_ray.pipelines.documents import docs_as_int64
+
+    return docs_as_int64(audio_fingerprints(_audio_dup_clips(sf_dir)))
+
+
+def _q_audio_dup_pairs(sf_dir: str):
+    """Audio near-dup pairs: shingle LSH over subfingerprints + BER verify
+    (local brute-force-oracle parity in tests; driver check rows-only)."""
+    from intertext_ray.ops.audio_dedup import audio_dup_pairs
+    from intertext_ray.pipelines.documents import docs_as_int64
+
+    return docs_as_int64(
+        audio_dup_pairs(_audio_dup_clips(sf_dir), num_buckets=16)
+    )
+
+
+def _q_audio_dup_clusters(sf_dir: str):
+    """Connected components over verified audio dup pairs."""
+    from intertext_ray.ops.audio_dedup import audio_dup_clusters, audio_dup_pairs
+    from intertext_ray.pipelines.documents import docs_as_int64
+
+    import ray.data
+
+    pairs = audio_dup_pairs(_audio_dup_clips(sf_dir), num_buckets=16)
+    return docs_as_int64(ray.data.from_arrow(audio_dup_clusters(pairs)))
+
+
+def _q_audio_stats(sf_dir: str):
+    """Per-clip loudness/silence/clipping stats (no SQL twin: decode not
+    DuckDB-expressible; local test pins vs direct computation)."""
+    from intertext_ray.ops.audio_stats import audio_stats
+    from intertext_ray.pipelines.documents import docs_as_int64
+
+    return docs_as_int64(audio_stats(_audio_dup_clips(sf_dir)))
+
+
 def _q_image_features(sf_dir: str):
     """Multimodal stub pipeline: binary payload -> feature vector (shape
     check only; decode is a deterministic fake in this container)."""
@@ -614,6 +669,10 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "match_scatterplots": _q_scatterplots,
         "clips_pipeline": _q_clips_pipeline,
         "audio_validate": _q_audio_validate,
+        "audio_fingerprints": _q_audio_fingerprints,
+        "audio_dup_pairs": _q_audio_dup_pairs,
+        "audio_dup_clusters": _q_audio_dup_clusters,
+        "audio_stats": _q_audio_stats,
         "image_features_stub": _q_image_features,
     }
 

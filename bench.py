@@ -198,6 +198,22 @@ def run_bench() -> dict:
     duplicate_spans(read_documents(SF_DIR), k=8, num_buckets=32).count()
     queries["substring_ops"] = round(time.time() - t0, 3)
 
+    # ---- audio-payload near-dup (decode -> subfingerprint -> LSH -> BER) ----
+    import os as _os
+
+    from intertext_ray.fixtures.gen_audio import audio_dup_corpus_for_sf
+    from intertext_ray.ops.audio_dedup import audio_dup_pairs
+    from intertext_ray.sources.clips import read_clips as _read_clips
+
+    cache = audio_dup_corpus_for_sf(SF_DIR)  # cached; gen cost excluded
+    t0 = time.time()
+    aclips = _read_clips(
+        _os.path.join(cache, "clips"),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )
+    audio_dup_pairs(aclips, num_buckets=32).count()
+    queries["audio_dedup"] = round(time.time() - t0, 3)
+
     # ---- IVF ANN (scale path) ----
     from intertext_ray.ops.embeddings import ann_topk_ivf
 

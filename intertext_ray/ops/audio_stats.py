@@ -1,0 +1,108 @@
+"""Per-clip audio quality/hygiene statistics — the audio analog of
+`ops/text_stats.quality_scores` (a training-data pipeline filters clips on
+these before fingerprinting/transcribing: silence, clipping, loudness).
+
+Task-pool ``map_batches`` over byte-bounded batches (same sizing rationale
+as `stages/audio.py`); all math is vectorized numpy over the decoded PCM.
+No SQL twin (decoding is not DuckDB-expressible); a local test pins each
+statistic against a direct single-process computation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from intertext_ray.functions.audio import decode_clip
+from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+_EPS = 1e-12
+
+
+def clip_stats(pcm: np.ndarray, sr_hz: int, silence_db: float = -40.0) -> dict:
+    """Statistics for one int16 PCM clip (pure function, reused by the
+    test oracle): RMS/peak in dBFS, zero-crossing rate per second,
+    fraction of 20 ms frames below ``silence_db`` dBFS, clipping rate."""
+    x = np.asarray(pcm, dtype=np.float64) / 32768.0
+    n = len(x)
+    if n == 0:
+        return {
+            "n_samples": 0, "rms_dbfs": -np.inf, "peak_dbfs": -np.inf,
+            "zcr_per_sec": 0.0, "silence_frac": 1.0, "clip_frac": 0.0,
+        }
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    frame = max(1, sr_hz // 50)  # 20 ms
+    n_frames = n // frame
+    if n_frames:
+        f = x[: n_frames * frame].reshape(n_frames, frame)
+        frms = np.sqrt(np.mean(f * f, axis=1))
+        silence = float(
+            np.mean(20.0 * np.log10(frms + _EPS) < silence_db)
+        )
+    else:
+        silence = float(20.0 * np.log10(rms + _EPS) < silence_db)
+    clip_frac = float(np.mean(np.abs(pcm) >= 32767))
+    return {
+        "n_samples": n,
+        "rms_dbfs": 20.0 * np.log10(rms + _EPS),
+        "peak_dbfs": 20.0 * np.log10(peak + _EPS),
+        "zcr_per_sec": zc * sr_hz / n,
+        "silence_frac": silence,
+        "clip_frac": clip_frac,
+    }
+
+
+def audio_stats(
+    clips: ray.data.Dataset,
+    silence_db: float = -40.0,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """(clip_id, doc_id, n_samples, rms_dbfs, peak_dbfs, zcr_per_sec,
+    silence_frac, clip_frac, decode_ok) per clip; undecodable clips emit
+    decode_ok=false with zeroed stats."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        srs = batch["sr_hz"].to_numpy(zero_copy_only=False)
+        codecs = batch["codec"].to_pylist()
+        doc = doc_ids_for_clip_ids(batch["clip_id"])
+        cols = {
+            "n_samples": [], "rms_dbfs": [], "peak_dbfs": [],
+            "zcr_per_sec": [], "silence_frac": [], "clip_frac": [],
+        }
+        ok = np.zeros(len(batch), dtype=bool)
+        for i in range(len(batch)):
+            try:
+                pcm = decode_clip(blobs[i], int(srs[i]), codecs[i])
+                s = clip_stats(pcm, int(srs[i]), silence_db)
+                ok[i] = True
+            except Exception:
+                s = {k: 0.0 for k in cols} | {"n_samples": 0}
+            for k in cols:
+                cols[k].append(s[k])
+        return pa.table(
+            {
+                "clip_id": batch["clip_id"],
+                "doc_id": pa.array(doc, pa.uint64()),
+                "n_samples": pa.array(
+                    np.asarray(cols["n_samples"], np.int64), pa.int64()
+                ),
+                "rms_dbfs": pa.array(cols["rms_dbfs"], pa.float64()),
+                "peak_dbfs": pa.array(cols["peak_dbfs"], pa.float64()),
+                "zcr_per_sec": pa.array(cols["zcr_per_sec"], pa.float64()),
+                "silence_frac": pa.array(cols["silence_frac"], pa.float64()),
+                "clip_frac": pa.array(cols["clip_frac"], pa.float64()),
+                "decode_ok": pa.array(ok),
+            }
+        )
+
+    return clips.map_batches(
+        fn,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+        zero_copy_batch=True,
+    )
