@@ -334,6 +334,28 @@ def _q_redact_pii(sf_dir: str):
     return redact_pii(_docs(sf_dir))
 
 
+def _q_stratified_sample(sf_dir: str):
+    import ray.data as rd
+
+    from intertext_ray.ops.sampling import stratified_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(docs, group_col="lang", k=25)
+
+
+def _q_token_quantiles(sf_dir: str):
+    from intertext_ray.ops.sampling import exact_int_quantiles
+    from intertext_ray.ops.text_stats import token_counts
+
+    return exact_int_quantiles(
+        token_counts(_docs(sf_dir)),
+        "n_tokens",
+        [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0],
+    )
+
+
 def _q_top_bigrams(sf_dir: str):
     from intertext_ray.ops.text_stats import top_ngrams
 
@@ -645,6 +667,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "assign_chunks": _q_assign_chunks,
         "redact_pii": _q_redact_pii,
+        "stratified_sample": _q_stratified_sample,
+        "token_quantiles": _q_token_quantiles,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1004,6 +1028,37 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "redact_pii": _redact_sql(),
+        "stratified_sample": f"""
+            WITH h AS (
+              SELECT lang, doc_id,
+                     {_sql_splitmix("CAST(doc_id AS UBIGINT)")} AS hv
+              FROM documents
+            ),
+            r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+              FROM h
+            )
+            SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
+            FROM r WHERE rn <= 25
+        """,
+        "token_quantiles": f"""
+            WITH toks AS ({{toks}}),
+            tc AS (
+              SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, 0 FROM documents WHERE trim(text) = ''
+            ),
+            c AS (SELECT n_tokens AS v, count(*) AS cnt FROM tc GROUP BY 1),
+            s AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tc),
+            qs(q) AS (VALUES (0.0),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99),(1.0))
+            SELECT CAST(q AS DOUBLE) AS q,
+                   CAST((SELECT MIN(v) FROM s, nn
+                         WHERE cum >= GREATEST(1, CAST(CEIL(CAST(q AS DOUBLE) * n) AS BIGINT)))
+                        AS BIGINT) AS value
+            FROM qs
+        """.replace("{toks}", _TOKS),
         "top_bigrams": """
             WITH d AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr

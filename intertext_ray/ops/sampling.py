@@ -43,3 +43,85 @@ def hash_split(
     return docs.select_columns([id_col]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def stratified_sample(
+    docs: ray.data.Dataset,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 10,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic k-per-group sample: within each group keep the k rows
+    with the smallest ``splitmix64(id ^ salt)`` (ties by id) — a uniform
+    without-replacement sample that is a pure function of the keys, so any
+    re-run (or resumed partition) selects identical rows.
+
+    Scale shape: the shuffle moves only (group, id, hash) after a
+    PER-BATCH combiner has already cut each batch to k rows per group, so
+    the per-group stage sees at most k * n_blocks rows per group — the
+    classic distributed top-k, never the group's full membership."""
+    s = np.uint64(salt)
+
+    def topk(tbl: pa.Table) -> pa.Table:
+        g = tbl[group_col].to_numpy(zero_copy_only=False)
+        d = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(d ^ s)
+        order = np.lexsort((d, h, g))
+        g, d, h = g[order], d[order], h[order]
+        # rank within group runs, vectorized
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = g[1:] != g[:-1]
+        run_id = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        rank = np.arange(len(g)) - starts[run_id]
+        keep = rank < k
+        return pa.table(
+            {
+                group_col: pa.array(g[keep]),
+                id_col: pa.array(d[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    slim = docs.select_columns([group_col, id_col])
+    combined = slim.map_batches(topk, batch_format="pyarrow")
+    # the final per-group pass re-derives the hash from the ids (pure
+    # function), so the combiner ships only (group, id)
+    return combined.groupby(group_col).map_groups(
+        topk, batch_format="pyarrow"
+    )
+
+
+def exact_int_quantiles(
+    values: ray.data.Dataset,
+    value_col: str,
+    qs: list[float],
+) -> pa.Table:
+    """Exact quantiles of an integer column via the value-histogram
+    selection: one distributed ``groupby(value).count()`` (result size =
+    number of DISTINCT values, not rows), then a driver-side cumulative
+    scan.  quantile(q) = smallest v whose cumulative count reaches
+    ``max(1, ceil(q * n))`` — mirrored verbatim by the SQL twin.
+
+    Exact at any corpus size as long as the distinct-value count is
+    driver-small (token counts, durations, year fields...); for unbounded
+    continuous columns use a two-pass range-refine instead."""
+    counts = values.groupby(value_col).count().to_pandas()
+    counts = counts.sort_values(value_col, ignore_index=True)
+    v = counts[value_col].to_numpy().astype(np.int64)
+    c = counts["count()"].to_numpy().astype(np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        idx = int(np.searchsorted(cum, rank))
+        out_q.append(float(q))
+        out_v.append(int(v[min(idx, len(v) - 1)]) if n else 0)
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )

@@ -62,3 +62,63 @@ def test_top_ngrams_trigram(ray_session):
     )
     got = {(r["gram"], r["n_occ"]) for r in top_ngrams(docs, n=3, top=3).take_all()}
     assert got == {("a b c", 2), ("b c a", 3), ("c a b", 2)}
+
+
+def test_stratified_sample_matches_brute_force(ray_session):
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.sampling import stratified_sample
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    groups = [f"g{int(x)}" for x in rng.integers(0, 7, n)]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "lang": pa.array(groups, pa.string()),
+            }
+        )
+    ).repartition(13)  # force the combiner to run on many partial blocks
+    k = 9
+    out = stratified_sample(docs, group_col="lang", k=k).to_pandas()
+
+    want = {}
+    for g in set(groups):
+        ids = [i for i in range(n) if groups[i] == g]
+        ids.sort(key=lambda i: (int(splitmix64(np.uint64(i))), i))
+        want[g] = set(ids[:k])
+    got = {}
+    for r in out.itertuples():
+        got.setdefault(r.lang, set()).add(int(r.doc_id))
+    assert got == want
+
+
+def test_stratified_sample_salt_changes_selection(ray_session):
+    from intertext_ray.ops.sampling import stratified_sample
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(500), pa.int64()),
+                "lang": pa.array(["a"] * 500, pa.string()),
+            }
+        )
+    )
+    s0 = set(stratified_sample(docs, k=20).to_pandas().doc_id)
+    s1 = set(stratified_sample(docs, k=20, salt=3).to_pandas().doc_id)
+    assert len(s0) == 20 and len(s1) == 20 and s0 != s1
+
+
+def test_exact_int_quantiles(ray_session):
+    from intertext_ray.ops.sampling import exact_int_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 40, 777).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    out = exact_int_quantiles(ds, "v", qs).to_pandas()
+    sv = np.sort(vals)
+    n = len(sv)
+    for q, v in zip(out.q, out.value):
+        rank = max(1, int(np.ceil(q * n)))
+        assert v == sv[rank - 1], (q, v, sv[rank - 1])
