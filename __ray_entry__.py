@@ -602,6 +602,22 @@ def _q_audio_dup_clusters(sf_dir: str):
     return docs_as_int64(ray.data.from_arrow(audio_dup_clusters(pairs)))
 
 
+def _q_joint_dup_report(sf_dir: str):
+    """Two-modality dup classification (transcript chain x audio
+    fingerprint chain) over the joint planted corpus; rows-only driver
+    check (local test pins classes + cluster ids against planted truth)."""
+    import os
+
+    from intertext_ray.fixtures.gen_audio import joint_corpus_for_sf
+    from intertext_ray.ops.joint_dedup import joint_dup_report
+    from intertext_ray.pipelines.documents import docs_as_int64
+    from intertext_ray.sources.clips import read_clips
+
+    cache = joint_corpus_for_sf(sf_dir)
+    clips = read_clips(os.path.join(cache, "clips"))
+    return docs_as_int64(joint_dup_report(clips, num_buckets=16))
+
+
 def _q_audio_stats(sf_dir: str):
     """Per-clip loudness/silence/clipping stats (no SQL twin: decode not
     DuckDB-expressible; local test pins vs direct computation)."""
@@ -697,6 +713,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_pairs": _q_audio_dup_pairs,
         "audio_dup_clusters": _q_audio_dup_clusters,
         "audio_stats": _q_audio_stats,
+        "joint_dup_report": _q_joint_dup_report,
         "image_features_stub": _q_image_features,
     }
 

@@ -161,3 +161,118 @@ def audio_dup_corpus_for_sf(sf_dir: str, seed: int = 7) -> str:
         with open(done, "w") as f:
             f.write("ok")
     return cache
+
+
+def gen_joint_corpus(n_clips: int, seed: int = 19):
+    """Corpus with dup structure planted INDEPENDENTLY in both modalities
+    — the input for the joint transcript+audio dup classifier
+    (`ops/joint_dedup.py`).  Cluster kinds:
+
+    - ``both``: members share the audio signal AND near-dup transcripts
+      (true re-uploads);
+    - ``audio_only``: same audio, unrelated transcripts (re-dubbed /
+      mis-transcribed);
+    - ``text_only``: near-dup transcripts, unrelated audio (same words
+      re-recorded);
+    - background singletons.
+
+    Returns (clips, truth) with truth columns (clip_id, text_cluster,
+    audio_cluster) — cluster id = leader's clip index, -1 = none."""
+    from intertext_ray.fixtures.gen_clips import _edit, _rand_words, make_vocab
+
+    vocab = make_vocab(seed)
+    rng = _rng(seed, 0x301)
+    clip_ids, blobs, srs, durs, codecs, transcripts = [], [], [], [], [], []
+    text_cl, audio_cl = [], []
+
+    i = 0
+    while i < n_clips:
+        r = rng.random()
+        if r < 0.15:
+            kind, size = "both", int(rng.integers(2, 4))
+        elif r < 0.30:
+            kind, size = "audio_only", int(rng.integers(2, 4))
+        elif r < 0.45:
+            kind, size = "text_only", int(rng.integers(2, 4))
+        else:
+            kind, size = "background", 1
+        size = min(size, n_clips - i)
+        leader = i
+        sr = SAMPLE_RATES[int(rng.integers(len(SAMPLE_RATES)))]
+        dur_ms = int(rng.integers(1000, 2000))
+        n_samp = sr * dur_ms // 1000
+        shared_sig = base_signal(seed, leader, sr, n_samp)
+        base_words = _rand_words(rng, vocab, int(rng.integers(80, 130)))
+        for k in range(size):
+            mrng = _rng(seed, 0x302, i)
+            share_audio = kind in ("both", "audio_only") and size > 1
+            share_text = kind in ("both", "text_only") and size > 1
+            if share_audio:
+                m_sr, m_dur, m_n = sr, dur_ms, n_samp
+                if k == 0:
+                    sig = shared_sig
+                else:
+                    gain = float(mrng.uniform(0.92, 1.08))
+                    sig = shared_sig * gain + mrng.normal(0, 0.004, m_n)
+            else:
+                m_sr = SAMPLE_RATES[int(mrng.integers(len(SAMPLE_RATES)))]
+                m_dur = int(mrng.integers(1000, 2000))
+                m_n = m_sr * m_dur // 1000
+                sig = base_signal(seed, 1_000_000 + i, m_sr, m_n)
+            if share_text:
+                words = base_words if k == 0 else _edit(
+                    mrng, base_words, vocab, 0.05
+                )
+            else:
+                words = _rand_words(mrng, vocab, int(mrng.integers(80, 130)))
+            pcm = np.clip(sig * 8192.0, -32768, 32767).astype(np.int16)
+            codec = CODECS[int(mrng.integers(len(CODECS)))]
+            clip_ids.append(f"clip_{i}")
+            blobs.append(encode_clip(pcm, m_sr, codec))
+            srs.append(m_sr)
+            durs.append(m_dur)
+            codecs.append(codec)
+            transcripts.append(" ".join(words))
+            text_cl.append(leader if share_text else -1)
+            audio_cl.append(leader if share_audio else -1)
+            i += 1
+
+    clips = pa.table(
+        {
+            "clip_id": pa.array(clip_ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "sr_hz": pa.array(srs, pa.int32()),
+            "dur_ms": pa.array(durs, pa.int32()),
+            "codec": pa.array(codecs, pa.string()),
+            "transcript": pa.array(transcripts, pa.string()),
+        }
+    )
+    truth = pa.table(
+        {
+            "clip_id": pa.array(clip_ids, pa.string()),
+            "text_cluster": pa.array(text_cl, pa.int64()),
+            "audio_cluster": pa.array(audio_cl, pa.int64()),
+        }
+    )
+    return clips, truth
+
+
+def joint_corpus_for_sf(sf_dir: str, seed: int = 19) -> str:
+    """Cache a joint-modality corpus sized to the sf tier under /tmp."""
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n = max(120, n)
+    cache = f"/tmp/itx_joint_v1_n{n}_s{seed}"
+    done = os.path.join(cache, "_DONE")
+    if not os.path.exists(done):
+        clips, truth = gen_joint_corpus(n, seed=seed)
+        os.makedirs(os.path.join(cache, "clips"), exist_ok=True)
+        shard = max(64, len(clips) // 64 + 1)
+        for s in range(0, len(clips), shard):
+            pq.write_table(
+                clips.slice(s, shard),
+                os.path.join(cache, "clips", f"part-{s // shard:05d}.parquet"),
+            )
+        pq.write_table(truth, os.path.join(cache, "truth.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return cache

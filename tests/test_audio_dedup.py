@@ -176,3 +176,33 @@ def test_candidates_capped_bucket_path():
     cands = audio_candidates(fps, g=1, cap=256, num_buckets=4).to_pandas()
     assert (cands.clip_a < cands.clip_b).all()
     assert not cands.duplicated(["clip_a", "clip_b", "offset"]).any()
+
+
+def test_joint_dup_classification_matches_truth():
+    from intertext_ray.fixtures.gen_audio import gen_joint_corpus
+    from intertext_ray.ops.joint_dedup import joint_dup_report
+
+    clips, truth = gen_joint_corpus(80, seed=19)
+    out = joint_dup_report(
+        ray.data.from_arrow(clips), num_buckets=8
+    ).to_pandas()
+    t = truth.to_pandas()
+    t["doc_id"] = [int(c.split("_")[1]) for c in t.clip_id]
+    want = {}
+    for r in t.itertuples():
+        if r.text_cluster >= 0 and r.audio_cluster >= 0:
+            c = "both"
+        elif r.text_cluster >= 0:
+            c = "text_only"
+        elif r.audio_cluster >= 0:
+            c = "audio_only"
+        else:
+            c = "unique"
+        want[r.doc_id] = (c, r.text_cluster, r.audio_cluster)
+    assert len(out) == len(t)
+    for r in out.itertuples():
+        wc, wt, wa = want[int(r.doc_id)]
+        assert r.dup_class == wc, (r.doc_id, r.dup_class, wc)
+        # cluster ids are min-member labels == planted leader indices
+        assert int(r.text_cluster_id) == wt
+        assert int(r.audio_cluster_id) == wa
