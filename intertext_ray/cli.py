@@ -45,6 +45,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--xml-remove-tags", help="comma-separated tags to drop")
     p.add_argument("--compute-probabilities", action="store_true")
     # Ray-side knobs
+    p.add_argument(
+        "--mode",
+        choices=["text", "audio", "joint"],
+        default="text",
+        help="text: reference transcript dedup (default); audio: "
+        "audio-payload fingerprint dedup; joint: both chains + per-clip "
+        "dup class (both/text_only/audio_only/unique)",
+    )
+    p.add_argument("--audio-max-ber", type=float, default=0.25,
+                   help="audio verify: max bit-error-rate")
+    p.add_argument("--audio-shingle", type=int, default=1,
+                   help="audio LSH: consecutive subfingerprints per key")
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--checkpoint-dir", help="stage checkpoint root (default <output>/cache)")
     p.add_argument("--no-audio-validate", action="store_true",
@@ -103,6 +115,68 @@ def main(argv: list[str] | None = None) -> int:
         if args.xml_remove_tags
         else (),
     )
+
+    if args.mode in ("audio", "joint"):
+        if not args.clips:
+            print("error: --mode audio/joint requires --clips", file=sys.stderr)
+            return 2
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.output, exist_ok=True)
+        clips = read_clips(args.clips)
+        if args.mode == "audio":
+            from intertext_ray.ops.audio_dedup import (
+                audio_dup_clusters,
+                audio_dup_pairs,
+            )
+
+            pairs = audio_dup_pairs(
+                clips,
+                g=args.audio_shingle,
+                max_ber=args.audio_max_ber,
+                num_buckets=args.num_buckets,
+            ).materialize()
+            pairs.write_parquet(os.path.join(args.output, "audio_dup_pairs"))
+            clusters = audio_dup_clusters(pairs)
+            pq.write_table(
+                clusters,
+                os.path.join(args.output, "audio_dup_clusters.parquet"),
+            )
+            print(
+                json.dumps(
+                    {
+                        "mode": "audio",
+                        "dup_pairs": pairs.count(),
+                        "clustered_clips": len(clusters),
+                        "output": args.output,
+                    }
+                )
+            )
+            return 0
+        from intertext_ray.ops.joint_dedup import joint_dup_report
+
+        rep = joint_dup_report(
+            clips,
+            cfg,
+            num_buckets=args.num_buckets,
+            work_dir=args.checkpoint_dir,
+        ).materialize()
+        rep.write_parquet(os.path.join(args.output, "joint_dup_report"))
+        hist = {
+            str(r["dup_class"]): int(r["count()"])
+            for r in rep.groupby("dup_class").count().take_all()
+        }
+        print(
+            json.dumps(
+                {
+                    "mode": "joint",
+                    "clips": rep.count(),
+                    "classes": hist,
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
 
     if args.clips:
         clips = read_clips(args.clips)
