@@ -422,6 +422,7 @@ def audio_dup_pairs(
     num_buckets: int = 64,
     max_offset: int | None = 8,
     probes: int = 0,
+    work_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Full chain: decode → subfingerprints → shingle LSH → BER verify.
     Returns (clip_a, clip_b, offset, overlap, ber), clip ids as the uint64
@@ -431,8 +432,29 @@ def audio_dup_pairs(
     join; it is materialized once so the audio decode (the only stage that
     touches the heavy payload) runs exactly once.  Fingerprints are ~10^5x
     smaller than the audio, so holding them in the object store is the
-    designed artifact (the audio analog of the minhash checkpoint)."""
-    fps = audio_fingerprints(clips).materialize()
+    designed artifact (the audio analog of the minhash checkpoint).
+
+    ``work_dir`` switches the fingerprint and verified-pair artifacts to
+    durable parquet checkpoints (`state/checkpoint.CheckpointStore`, same
+    manifest/resume contract as the transcript chain): a resumed run skips
+    the decode entirely, and a changed semantic knob recomputes."""
+    store = None
+    if work_dir is not None:
+        import hashlib
+
+        from intertext_ray.state.checkpoint import CheckpointStore
+
+        sem = f"audio:g={g}:cap={cap}:ber={max_ber}:ov={min_overlap}:off={max_offset}:probes={probes}"
+        store = CheckpointStore(
+            work_dir, hashlib.sha256(sem.encode()).hexdigest()[:16]
+        )
+        if store.is_complete("audio_dup_pairs"):
+            return store.load("audio_dup_pairs")
+        fps = store.get_or_compute(
+            "audio_fps", lambda: audio_fingerprints(clips), upstream=["clips"]
+        )
+    else:
+        fps = audio_fingerprints(clips).materialize()
     cands = audio_candidates(
         fps,
         g=g,
@@ -441,13 +463,16 @@ def audio_dup_pairs(
         max_offset=max_offset,
         probes=probes,
     )
-    return verify_audio_pairs(
+    pairs = verify_audio_pairs(
         cands,
         fps,
         max_ber=max_ber,
         min_overlap=min_overlap,
         num_buckets=num_buckets,
     )
+    if store is not None:
+        return store.save("audio_dup_pairs", pairs, upstream=["audio_fps"])
+    return pairs
 
 
 def audio_dup_clusters(pairs: ray.data.Dataset) -> pa.Table:

@@ -206,3 +206,29 @@ def test_joint_dup_classification_matches_truth():
         # cluster ids are min-member labels == planted leader indices
         assert int(r.text_cluster_id) == wt
         assert int(r.audio_cluster_id) == wa
+
+
+def test_audio_dup_pairs_checkpoint_resume(tmp_path):
+    clips, _ = gen_audio_dup_corpus(40, seed=5)
+    ds = ray.data.from_arrow(clips)
+    wd = str(tmp_path / "audio_ckpt")
+    p1 = audio_dup_pairs(ds, num_buckets=8, work_dir=wd).to_pandas()
+    assert (tmp_path / "audio_ckpt" / "audio_fps").exists()
+    assert (tmp_path / "audio_ckpt" / "audio_dup_pairs").exists()
+
+    # resume: a poisoned clips dataset proves nothing recomputes
+    def boom(b):
+        raise RuntimeError("resume must not touch the input")
+
+    poisoned = ds.map_batches(boom)
+    p2 = audio_dup_pairs(poisoned, num_buckets=8, work_dir=wd).to_pandas()
+    key = ["clip_a", "clip_b", "offset"]
+    assert sorted(map(tuple, p1[key].values.tolist())) == sorted(
+        map(tuple, p2[key].values.tolist())
+    )
+
+    # changed semantic knob recomputes (different config hash, fresh run)
+    p3 = audio_dup_pairs(
+        ds, num_buckets=8, work_dir=wd, max_ber=0.1
+    ).to_pandas()
+    assert len(p3) <= len(p1)
