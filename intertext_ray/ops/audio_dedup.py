@@ -280,35 +280,38 @@ def verify_audio_pairs(
         )
 
     def resolve(gtab: pa.Table) -> pa.Table:
+        """Vectorized hash-join half: map each request row to its clip's
+        fingerprint row via searchsorted, gather the list column with a
+        zero-copy Arrow ``take`` — no per-row Python."""
         kind = gtab["kind"].to_numpy(zero_copy_only=False)
         doc = gtab["doc"].to_numpy(zero_copy_only=False)
         fps_col = gtab["fps"]
         if isinstance(fps_col, pa.ChunkedArray):
             fps_col = fps_col.combine_chunks()
-        have = {int(doc[i]): i for i in np.nonzero(kind == 0)[0]}
+        src_rows = np.nonzero(kind == 0)[0]
         req = np.nonzero(kind == 1)[0]
-        rows = {
-            "clip_a": [], "clip_b": [], "offset": [], "side": [], "fps": [],
-        }
-        a = gtab["clip_a"].to_numpy(zero_copy_only=False)
-        b = gtab["clip_b"].to_numpy(zero_copy_only=False)
-        o = gtab["offset"].to_numpy(zero_copy_only=False)
-        for i in req:
-            src = have.get(int(doc[i]))
-            if src is None:
-                continue
-            rows["clip_a"].append(a[i])
-            rows["clip_b"].append(b[i])
-            rows["offset"].append(o[i])
-            rows["side"].append(0 if doc[i] == a[i] else 1)
-            rows["fps"].append(fps_col[int(src)].as_py())
+        if len(req) == 0 or len(src_rows) == 0:
+            return _RESOLVED_SCHEMA.empty_table()
+        src_docs = doc[src_rows]
+        order = np.argsort(src_docs, kind="stable")
+        src_docs, src_rows = src_docs[order], src_rows[order]
+        pos = np.searchsorted(src_docs, doc[req])
+        ok = (pos < len(src_docs)) & (
+            src_docs[np.minimum(pos, len(src_docs) - 1)] == doc[req]
+        )
+        req = req[ok]
+        gather = src_rows[pos[ok]]
+        a = gtab["clip_a"].to_numpy(zero_copy_only=False)[req]
+        b = gtab["clip_b"].to_numpy(zero_copy_only=False)[req]
+        o = gtab["offset"].to_numpy(zero_copy_only=False)[req]
+        side = np.where(doc[req] == a, np.int8(0), np.int8(1))
         return pa.table(
             {
-                "clip_a": pa.array(rows["clip_a"], pa.uint64()),
-                "clip_b": pa.array(rows["clip_b"], pa.uint64()),
-                "offset": pa.array(rows["offset"], pa.int64()),
-                "side": pa.array(rows["side"], pa.int8()),
-                "fps": pa.array(rows["fps"], pa.list_(pa.int64())),
+                "clip_a": pa.array(a, pa.uint64()),
+                "clip_b": pa.array(b, pa.uint64()),
+                "offset": pa.array(o, pa.int64()),
+                "side": pa.array(side, pa.int8()),
+                "fps": fps_col.take(pa.array(gather, pa.int64())),
             },
             schema=_RESOLVED_SCHEMA,
         )
@@ -322,6 +325,10 @@ def verify_audio_pairs(
         )
 
     def score(gtab: pa.Table) -> pa.Table:
+        """Pair the two resolved sides (vectorized run detection over the
+        sorted rows) and score each pair's BER directly against the list
+        column's flat value buffer — the only per-pair step is the BER
+        slice, itself a vectorized popcount."""
         a = gtab["clip_a"].to_numpy(zero_copy_only=False)
         b = gtab["clip_b"].to_numpy(zero_copy_only=False)
         o = gtab["offset"].to_numpy(zero_copy_only=False)
@@ -329,31 +336,34 @@ def verify_audio_pairs(
         fps_col = gtab["fps"]
         if isinstance(fps_col, pa.ChunkedArray):
             fps_col = fps_col.combine_chunks()
+        flat = fps_col.values.to_numpy(zero_copy_only=False).astype(np.uint32)
+        offs = fps_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((side, o, b, a))
+        a, b, o, side = a[order], b[order], o[order], side[order]
+        # consecutive (side0, side1) rows with equal (a, b, o) form a pair
+        if len(order) < 2:
+            return _PAIR_SCHEMA.empty_table()
+        first = (
+            (a[:-1] == a[1:])
+            & (b[:-1] == b[1:])
+            & (o[:-1] == o[1:])
+            & (side[:-1] == 0)
+            & (side[1:] == 1)
+        )
+        p0 = np.nonzero(first)[0]
         out = {"clip_a": [], "clip_b": [], "offset": [], "overlap": [], "ber": []}
-        i = 0
-        n = len(order)
-        while i + 1 < n:
-            r0, r1 = order[i], order[i + 1]
-            if (
-                a[r0] == a[r1]
-                and b[r0] == b[r1]
-                and o[r0] == o[r1]
-                and side[r0] == 0
-                and side[r1] == 1
-            ):
-                fa = np.asarray(fps_col[int(r0)].as_py(), dtype=np.uint32)
-                fb = np.asarray(fps_col[int(r1)].as_py(), dtype=np.uint32)
-                ov, ber = ber_at_offset(fa, fb, int(o[r0]))
-                if ov >= min_overlap and ber <= max_ber:
-                    out["clip_a"].append(a[r0])
-                    out["clip_b"].append(b[r0])
-                    out["offset"].append(o[r0])
-                    out["overlap"].append(ov)
-                    out["ber"].append(ber)
-                i += 2
-            else:
-                i += 1
+        r0s, r1s = order[p0], order[p0 + 1]
+        for i in range(len(p0)):
+            r0, r1 = r0s[i], r1s[i]
+            fa = flat[offs[r0] : offs[r0 + 1]]
+            fb = flat[offs[r1] : offs[r1 + 1]]
+            ov, ber = ber_at_offset(fa, fb, int(o[p0[i]]))
+            if ov >= min_overlap and ber <= max_ber:
+                out["clip_a"].append(a[p0[i]])
+                out["clip_b"].append(b[p0[i]])
+                out["offset"].append(o[p0[i]])
+                out["overlap"].append(ov)
+                out["ber"].append(ber)
         return pa.table(
             {
                 "clip_a": pa.array(out["clip_a"], pa.uint64()),
