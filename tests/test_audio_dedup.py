@@ -232,3 +232,38 @@ def test_audio_dup_pairs_checkpoint_resume(tmp_path):
         ds, num_buckets=8, work_dir=wd, max_ber=0.1
     ).to_pandas()
     assert len(p3) <= len(p1)
+
+
+def test_containment_short_clip_inside_longer_recording():
+    """A 1.2s excerpt cut out of a 3s recording is found when the desync
+    bound is lifted (max_offset=None), with the offset recovering the cut
+    position — the containment-detection mode of SCALING.md."""
+    sr = 16000
+    long_sig = base_signal(4, 100, sr, 3 * sr)
+    cut = 40 * HOP * (sr // TARGET_SR)  # 40 hops into the recording
+    short_sig = long_sig[cut : cut + int(1.2 * sr)]
+    clips = pa.table(
+        {
+            "clip_id": pa.array(["clip_0", "clip_1"]),
+            "bytes": pa.array(
+                [
+                    encode_clip(_pcm(long_sig), sr, "wav"),
+                    encode_clip(_pcm(short_sig), sr, "ulaw"),
+                ],
+                pa.binary(),
+            ),
+            "sr_hz": pa.array([sr, sr], pa.int32()),
+            "dur_ms": pa.array([3000, 1200], pa.int32()),
+            "codec": pa.array(["wav", "ulaw"]),
+            "transcript": pa.array(["", ""]),
+        }
+    )
+    ds = ray.data.from_arrow(clips)
+    # bounded desync misses the pair...
+    bounded = audio_dup_pairs(ds, num_buckets=2, max_offset=8).to_pandas()
+    assert len(bounded) == 0
+    # ...unbounded finds it at the cut offset
+    pairs = audio_dup_pairs(ds, num_buckets=2, max_offset=None).to_pandas()
+    assert len(pairs) == 1
+    assert int(pairs.offset.iloc[0]) == 40
+    assert float(pairs.ber.iloc[0]) < 0.1
