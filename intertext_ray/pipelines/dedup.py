@@ -154,14 +154,12 @@ def run_dedup(
 
     pair_clusters = None
     if with_pair_clusters:
-        window_counts = None
-        if cfg.max_file_sim is not None:
-            wc = windows.groupby("doc_id").count().to_pandas()
-            window_counts = dict(
-                zip(wc["doc_id"].astype(int), wc["count()"].astype(int))
-            )
         pair_clusters = pair_clusters_stage(
-            matches, cfg, window_counts, excluded_doc_ids, num_buckets
+            matches,
+            cfg,
+            windows if cfg.max_file_sim is not None else None,
+            excluded_doc_ids,
+            num_buckets,
         )
 
     return DedupResult(

@@ -505,10 +505,152 @@ def banish_filter(
     return matches.map_batches(drop, batch_format="pyarrow")
 
 
+def _blocked_pairs(
+    matches: ray.data.Dataset,
+    windows: ray.data.Dataset,
+    max_fs: float,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Distributed max_file_sim gate (A7): doc pairs whose match count
+    exceeds ``max_fs`` × either side's window count, computed without any
+    driver-side dict (VERDICT r1 item 7).
+
+    Three small exchanges, each over *aggregated* rows only:
+
+    1. per-pair match counts — per-batch pandas combiner, then a
+       pair-bucket groupby sums partials (one row per distinct pair);
+    2. per-doc window counts — per-batch combiner over the windows table
+       (only ``(doc, n)`` partials enter the shuffle, never window rows);
+    3. pair counts explode to one row per side and co-group with the doc
+       counts in a doc-bucket exchange, where the threshold comparison
+       runs vectorized.
+
+    Returns a Dataset of (doc_a, doc_b) uint64 rows (a pair may appear
+    twice when both sides violate — callers treat presence as a flag).
+    """
+    nb = np.uint64(num_buckets)
+    from intertext_ray.functions.hashing import splitmix64
+
+    _long_schema = pa.schema(
+        {
+            "bucket": pa.int64(),
+            "side": pa.int8(),
+            "doc": pa.uint64(),
+            "doc_a": pa.uint64(),
+            "doc_b": pa.uint64(),
+            "n": pa.int64(),
+        }
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _long_schema.empty_table()
+        df = (
+            t.select(["doc_a", "doc_b"])
+            .to_pandas()
+            .groupby(["doc_a", "doc_b"], as_index=False, sort=False)
+            .size()
+        )
+        da = df["doc_a"].to_numpy().astype(np.uint64)
+        db = df["doc_b"].to_numpy().astype(np.uint64)
+        key = splitmix64(splitmix64(da) ^ db)
+        return pa.table(
+            {
+                "bucket": pa.array((key % nb).astype(np.int64)),
+                "side": pa.array(np.full(len(df), 2, np.int8)),
+                "doc": pa.array(np.zeros(len(df), np.uint64)),
+                "doc_a": pa.array(da),
+                "doc_b": pa.array(db),
+                "n": pa.array(df["size"].to_numpy().astype(np.int64)),
+            },
+            schema=_long_schema,
+        )
+
+    def sum_pairs(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _long_schema.empty_table()
+        df = (
+            g.to_pandas()
+            .groupby(["doc_a", "doc_b"], as_index=False, sort=False)["n"]
+            .sum()
+        )
+        # explode to one row per side, re-bucketed by that side's doc
+        da = df["doc_a"].to_numpy().astype(np.uint64)
+        db = df["doc_b"].to_numpy().astype(np.uint64)
+        n = df["n"].to_numpy().astype(np.int64)
+        doc = np.concatenate([da, db])
+        return pa.table(
+            {
+                "bucket": pa.array((doc % nb).astype(np.int64)),
+                "side": pa.array(np.zeros(2 * len(df), np.int8)),
+                "doc": pa.array(doc),
+                "doc_a": pa.array(np.concatenate([da, da])),
+                "doc_b": pa.array(np.concatenate([db, db])),
+                "n": pa.array(np.concatenate([n, n])),
+            },
+            schema=_long_schema,
+        )
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _long_schema.empty_table()
+        df = (
+            t.select(["doc_id"])
+            .to_pandas()
+            .groupby("doc_id", as_index=False, sort=False)
+            .size()
+        )
+        doc = df["doc_id"].to_numpy().astype(np.uint64)
+        z = np.zeros(len(df), np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array((doc % nb).astype(np.int64)),
+                "side": pa.array(np.ones(len(df), np.int8)),
+                "doc": pa.array(doc),
+                "doc_a": pa.array(z),
+                "doc_b": pa.array(z),
+                "n": pa.array(df["size"].to_numpy().astype(np.int64)),
+            },
+            schema=_long_schema,
+        )
+
+    _blocked_schema = pa.schema({"doc_a": pa.uint64(), "doc_b": pa.uint64()})
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        wc = df[df["side"] == 1].groupby("doc")["n"].sum()
+        pr = df[df["side"] == 0]
+        if pr.empty:
+            return _blocked_schema.empty_table()
+        cnt = pr["doc"].map(wc).fillna(0).to_numpy()
+        bad = pr[pr["n"].to_numpy() > cnt * max_fs]
+        return pa.table(
+            {
+                "doc_a": pa.array(bad["doc_a"].to_numpy().astype(np.uint64)),
+                "doc_b": pa.array(bad["doc_b"].to_numpy().astype(np.uint64)),
+            },
+            schema=_blocked_schema,
+        )
+
+    pair_long = (
+        matches.map_batches(pair_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(sum_pairs, batch_format="pyarrow")
+    )
+    wc_long = windows.map_batches(
+        count_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        pair_long.union(wc_long)
+        .groupby("bucket")
+        .map_groups(filter_bucket, batch_format="pyarrow")
+    )
+
+
 def pair_clusters_stage(
     matches: ray.data.Dataset,
     cfg: IntertextConfig,
-    window_counts: dict[int, int] | None = None,
+    windows: ray.data.Dataset | None = None,
     excluded_doc_ids: set[int] | None = None,
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
@@ -517,11 +659,14 @@ def pair_clusters_stage(
     window ids on each side, cross product of runs keeping cells with actual
     matches, integer-mean similarity re-filtered by min_sim.
 
-    ``window_counts`` (doc -> n_windows, small, broadcast) enables the
-    intended max_file_sim gate (A7); ``excluded_doc_ids`` is the N5 filter.
+    The intended max_file_sim gate (A7) is fully distributed: when
+    ``cfg.max_file_sim`` is set, :func:`_blocked_pairs` computes violating
+    pairs from the ``windows`` Dataset and they ride the SAME pair-bucket
+    exchange as the matches, tagged with a ``win_a = -1`` sentinel — no
+    per-doc dict ever touches the driver.  ``excluded_doc_ids`` is the N5
+    filter (a small user-provided exclusion list, broadcast by closure).
     """
     excluded = excluded_doc_ids or set()
-    wc_ref = ray.put(window_counts or {})
     max_fs = cfg.max_file_sim
     min_sim = cfg.min_sim
     nb = np.uint64(num_buckets)
@@ -534,18 +679,28 @@ def pair_clusters_stage(
         key = splitmix64(splitmix64(da) ^ db)
         return t.append_column("bucket", pa.array((key % nb).astype(np.int64)))
 
+    def blocked_to_match_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        tbl = pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "win_a": pa.array(np.full(n, -1, np.int32)),
+                "win_b": pa.array(np.full(n, -1, np.int32)),
+                "similarity": pa.array(np.zeros(n, np.int32)),
+            }
+        )
+        return add_bucket(tbl)
+
     def cluster_bucket(g: pa.Table) -> pa.Table:
-        wcounts = ray.get(wc_ref)
         df = g.to_pandas()
         rows = []
         for (da, db), grp in df.groupby(["doc_a", "doc_b"], sort=True):
             da, db = int(da), int(db)
             if da in excluded or db in excluded:
                 continue
-            if max_fs is not None and wcounts:
-                n = len(grp)
-                if n > wcounts.get(da, 0) * max_fs or n > wcounts.get(db, 0) * max_fs:
-                    continue
+            if (grp["win_a"].to_numpy() < 0).any():
+                continue  # max_file_sim sentinel row present -> pair blocked
             d: dict[int, dict[int, int]] = defaultdict(dict)
             wa = grp["win_a"].to_numpy()
             wb = grp["win_b"].to_numpy()
@@ -589,8 +744,16 @@ def pair_clusters_stage(
             }
         )
 
-    return (
-        matches.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(cluster_bucket, batch_format="pyarrow")
+    shuffled = matches.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if max_fs is not None and windows is not None:
+        blocked = _blocked_pairs(matches, windows, max_fs, num_buckets)
+        shuffled = shuffled.union(
+            blocked.map_batches(
+                blocked_to_match_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    return shuffled.groupby("bucket").map_groups(
+        cluster_bucket, batch_format="pyarrow"
     )

@@ -134,6 +134,49 @@ def test_banish_pipeline(ray_session, tmp_path):
     assert res.matches.count() == 0
 
 
+def test_max_file_sim_gate_distributed(ray_session, tmp_path):
+    """Engine twin of tests/test_oracle.py::test_max_file_sim_gate — whole-doc
+    duplicates exceed max_file_sim x window count, so every pair is blocked in
+    pair_clusters (matches themselves remain).  Exercises the distributed
+    _blocked_pairs path (no driver dict)."""
+    import pyarrow as pa
+
+    t = " ".join(f"w{i}" for i in range(30))
+
+    def mk(docs_dict):
+        import ray.data as rd2
+
+        def cast(b: "pa.Table") -> "pa.Table":
+            return pa.table(
+                {"doc_id": b["doc_id"].cast(pa.uint64()), "text": b["text"]}
+            )
+
+        return rd2.from_items(
+            [{"doc_id": k, "text": v} for k, v in docs_dict.items()]
+        ).map_batches(cast, batch_format="pyarrow")
+
+    cfg = IntertextConfig(max_file_sim=0.5)
+    res = run_dedup(
+        mk({0: t, 1: t}),
+        cfg,
+        work_dir=str(tmp_path / "mfs"),
+        num_buckets=2,
+        with_pair_clusters=True,
+    )
+    assert res.matches.count() > 0
+    assert res.pair_clusters.count() == 0
+
+    # control: gate off -> same corpus yields pair clusters
+    res2 = run_dedup(
+        mk({0: t, 1: t}),
+        CFG,
+        work_dir=str(tmp_path / "mfs_off"),
+        num_buckets=2,
+        with_pair_clusters=True,
+    )
+    assert res2.pair_clusters.count() > 0
+
+
 def test_streaming_equals_checkpointed(pipeline_run, oracle_result, tmp_path):
     """checkpoints=False (one pipelined execution, candidate dedup fused
     into the verify join) produces the IDENTICAL match set + similarities
