@@ -261,6 +261,22 @@ def _q_containment(sf_dir: str):
     return containment_search(_docs(sf_dir), passage, k=4, keep_mod=4)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs from source 'src0' act as the eval
+    suite; every other doc reports its count of distinct shared word
+    4-grams (broadcast small-side membership test, no shuffle)."""
+    import ray.data
+
+    from intertext_ray.ops.decontam import decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    ev = docs.filter(expr="source == 'src0'")
+    tr = docs.filter(expr="source != 'src0'")
+    return decontaminate(tr, ev, k=4)
+
+
 def pa_scalar_i64(v: int):
     import pyarrow as pa
 
@@ -695,6 +711,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_pairs,
         "rolling_fingerprints": _q_rolling_fp,
         "substring_dup_pairs": _q_substring_pairs,
+        "decontaminate": _q_decontaminate,
         "duplicate_spans": _q_duplicate_spans,
         "suffix_repeat_spans": _q_suffix_spans,
         "word_counts": _q_word_counts,
@@ -1229,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _dup_spans_sql(k=8),
         "suffix_repeat_spans": _dup_spans_sql(k=8),
         "containment_search": _containment_sql(k=4, keep_mod=4, qdoc=1),
+        "decontaminate": _decontam_sql(k=4),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qe
@@ -1569,6 +1587,33 @@ def _substring_pairs_sql(k: int = 8) -> str:
                CAST(count(*) AS BIGINT) AS n_shared
         FROM dfp a JOIN dfp b ON a.f = b.f AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    """
+
+
+def _decontam_sql(k: int = 4) -> str:
+    """Twin of ``ops.decontam.decontaminate`` with eval = source 'src0':
+    distinct shared gram hashes per non-eval doc, zero-rows included."""
+    return f"""
+        {_gram_fpr_prefix(k)},
+        dfp AS (SELECT DISTINCT doc_id, f FROM fpr),
+        ev AS (
+          SELECT DISTINCT f
+          FROM dfp JOIN documents USING (doc_id)
+          WHERE source = 'src0'
+        ),
+        hits AS (
+          SELECT dfp.doc_id, count(*) AS n
+          FROM dfp
+          JOIN ev USING (f)
+          JOIN documents d2 ON d2.doc_id = dfp.doc_id
+          WHERE d2.source <> 'src0'
+          GROUP BY dfp.doc_id
+        )
+        SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_grams,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents t LEFT JOIN hits h ON h.doc_id = t.doc_id
+        WHERE t.source <> 'src0'
     """
 
 

@@ -292,3 +292,37 @@ def test_containment_search(ray_session):
     assert 3 not in out.index
     # the verbatim container shares every passage fingerprint
     assert out.loc[1, "n_shared"] == out.loc[2, "n_shared"]
+
+
+def test_decontaminate(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.decontam import decontaminate
+
+    bench = " ".join(f"ev{i}" for i in range(20))
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        # verbatim 10-word excerpt of the benchmark inside
+                        "clean start " + " ".join(f"ev{i}" for i in range(5, 15)) + " tail",
+                        " ".join(f"train{i}" for i in range(40)),  # clean
+                        "short doc",  # < k words -> 0 / false
+                        bench,  # the whole benchmark verbatim
+                    ]
+                ),
+            }
+        )
+    )
+    ev = rd.from_arrow(
+        pa.table({"doc_id": pa.array([100], pa.int64()), "text": pa.array([bench])})
+    )
+    out = decontaminate(docs, ev, k=4).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_shared_grams"] == 7
+    assert not bool(out.loc[2, "contaminated"]) and out.loc[2, "n_shared_grams"] == 0
+    assert not bool(out.loc[3, "contaminated"])
+    # whole-benchmark copy shares every one of the 17 distinct 4-grams
+    assert out.loc[4, "n_shared_grams"] == 17
