@@ -197,6 +197,21 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_cells=16, nprobe=6)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means cells + within-cell greedy cosine dedup
+    (approximate by design — k-means is not SQL-expressible, so this is a
+    rows-only query; within-cell semantics pinned in
+    tests/test_embeddings_ivf.py)."""
+    import ray.data
+
+    from intertext_ray.ops.embeddings import semantic_dedup
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(emb, threshold=0.97, n_cells=16)
+
+
 def _q_windowed_events(sf_dir: str):
     import ray.data
 
@@ -707,6 +722,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs": _q_cosine_pairs,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "semantic_dedup": _q_semantic_dedup,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dups": _q_simhash_pairs,
         "rolling_fingerprints": _q_rolling_fp,

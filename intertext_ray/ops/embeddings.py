@@ -467,3 +467,54 @@ def ann_topk_ivf(
             "cos_x1000": pa.array([o[3] for o in out], pa.int64()),
         }
     )
+
+
+def semantic_dedup(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    embedding space with the coarse k-means quantizer, then within each
+    cell greedily keep the lowest-id vector of every cosine-``threshold``
+    near-dup group.
+
+    Scale shape: the cell assignment is one broadcast matmul per batch;
+    the only exchange is the groupby on ``cell``; within-cell work is one
+    (m x m) matmul + an O(m) masked sweep.  At corpus scale ``n_cells``
+    grows proportionally (SemDeDup used 50k clusters for LAION) so the
+    per-cell m stays bounded — same knob as the IVF index.  Near-dups
+    split across a cell boundary are missed BY DESIGN (the paper's
+    trade-off); recall vs the exact all-pairs path is measured in
+    tests/test_embeddings_ivf.py.
+
+    Returns one row per vector: (vec_id, cell, keep).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_cells=n_cells)
+    assigned = ivf_assign(embeddings, centroids, id_col)
+
+    def dedup_cell(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = _normalize(_embedding_matrix(group))[order]
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        sims = vecs @ vecs.T
+        arange = np.arange(n)
+        for i in range(n):
+            if keep[i]:
+                keep &= ~((sims[i] >= threshold) & (arange > i))
+        cell = group["cell"].to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(cell, pa.int32()),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return assigned.groupby("cell").map_groups(dedup_cell, batch_format="pyarrow")

@@ -64,3 +64,44 @@ def test_ivf_assign_partitions_and_determinism(emb_ds):
     sizes = assigned.groupby("cell").size()
     assert len(sizes) >= 4
     assert sizes.max() < len(assigned)
+
+
+def test_semantic_dedup(ray_session):
+    """Planted near-identical groups: one survivor per group (the lowest
+    vec_id), singletons all kept, exactly n rows out."""
+    import pyarrow as pa
+
+    from intertext_ray.ops.embeddings import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = rng.standard_normal((6, dim)) * 4.0
+    vecs, gid = [], []
+    for g in range(6):
+        # 3 copies with tiny jitter (cos ~ 1), then one distant singleton
+        for _ in range(3):
+            vecs.append(base[g] + rng.standard_normal(dim) * 1e-3)
+            gid.append(g)
+    singles = rng.standard_normal((8, dim)) * 4.0
+    for s in singles:
+        vecs.append(s)
+        gid.append(-1)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    out = semantic_dedup(ds, threshold=0.99, n_cells=6).to_pandas()
+    assert len(out) == len(vecs)
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    out["gid"] = gid
+    # every planted triple collapses to exactly its lowest id (copies are so
+    # close that they always land in the same k-means cell)
+    for g in range(6):
+        grp = out[out.gid == g]
+        kept = grp[grp.keep]
+        assert len(kept) == 1 and kept.vec_id.iloc[0] == grp.vec_id.min()
+    # far-apart singletons survive
+    assert out[out.gid == -1].keep.all()
