@@ -197,6 +197,21 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_cells=16, nprobe=6)
 
 
+def _q_curate_corpus(sf_dir: str):
+    """Composed curation chain: lang gate -> quality gates -> exact-dedup
+    survivor (filters BEFORE the only shuffle)."""
+    import ray.data
+
+    from intertext_ray.ops.curate import curate_corpus
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return curate_corpus(
+        docs, lang="en", min_tokens=20, min_ttr_x1000=300, max_stopword_x1000=500
+    )
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup: k-means cells + within-cell greedy cosine dedup
     (approximate by design — k-means is not SQL-expressible, so this is a
@@ -723,6 +738,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "semantic_dedup": _q_semantic_dedup,
+        "curate_corpus": _q_curate_corpus,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dups": _q_simhash_pairs,
         "rolling_fingerprints": _q_rolling_fp,
@@ -1263,6 +1279,36 @@ def oracle_sql() -> dict[str, str]:
         "suffix_repeat_spans": _dup_spans_sql(k=8),
         "containment_search": _containment_sql(k=4, keep_mod=4, qdoc=1),
         "decontaminate": _decontam_sql(k=4),
+        "curate_corpus": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents
+              WHERE trim(text) <> '' AND lang = 'en'
+            ),
+            q AS (
+              SELECT doc_id,
+                     count(*) AS n_tokens,
+                     CAST(floor(CAST(1000 * count(DISTINCT w) AS DOUBLE)
+                                / count(*)) AS BIGINT) AS ttr_x1000,
+                     CAST(floor(CAST(1000 * sum(CASE WHEN w IN
+                       ('the','and','of','to','a','in','is','that','it','for')
+                       THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) AS BIGINT)
+                       AS stopword_x1000
+              FROM toks GROUP BY doc_id
+            ),
+            gated AS (
+              SELECT q.doc_id, q.n_tokens, q.ttr_x1000, q.stopword_x1000, d.text
+              FROM q JOIN documents d USING (doc_id)
+              WHERE q.n_tokens >= 20 AND q.ttr_x1000 >= 300
+                AND q.stopword_x1000 <= 500
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(min(ttr_x1000) AS BIGINT) AS ttr_x1000,
+                   CAST(min(stopword_x1000) AS BIGINT) AS stopword_x1000
+            FROM gated GROUP BY text
+        """,
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qe

@@ -1,0 +1,63 @@
+"""End-to-end corpus curation — the composed filter chain a pre-training
+data pipeline runs before tokenization: language gate, quality gates
+(length / lexical diversity / stopword ratio), then exact-dedup survivor
+selection over what remains.
+
+Scale shape: the cheap per-row gates run FIRST so the only exchange (the
+content-hash bucket groupby inside
+:func:`intertext_ray.ops.exact_dedup.exact_dedup`) moves already-thinned
+rows; the gates themselves are one vectorized pass that never shuffles.
+Signals are the integer-scaled columns of
+:func:`intertext_ray.ops.text_stats.quality_scores_batch`, so every
+threshold is exact-integer comparable with the DuckDB twin.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from intertext_ray.ops.exact_dedup import exact_dedup
+from intertext_ray.ops.text_stats import quality_scores_batch
+
+
+def curate_corpus(
+    docs: ray.data.Dataset,
+    lang: str | None = "en",
+    min_tokens: int = 20,
+    min_ttr_x1000: int = 300,
+    max_stopword_x1000: int = 500,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Surviving docs after language -> quality -> exact-dedup curation.
+
+    Input needs (doc_id, text, lang).  Returns one row per kept doc:
+    (doc_id, n_tokens, ttr_x1000, stopword_x1000).  Among identical texts
+    that pass the gates, the minimum doc_id survives (exact_dedup policy).
+    """
+    if lang is not None:
+        docs = docs.filter(expr=f"lang == '{lang}'")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        s = quality_scores_batch(batch)
+        nt = s["n_tokens"].to_numpy(zero_copy_only=False)
+        ttr = s["ttr_x1000"].to_numpy(zero_copy_only=False)
+        sw = s["stopword_x1000"].to_numpy(zero_copy_only=False)
+        keep = pa.array(
+            (nt >= min_tokens)
+            & (ttr >= min_ttr_x1000)
+            & (sw <= max_stopword_x1000)
+        )
+        kept, sk = batch.filter(keep), s.filter(keep)
+        return pa.table(
+            {
+                "doc_id": sk["doc_id"],
+                "text": kept["text"],
+                "n_tokens": sk["n_tokens"],
+                "ttr_x1000": sk["ttr_x1000"],
+                "stopword_x1000": sk["stopword_x1000"],
+            }
+        )
+
+    gated = docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_dedup(gated, num_buckets=num_buckets).drop_columns(["text"])

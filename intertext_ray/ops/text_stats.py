@@ -74,63 +74,70 @@ def token_counts(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dat
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def quality_scores_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """The :func:`quality_scores` kernel over one batch (output rows 1:1
+    and in input order — callers may zip against the input batch)."""
+    import pyarrow.compute as pc
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, dix, n = _flat_tokens(texts)
+    nd = len(texts)
+    codes = np.asarray(
+        pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False),
+        dtype=np.int64,
+    )
+    order = np.lexsort((codes, dix))
+    ds, cs = dix[order], codes[order]
+    first = np.ones(len(ds), dtype=bool)
+    if len(ds) > 1:
+        first[1:] = (ds[1:] != ds[:-1]) | (cs[1:] != cs[:-1])
+    nu = np.bincount(ds[first], minlength=nd).astype(np.int64)
+    sw_mask = np.asarray(
+        pc.is_in(flat, value_set=pa.array(sorted(EN_STOPWORDS))).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    sw = np.bincount(dix[sw_mask], minlength=nd).astype(np.int64)
+    tl = np.bincount(
+        dix,
+        weights=np.asarray(
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        ),
+        minlength=nd,
+    ).astype(np.int64)
+    nz = n > 0
+    ttr = np.zeros(nd, np.int64)
+    swx = np.zeros(nd, np.int64)
+    mtl = np.zeros(nd, np.int64)
+    ttr[nz] = np.floor(1000.0 * nu[nz] / n[nz]).astype(np.int64)
+    swx[nz] = np.floor(1000.0 * sw[nz] / n[nz]).astype(np.int64)
+    mtl[nz] = np.floor(100.0 * tl[nz] / n[nz]).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_unique_tokens": pa.array(nu, pa.int64()),
+            "ttr_x1000": pa.array(ttr, pa.int64()),
+            "stopword_x1000": pa.array(swx, pa.int64()),
+            "mean_token_len_x100": pa.array(mtl, pa.int64()),
+        }
+    )
+
+
 def quality_scores(docs: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """(doc_id, n_tokens, n_unique_tokens, ttr_x1000, stopword_x1000,
     mean_token_len_x100) — integer-scaled quality signals (length, lexical
     diversity, stopword ratio).  Vectorized: distinct-token counts via
     dictionary encoding (exact string identity) + a (doc, code) lexsort;
-    stopword membership via ``pc.is_in``; per-doc sums via ``bincount``."""
-    import pyarrow.compute as pc
+    stopword membership via ``pc.is_in``; per-doc sums via ``bincount``.
+    Kernel factored as :func:`quality_scores_batch` for composed ops."""
+    return docs.map_batches(
+        lambda b: quality_scores_batch(b, text_col), batch_format="pyarrow"
+    )
 
-    def fn(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        flat, dix, n = _flat_tokens(texts)
-        nd = len(texts)
-        codes = np.asarray(
-            pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False),
-            dtype=np.int64,
-        )
-        order = np.lexsort((codes, dix))
-        ds, cs = dix[order], codes[order]
-        first = np.ones(len(ds), dtype=bool)
-        if len(ds) > 1:
-            first[1:] = (ds[1:] != ds[:-1]) | (cs[1:] != cs[:-1])
-        nu = np.bincount(ds[first], minlength=nd).astype(np.int64)
-        sw_mask = np.asarray(
-            pc.is_in(flat, value_set=pa.array(sorted(EN_STOPWORDS))).to_numpy(
-                zero_copy_only=False
-            )
-        )
-        sw = np.bincount(dix[sw_mask], minlength=nd).astype(np.int64)
-        tl = np.bincount(
-            dix,
-            weights=np.asarray(
-                pc.utf8_length(flat).to_numpy(zero_copy_only=False),
-                dtype=np.float64,
-            ),
-            minlength=nd,
-        ).astype(np.int64)
-        nz = n > 0
-        ttr = np.zeros(nd, np.int64)
-        swx = np.zeros(nd, np.int64)
-        mtl = np.zeros(nd, np.int64)
-        ttr[nz] = np.floor(1000.0 * nu[nz] / n[nz]).astype(np.int64)
-        swx[nz] = np.floor(1000.0 * sw[nz] / n[nz]).astype(np.int64)
-        mtl[nz] = np.floor(100.0 * tl[nz] / n[nz]).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n, pa.int64()),
-                "n_unique_tokens": pa.array(nu, pa.int64()),
-                "ttr_x1000": pa.array(ttr, pa.int64()),
-                "stopword_x1000": pa.array(swx, pa.int64()),
-                "mean_token_len_x100": pa.array(mtl, pa.int64()),
-            }
-        )
-
-    return docs.map_batches(fn, batch_format="pyarrow")
 
 
 def lang_id(
