@@ -197,6 +197,14 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_cells=16, nprobe=6)
 
 
+def _q_doc_top_terms(sf_dir: str):
+    """Per-doc tf-idf-style top terms: global df via combiner+shuffle, then
+    a broadcast vocab map and per-doc top-k (exact integer ranking)."""
+    from intertext_ray.ops.text_stats import doc_top_terms
+
+    return doc_top_terms(_docs(sf_dir), top=3)
+
+
 def _q_curate_corpus(sf_dir: str):
     """Composed curation chain: lang gate -> quality gates -> exact-dedup
     survivor (filters BEFORE the only shuffle)."""
@@ -739,6 +747,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "semantic_dedup": _q_semantic_dedup,
         "curate_corpus": _q_curate_corpus,
+        "doc_top_terms": _q_doc_top_terms,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dups": _q_simhash_pairs,
         "rolling_fingerprints": _q_rolling_fp,
@@ -1279,6 +1288,29 @@ def oracle_sql() -> dict[str, str]:
         "suffix_repeat_spans": _dup_spans_sql(k=8),
         "containment_search": _containment_sql(k=4, keep_mod=4, qdoc=1),
         "decontaminate": _decontam_sql(k=4),
+        "doc_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents WHERE trim(text) <> ''
+            ),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+            df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+            r AS (
+              SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.w ASC
+                     ) AS term_rank
+              FROM tf JOIN df USING (w)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   w AS term,
+                   CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(term_rank AS BIGINT) AS term_rank
+            FROM r WHERE term_rank <= 3
+        """,
         "curate_corpus": """
             WITH toks AS (
               SELECT doc_id,

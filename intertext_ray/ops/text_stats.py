@@ -526,3 +526,108 @@ def containment_search(
         .groupby("bucket")
         .map_groups(count_distinct, batch_format="pyarrow")
     )
+
+
+def doc_top_terms(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    top: int = 3,
+) -> ray.data.Dataset:
+    """Per-doc characteristic terms — tf-idf-style ranking in EXACT integer
+    arithmetic: per doc, terms ordered by (tf DESC, df ASC, term ASC) and
+    the ``top`` kept.  Rarer-overall terms win tf ties, so the ranking is
+    the idf ordering without the float log (hash-exact vs the SQL twin).
+
+    Scale shape: two streaming passes over the corpus.  Pass 1 builds the
+    global document-frequency table with the combiner-before-shuffle
+    pattern (each batch ships its distinct (term, partial-df) rows only);
+    the resulting vocabulary table is vocabulary-sized — ~10^6-10^7 rows
+    at web scale, broadcast once via ``ray.put`` as sorted arrays.  Pass 2
+    recomputes per-doc tf batch-locally (docs never shuffle), maps df with
+    one searchsorted, and takes the per-doc top-k with one lexsort.
+
+    Returns (doc_id, term, tf, df, term_rank) with term_rank 1-based.
+    """
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        empty = pa.table(
+            {"term": pa.array([], pa.string()), "partial": pa.array([], pa.int64())}
+        )
+        if len(texts) == 0:
+            return empty
+        flat, dix, _ = _flat_tokens(texts)
+        if len(flat) == 0:
+            return empty
+        t = pa.table({"term": flat, "doc": pa.array(dix)})
+        dd = t.group_by(["term", "doc"]).aggregate([])  # distinct (term, doc)
+        agg = dd.group_by("term").aggregate([("doc", "count")])
+        return pa.table(
+            {"term": agg["term"], "partial": pc.cast(agg["doc_count"], pa.int64())}
+        )
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("partial")
+        .to_pandas()
+    )
+    terms_sorted = np.sort(df_tbl["term"].to_numpy().astype(str))
+    order = np.argsort(df_tbl["term"].to_numpy().astype(str))
+    dfs_sorted = df_tbl["sum(partial)"].to_numpy().astype(np.int64)[order]
+    ref = ray.put((terms_sorted, dfs_sorted))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, dfs = ray.get(ref)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "term_rank": pa.array([], pa.int64()),
+            }
+        )
+        if len(texts) == 0:
+            return empty
+        flat, dix, _ = _flat_tokens(texts)
+        if len(flat) == 0:
+            return empty
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        import pandas as pd
+
+        tf = (
+            pd.DataFrame({"d": dix, "w": flat.to_pandas()})
+            .groupby(["d", "w"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        w = tf["w"].to_numpy().astype(str)
+        dfv = dfs[np.searchsorted(vocab, w)]  # every term is in the vocab
+        d = tf["d"].to_numpy()
+        tfv = tf["tf"].to_numpy().astype(np.int64)
+        # per-doc order: tf DESC, df ASC, term ASC  (lexsort keys reversed)
+        o = np.lexsort((w, dfv, -tfv, d))
+        ds_, tfs_, dfs_, ws_ = d[o], tfv[o], dfv[o], w[o]
+        starts = np.ones(len(ds_), dtype=bool)
+        starts[1:] = ds_[1:] != ds_[:-1]
+        run_start = np.nonzero(starts)[0]
+        run_id = np.cumsum(starts) - 1
+        rank = np.arange(len(ds_), dtype=np.int64) - run_start[run_id] + 1
+        keep = rank <= top
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[ds_[keep]], pa.int64()),
+                "term": pa.array(ws_[keep], pa.string()),
+                "tf": pa.array(tfs_[keep], pa.int64()),
+                "df": pa.array(dfs_[keep], pa.int64()),
+                "term_rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

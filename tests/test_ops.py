@@ -326,3 +326,33 @@ def test_decontaminate(ray_session):
     assert not bool(out.loc[3, "contaminated"])
     # whole-benchmark copy shares every one of the 17 distinct 4-grams
     assert out.loc[4, "n_shared_grams"] == 17
+
+
+def test_doc_top_terms(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.text_stats import doc_top_terms
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "apple apple banana cherry",   # tf: apple 2
+                        "banana banana banana apple",  # tf: banana 3
+                        "",                            # empty -> no rows
+                    ]
+                ),
+            }
+        )
+    )
+    out = doc_top_terms(docs, top=2).to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("term_rank")
+    # apple wins doc 1 on tf; cherry (df=1) beats banana (df=2) on the tie
+    assert list(d1.term) == ["apple", "cherry"]
+    assert list(d1.tf) == [2, 1] and list(d1.df) == [2, 1]
+    d2 = out[out.doc_id == 2].sort_values("term_rank")
+    assert list(d2.term) == ["banana", "apple"]
+    assert not (out.doc_id == 3).any()
