@@ -173,6 +173,22 @@ def _q_cosine_pairs(sf_dir: str):
     return cosine_dup_pairs(emb, threshold=0.35)
 
 
+def _q_lsh_cosine_pairs(sf_dir: str):
+    """Random-hyperplane LSH scale path for embedding near-dups — same
+    output contract as ``cosine_dup_pairs`` but candidates restricted to
+    sign-bucket collisions.  The planes are seeded-deterministic, so the
+    DuckDB twin regenerates them as literals and replicates candidate
+    generation + verify exactly (hash-green, not just recall-sampled)."""
+    import ray.data
+
+    from intertext_ray.ops.embeddings import lsh_cosine_dup_pairs
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return lsh_cosine_dup_pairs(emb, threshold=0.35, n_planes=8, n_tables=8)
+
+
 def _q_ann_topk(sf_dir: str):
     import ray.data
 
@@ -743,6 +759,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "content_fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "cosine_dup_pairs": _q_cosine_pairs,
+        "lsh_cosine_dup_pairs": _q_lsh_cosine_pairs,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "semantic_dedup": _q_semantic_dedup,
@@ -1254,6 +1271,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         """,
+        "lsh_cosine_dup_pairs": _lsh_cosine_sql(
+            threshold="0.35", n_planes=8, n_tables=8
+        ),
         "word_counts": """
             WITH toks AS (
               SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
@@ -1568,6 +1588,62 @@ def _scatterplots_sql() -> str:
         FROM g
         JOIN f1 ON f1.side = g.side AND f1.unit = g.unit AND f1.key = g.key
         CROSS JOIN (VALUES ('sum'), ('mean')) s(statistic)
+    """
+
+
+def _lsh_cosine_sql(
+    threshold: str = "0.35", n_planes: int = 16, n_tables: int = 4,
+    seed: int = 0xE5B,
+) -> str:
+    """Twin of ``ops.embeddings.lsh_cosine_dup_pairs``: regenerates the
+    SAME seeded hyperplanes (config constants, not engine output) as SQL
+    DOUBLE[] literals, replicates sign-bucket candidate generation, then
+    exact-verifies with cosine.  Sign bits are normalization-invariant, so
+    the twin skips the engine's normalize step; embeddings are CAST to
+    DOUBLE[] because DuckDB otherwise computes list kernels in float32
+    while the engine promotes to float64."""
+    import numpy as np
+
+    from intertext_ray.functions.hashing import splitmix64
+
+    rng = np.random.default_rng(int(splitmix64(np.uint64(seed))))
+    planes = rng.standard_normal((n_tables, n_planes, 64))
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            lits = ", ".join(repr(float(x)) for x in planes[t, p])
+            rows.append(f"({t}, {p}, CAST([{lits}] AS DOUBLE[]))")
+    values = ",\n              ".join(rows)
+    return f"""
+        WITH planes(tbl, plane, p) AS (
+          VALUES {values}
+        ),
+        ev AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        sb AS (
+          SELECT ev.vec_id, pl.tbl,
+                 CASE WHEN list_inner_product(ev.e, pl.p) > 0
+                      THEN CAST(1 AS BIGINT) << pl.plane
+                      ELSE 0 END AS bit
+          FROM ev CROSS JOIN planes pl
+        ),
+        keys AS (
+          SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS key
+          FROM sb GROUP BY vec_id, tbl
+        ),
+        cand AS (
+          SELECT DISTINCT ka.vec_id AS a, kb.vec_id AS b
+          FROM keys ka JOIN keys kb
+            ON ka.tbl = kb.tbl AND ka.key = kb.key AND ka.vec_id < kb.vec_id
+        )
+        SELECT c.a, c.b,
+               CAST(floor(1000 * list_cosine_similarity(ea.e, eb.e)) AS BIGINT)
+                 AS cos_x1000
+        FROM cand c
+        JOIN ev ea ON ea.vec_id = c.a
+        JOIN ev eb ON eb.vec_id = c.b
+        WHERE list_cosine_similarity(ea.e, eb.e) >= {threshold}
     """
 
 

@@ -105,3 +105,26 @@ def test_semantic_dedup(ray_session):
         assert len(kept) == 1 and kept.vec_id.iloc[0] == grp.vec_id.min()
     # far-apart singletons survive
     assert out[out.gid == -1].keep.all()
+
+
+def test_lsh_cosine_subset_and_recall(emb_ds):
+    """LSH pairs are a subset of the exact pairs at the same threshold;
+    near-identical pairs (cos >= 0.95, tiny hyperplane-flip odds per
+    table, 8 tables) are recovered with high recall."""
+    from intertext_ray.ops.embeddings import cosine_dup_pairs, lsh_cosine_dup_pairs
+
+    exact = cosine_dup_pairs(emb_ds, threshold=0.6).to_pandas()
+    lsh = lsh_cosine_dup_pairs(
+        emb_ds, threshold=0.6, n_planes=8, n_tables=8
+    ).to_pandas()
+    epairs = set(zip(exact.a, exact.b))
+    lpairs = set(zip(lsh.a, lsh.b))
+    assert lpairs <= epairs
+    # one cos value per pair, identical on both paths
+    merged = exact.merge(lsh, on=["a", "b"], suffixes=("_e", "_l"))
+    assert (merged.cos_x1000_e == merged.cos_x1000_l).all()
+    hi = exact[exact.cos_x1000 >= 950]
+    if len(hi):
+        hipairs = set(zip(hi.a, hi.b))
+        recall = len(hipairs & lpairs) / len(hipairs)
+        assert recall >= 0.9, recall
