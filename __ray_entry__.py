@@ -162,6 +162,50 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(docs, min_jaccard=0.35)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental ingest dedup: the OLD corpus (even doc ids) becomes a
+    persistent bucket-partitioned gram index; the NEW wave (odd ids) joins
+    per-bucket against only the index partitions it touches.  Old-vs-old
+    pairs are never recomputed."""
+    import shutil
+
+    import pyarrow as pa
+
+    from intertext_ray.ops.incremental import (
+        build_gram_index,
+        incremental_dup_pairs,
+    )
+
+    def split(parity: int):
+        def fn(b: pa.Table) -> pa.Table:
+            d = b["doc_id"]
+            keep = pa.compute.and_(
+                pa.compute.less(d, pa.scalar(300)),
+                pa.compute.equal(
+                    pa.compute.bit_wise_and(d, pa.scalar(1)), pa.scalar(parity)
+                ),
+            )
+            return b.filter(keep)
+
+        return fn
+
+    docs = _docs(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = f"/tmp/itx_gram_index_{tag}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_gram_index(
+        docs.map_batches(split(0), batch_format="pyarrow"),
+        index_dir,
+        num_buckets=32,
+    )
+    return incremental_dup_pairs(
+        docs.map_batches(split(1), batch_format="pyarrow"),
+        index_dir,
+        min_jaccard=0.35,
+        num_buckets=32,
+    )
+
+
 def _q_cosine_pairs(sf_dir: str):
     import ray.data
 
@@ -758,6 +802,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "incremental_dedup": _q_incremental_dedup,
         "cosine_dup_pairs": _q_cosine_pairs,
         "lsh_cosine_dup_pairs": _q_lsh_cosine_pairs,
         "ann_topk": _q_ann_topk,
@@ -1260,6 +1305,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT da AS doc_a, db AS doc_b,
                    CAST(floor(CAST(1000 * i AS DOUBLE) / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_x1000
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE 100 * i >= 35 * (sa.n + sb.n - i)
+        """,
+        "incremental_dedup": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS BIGINT), 4) AS g
+              FROM (
+                SELECT doc_id, text, unnest(generate_series(1, length(text)-3)) AS i
+                FROM d WHERE length(text) >= 4
+              ) u
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
+              GROUP BY 1, 2
+            )
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(floor(CAST(1000 * i AS DOUBLE) / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_x1000,
+                   CASE WHEN da % 2 = 1 AND db % 2 = 1 THEN 'new_new'
+                        ELSE 'new_old' END AS kind
             FROM inter
             JOIN sizes sa ON sa.doc_id = da
             JOIN sizes sb ON sb.doc_id = db

@@ -356,3 +356,59 @@ def test_doc_top_terms(ray_session):
     d2 = out[out.doc_id == 2].sort_values("term_rank")
     assert list(d2.term) == ["banana", "apple"]
     assert not (out.doc_id == 3).any()
+
+
+def test_incremental_dedup(ray_session, tmp_path):
+    """Incremental wave vs full recompute: pairs with >=1 new doc agree
+    exactly with the all-pairs ngram result; old-vs-old never emitted;
+    appending a passed wave to the index makes the next wave see it."""
+    from intertext_ray.ops.incremental import build_gram_index, incremental_dup_pairs
+    from intertext_ray.ops.ngram_jaccard import ngram_jaccard_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # 0 old
+        "the quick brown fox jumps over the lazy dog",   # 1 old (old-old dup)
+        "pack my box with five dozen liquor jugs today", # 2 old
+        "completely different content about ray data",   # 3 old
+        "the quick brown fox jumps over the lazy dog",   # 4 new: dup of 0/1
+        "pack my box with five dozen liquor jugs today", # 5 new: dup of 2
+        "some fresh never seen before text entirely",    # 6 new
+        "some fresh never seen before text entirely",    # 7 new (new-new dup)
+    ]
+    mk = lambda ids: rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": [texts[i] for i in ids]})
+    )
+    idx = str(tmp_path / "gram_index")
+    build_gram_index(mk([0, 1, 2, 3]), idx, num_buckets=8)
+    got = incremental_dup_pairs(
+        mk([4, 5, 6, 7]), idx, min_jaccard=0.5, num_buckets=8
+    ).to_pandas()
+    gpairs = {(int(r.doc_a), int(r.doc_b)): (int(r.jaccard_x1000), r.kind)
+              for r in got.itertuples()}
+    full = ngram_jaccard_pairs(mk(list(range(8))), min_jaccard=0.5).to_pandas()
+    want = {
+        (int(r.doc_a), int(r.doc_b)): int(r.jaccard_x1000)
+        for r in full.itertuples()
+        if int(r.doc_a) >= 4 or int(r.doc_b) >= 4
+    }
+    assert {k: v[0] for k, v in gpairs.items()} == want
+    assert (0, 1) not in gpairs  # old-old settled in a prior wave
+    assert gpairs[(6, 7)][1] == "new_new"
+    assert gpairs[(0, 4)][1] == "new_old"
+    # append the passed wave -> next wave sees docs 4-7 as old
+    build_gram_index(mk([4, 5, 6, 7]), idx + "/wave2_append", num_buckets=8)
+    import os, shutil
+    for b in os.listdir(idx + "/wave2_append"):
+        if b.startswith("bucket="):
+            os.makedirs(f"{idx}/{b}", exist_ok=True)
+            for f in os.listdir(f"{idx}/wave2_append/{b}"):
+                shutil.copy(f"{idx}/wave2_append/{b}/{f}", f"{idx}/{b}/w2_{f}")
+    wave3 = rd.from_arrow(
+        pa.table({"doc_id": pa.array([8], pa.int64()),
+                  "text": ["the quick brown fox jumps over the lazy dog"]})
+    )
+    got2 = incremental_dup_pairs(
+        wave3, idx, min_jaccard=0.5, num_buckets=8
+    ).to_pandas()
+    assert set(zip(got2.doc_a, got2.doc_b)) == {(0, 8), (1, 8), (4, 8)}
