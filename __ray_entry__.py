@@ -402,6 +402,22 @@ def _q_event_session_assignment(sf_dir: str):
     return range_join_events(ev, sessions)
 
 
+def _q_minhash_doc(sf_dir: str):
+    """Doc-level MinHash+LSH dedup — the one query whose DuckDB twin
+    recomputes the MINHASH KERNEL itself (perm-salted splitmix mins, band
+    folding, LSH candidates, exact-Jaccard verify) fully independently."""
+    import ray.data
+
+    from intertext_ray.ops.minhash_doc import minhash_doc_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return minhash_doc_dedup(
+        docs, k=3, n_perm=16, band_rows=2, min_jaccard=0.5
+    )
+
+
 def _q_simhash(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -810,6 +826,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "curate_corpus": _q_curate_corpus,
         "doc_top_terms": _q_doc_top_terms,
+        "minhash_doc_dedup": _q_minhash_doc,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dups": _q_simhash_pairs,
         "rolling_fingerprints": _q_rolling_fp,
@@ -1372,6 +1389,9 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.f, b.f)) <= 8
         """,
+        "minhash_doc_dedup": _minhash_doc_sql(
+            k=3, n_perm=16, band_rows=2, pct=50
+        ),
         "rolling_fingerprints": _rolling_fp_sql(),
         "substring_dup_pairs": _substring_pairs_sql(k=8),
         "duplicate_spans": _dup_spans_sql(k=8),
@@ -1813,6 +1833,75 @@ def _gram_fpr_prefix(k: int) -> str:
           HAVING count(*) = {k}
         ),
         fpr AS (SELECT doc_id, i, {_sql_splitmix(_sql_mod64("s"))} AS f FROM terms)
+    """
+
+
+def _minhash_doc_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50
+) -> str:
+    """Twin of ``ops.minhash_doc.minhash_doc_dedup`` — a fully independent
+    SQL recomputation of the doc-level MinHash chain: the pinned
+    perm-salts are embedded as UBIGINT literals (config constants, same
+    pattern as ``_lsh_cosine_sql``'s hyperplanes); per-permutation minima
+    via min(splitmix(xor(f, salt))); band keys by the same iterated
+    splitmix fold (acc seeded with the band index) expressed as a
+    recursive CTE (nesting the splitmix expression ``band_rows`` deep
+    would blow up textually — each ``_sql_splitmix`` duplicates its
+    argument 8x); LSH candidates as a DISTINCT self-join on band key;
+    exact-Jaccard verification over the distinct gram sets."""
+    from intertext_ray.ops.minhash_doc import doc_minhash_seeds
+
+    seeds = doc_minhash_seeds(n_perm)
+    perm_vals = ", ".join(
+        f"({p}, CAST({int(s)} AS UBIGINT))" for p, s in enumerate(seeds)
+    )
+    n_bands = n_perm // band_rows
+    band_vals = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""
+        {_gram_fpr_prefix(k)},
+        dfp AS (SELECT DISTINCT doc_id, f FROM fpr),
+        sizes AS (SELECT doc_id, count(*) AS n FROM dfp GROUP BY doc_id),
+        perms(p, s) AS (VALUES {perm_vals}),
+        sig AS (
+          SELECT dfp.doc_id, pm.p,
+                 min({_sql_splitmix("xor(dfp.f, pm.s)")}) AS h
+          FROM dfp CROSS JOIN perms pm
+          GROUP BY dfp.doc_id, pm.p
+        ),
+        bands(b) AS (VALUES {band_vals}),
+        dl AS (SELECT DISTINCT doc_id FROM dfp),
+        fold(doc_id, b, step, acc) AS (
+          SELECT dl.doc_id, bb.b, 0, CAST(bb.b AS UBIGINT)
+          FROM dl CROSS JOIN bands bb
+          UNION ALL
+          SELECT f2.doc_id, f2.b, f2.step + 1,
+                 {_sql_splitmix("xor(f2.acc, s.h)")}
+          FROM fold f2
+          JOIN sig s ON s.doc_id = f2.doc_id
+                    AND s.p = f2.b * {band_rows} + f2.step
+          WHERE f2.step < {band_rows}
+        ),
+        keys AS (SELECT doc_id, acc AS key FROM fold WHERE step = {band_rows}),
+        cand AS (
+          SELECT DISTINCT ka.doc_id AS a, kb.doc_id AS b
+          FROM keys ka JOIN keys kb
+            ON ka.key = kb.key AND ka.doc_id < kb.doc_id
+        ),
+        inter AS (
+          SELECT c.a, c.b, count(*) AS i
+          FROM cand c
+          JOIN dfp fa ON fa.doc_id = c.a
+          JOIN dfp fb ON fb.doc_id = c.b AND fb.f = fa.f
+          GROUP BY c.a, c.b
+        )
+        SELECT CAST(i2.a AS BIGINT) AS doc_a,
+               CAST(i2.b AS BIGINT) AS doc_b,
+               CAST(floor(CAST(1000 * i2.i AS DOUBLE)
+                          / (sa.n + sb.n - i2.i)) AS BIGINT) AS jaccard_x1000
+        FROM inter i2
+        JOIN sizes sa ON sa.doc_id = i2.a
+        JOIN sizes sb ON sb.doc_id = i2.b
+        WHERE 100 * i2.i >= {pct} * (sa.n + sb.n - i2.i)
     """
 
 

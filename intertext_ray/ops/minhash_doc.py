@@ -1,0 +1,432 @@
+"""Doc-level MinHash + LSH near-duplicate detection — the classic
+training-data dedup shape (one signature per DOCUMENT, disjoint bands),
+as opposed to the flagship's reference-faithful window-level chain with
+overlapping bands (``/root/reference/intertext/intertext.py:363-373``).
+
+Why it exists when the flagship already does MinHash: (a) corpus-level
+dedup pipelines (C4, RefinedWeb, Dolma) fingerprint whole documents, not
+sliding windows — this is that operator; (b) its ENTIRE chain — token
+chain hash, k-gram polynomial, per-permutation min, band folding, LSH
+candidate generation and exact-Jaccard verification — is recomputed
+independently by the DuckDB twin (``__ray_entry__._minhash_doc_sql``), so
+the MinHash kernel itself is driver-hash-verified end-to-end (the
+window-level chain can only be oracle-checked downstream of the
+checkpointed signatures).
+
+Physical plan (all stages streaming, no driver materialization):
+
+1. ``map_batches``: per input batch of docs -> distinct word-k-gram
+   hashes per doc (one vectorized pass over the flat Arrow token buffer,
+   ``ops.substring.gram_positions_batch``) -> per-permutation min via
+   ``np.minimum.reduceat`` over doc runs -> fold each band's rows into a
+   single uint64 key (iterated ``splitmix64(acc ^ sig_p)``, acc seeded
+   with the band index) -> emit (band_key, doc_id, dsize) rows,
+   ``n_bands`` per doc.
+2. band_key-bucketed groupby -> within equal-key runs emit candidate
+   pairs (``pairs_within_runs``), sizes riding the rows; optional hot-key
+   cap (off by default for oracle parity — same knob story as the
+   flagship's ``band_docs_cap`` and ``substring_dup_pairs.gram_cap``).
+3. pair-bucketed groupby -> global DISTINCT on (doc_a, doc_b).
+4. verify: candidates explode to per-side rows bucketed by doc hash and
+   co-group with the distinct gram sets (the ``verify_hash_join`` shape);
+   each side's gram list is re-emitted tagged with the pair key, then a
+   pair-bucketed groupby counts gram hashes seen twice = |A ∩ B|.  Work
+   is proportional to Σ(|A|+|B|) over CANDIDATES — the whole point of
+   LSH; the all-co-gram-pairs alternative (``ngram_jaccard_pairs``) has
+   no candidate thinning.
+5. exact score: ``jaccard_x1000 = floor(1000*inter/union)``, keep
+   ``100*inter >= pct*union`` — integer/IEEE expression-identical to the
+   SQL twin.
+
+LSH S-curve at the defaults (n_perm=16, band_rows=2 -> 8 bands):
+P(candidate) = 1-(1-j^2)^8 — 0.90 at j=0.5, 0.9996 at j=0.8.  At corpus
+scale raise n_perm / band_rows together (16x4 for a sharper knee at
+higher thresholds); candidates are always exact-verified, so banding only
+affects recall, never precision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from intertext_ray.functions.hashing import perm_seeds, splitmix64
+
+_U64 = np.uint64
+
+MINHASH_DOC_SEED = 0xD0CD
+
+
+def doc_minhash_seeds(n_perm: int, seed: int = MINHASH_DOC_SEED) -> np.ndarray:
+    """The pinned per-permutation xor-salts (shared with the SQL twin,
+    which embeds them as UBIGINT literals)."""
+    return perm_seeds(n_perm, seed)
+
+
+def _band_rows_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("band_key", pa.uint64()),
+            ("doc_id", pa.int64()),
+            ("dsize", pa.int64()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+
+def _pairs_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("size_a", pa.int64()),
+            ("size_b", pa.int64()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+
+def doc_band_rows_batch(
+    batch: pa.Table,
+    text_col: str,
+    k: int,
+    seeds: np.ndarray,
+    band_rows: int,
+    num_buckets: int,
+) -> pa.Table:
+    """(band_key, doc_id, dsize, bucket) rows — ``n_perm // band_rows``
+    rows per doc with >= k tokens.  Fused per batch: gram hashing,
+    signature and band folding never leave the task."""
+    from intertext_ray.ops.substring import gram_positions_batch
+
+    g = gram_positions_batch(batch, text_col, k)
+    d = g["doc_id"].to_numpy(zero_copy_only=False)
+    f = g["f"].to_numpy(zero_copy_only=False)
+    if len(d) == 0:
+        return _band_rows_schema().empty_table()
+    order = np.lexsort((f, d))
+    d, f = d[order], f[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (f[1:] != f[:-1])
+    d, f = d[keep], f[keep]  # distinct gram hashes per doc
+    new = np.ones(len(d), dtype=bool)
+    new[1:] = d[1:] != d[:-1]
+    starts = np.nonzero(new)[0]
+    docs = d[starts]
+    dsize = np.diff(np.concatenate([starts, [len(d)]]))
+    n_docs = len(docs)
+    n_perm = len(seeds)
+    n_bands = n_perm // band_rows
+    sig = np.empty((n_perm, n_docs), dtype=_U64)
+    for p in range(n_perm):
+        sig[p] = np.minimum.reduceat(splitmix64(f ^ seeds[p]), starts)
+    keys = np.empty((n_bands, n_docs), dtype=_U64)
+    for b in range(n_bands):
+        acc = np.full(n_docs, _U64(b), dtype=_U64)
+        for p in range(b * band_rows, (b + 1) * band_rows):
+            acc = splitmix64(acc ^ sig[p])
+        keys[b] = acc
+    out_key = keys.ravel()
+    return pa.table(
+        {
+            "band_key": pa.array(out_key, pa.uint64()),
+            "doc_id": pa.array(
+                np.tile(docs, n_bands).astype(np.int64), pa.int64()
+            ),
+            "dsize": pa.array(
+                np.tile(dsize, n_bands).astype(np.int64), pa.int64()
+            ),
+            "bucket": pa.array(
+                (out_key % _U64(num_buckets)).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def minhash_doc_dedup(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 16,
+    band_rows: int = 2,
+    min_jaccard: float = 0.5,
+    num_buckets: int = 32,
+    band_key_cap: int = 0,
+    seed: int = MINHASH_DOC_SEED,
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, jaccard_x1000) for LSH-candidate pairs whose exact
+    word-``k``-gram-set Jaccard >= ``min_jaccard``.
+
+    ``band_key_cap`` > 0 skips band-key runs longer than the cap (hot-key
+    guard for degenerate corpora — boilerplate/empty docs collapsing to
+    one signature; dropped mass is the usual measured divergence).
+    Default off so the DuckDB twin replicates candidates exactly.
+    """
+    if n_perm % band_rows:
+        raise ValueError("n_perm must be a multiple of band_rows")
+    seeds = doc_minhash_seeds(n_perm, seed)
+    nb = num_buckets
+
+    band_rows_ds = docs.map_batches(
+        lambda b: doc_band_rows_batch(b, text_col, k, seeds, band_rows, nb),
+        batch_format="pyarrow",
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        from intertext_ray.stages.candidates import pairs_within_runs
+
+        key = group["band_key"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        sz = group["dsize"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, key))
+        key, d, sz = key[order], d[order], sz[order]
+        n = len(key)
+        if n == 0:
+            return _pairs_schema().empty_table()
+        starts = np.concatenate([[0], np.nonzero(key[1:] != key[:-1])[0] + 1])
+        counts = np.diff(np.concatenate([starts, [n]]))
+        if band_key_cap > 0:
+            hot = counts > band_key_cap
+            if hot.any():
+                keep_rows = ~np.repeat(hot, counts)
+                key, d, sz = key[keep_rows], d[keep_rows], sz[keep_rows]
+                counts = counts[~hot]
+        ii, jj = pairs_within_runs(counts)
+        da, db, sa, sb = d[ii], d[jj], sz[ii], sz[jj]
+        keep = da != db
+        da, db, sa, sb = da[keep], db[keep], sa[keep], sb[keep]
+        swap = da > db
+        a = np.where(swap, db, da)
+        b = np.where(swap, da, db)
+        sa2 = np.where(swap, sb, sa)
+        sb2 = np.where(swap, sa, sb)
+        pb = (
+            (splitmix64(a.astype(_U64)) ^ b.astype(_U64)) % _U64(nb)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "size_a": pa.array(sa2, pa.int64()),
+                "size_b": pa.array(sb2, pa.int64()),
+                "bucket": pa.array(pb, pa.int64()),
+            }
+        )
+
+    def distinct_pairs(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy(zero_copy_only=False)
+        b = group["doc_b"].to_numpy(zero_copy_only=False)
+        sa = group["size_a"].to_numpy(zero_copy_only=False)
+        sb = group["size_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+        keep = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "size_a": pa.array(sa[keep], pa.int64()),
+                "size_b": pa.array(sb[keep], pa.int64()),
+            }
+        )
+
+    candidates = (
+        band_rows_ds.groupby("bucket")
+        .map_groups(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_pairs, batch_format="pyarrow")
+    )
+
+    return _jaccard_verify(
+        docs, candidates, text_col, k, min_jaccard, num_buckets
+    )
+
+
+_TAGGED_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("side", pa.int8()),  # -1 = gram row, 0/1 = candidate side
+        ("doc", pa.int64()),
+        ("f", pa.uint64()),
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("size_a", pa.int64()),
+        ("size_b", pa.int64()),
+    ]
+)
+
+_PAIRGRAM_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("size_a", pa.int64()),
+        ("size_b", pa.int64()),
+        ("f", pa.uint64()),
+        ("bucket", pa.int64()),
+    ]
+)
+
+
+def _jaccard_verify(
+    docs: ray.data.Dataset,
+    candidates: ray.data.Dataset,
+    text_col: str,
+    k: int,
+    min_jaccard: float,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Exact gram-set Jaccard for candidate pairs only: co-group candidate
+    sides with per-doc distinct gram sets by doc hash, re-emit each side's
+    grams tagged with the pair key, count per-pair duplicates."""
+    from intertext_ray.ops.substring import gram_positions_batch
+
+    nb = _U64(num_buckets)
+    pct = int(round(min_jaccard * 100))
+
+    def tag_grams(batch: pa.Table) -> pa.Table:
+        g = gram_positions_batch(batch, text_col, k)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        f = g["f"].to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return _TAGGED_SCHEMA.empty_table()
+        order = np.lexsort((f, d))
+        d, f = d[order], f[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (f[1:] != f[:-1])
+        d, f = d[keep], f[keep]
+        n = len(d)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(d.astype(_U64)) % nb).astype(np.int64)
+                ),
+                "side": pa.array(np.full(n, -1, np.int8), pa.int8()),
+                "doc": pa.array(d, pa.int64()),
+                "f": pa.array(f, pa.uint64()),
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "size_a": pa.nulls(n, pa.int64()),
+                "size_b": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def explode_cands(t: pa.Table) -> pa.Table:
+        da = t["doc_a"].to_numpy(zero_copy_only=False)
+        db = t["doc_b"].to_numpy(zero_copy_only=False)
+        sa = t["size_a"].to_numpy(zero_copy_only=False)
+        sb = t["size_b"].to_numpy(zero_copy_only=False)
+        n = len(t)
+        doc = np.concatenate([da, db])
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(doc.astype(_U64)) % nb).astype(np.int64)
+                ),
+                "side": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
+                    pa.int8(),
+                ),
+                "doc": pa.array(doc, pa.int64()),
+                "f": pa.nulls(2 * n, pa.uint64()),
+                "doc_a": pa.array(np.tile(da, 2), pa.int64()),
+                "doc_b": pa.array(np.tile(db, 2), pa.int64()),
+                "size_a": pa.array(np.tile(sa, 2), pa.int64()),
+                "size_b": pa.array(np.tile(sb, 2), pa.int64()),
+            }
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        is_gram = side == -1
+        gd = group["doc"].to_numpy(zero_copy_only=False)[is_gram]
+        gf = group["f"].to_numpy(zero_copy_only=False)[is_gram]
+        cd = group["doc"].to_numpy(zero_copy_only=False)[~is_gram]
+        if len(cd) == 0 or len(gd) == 0:
+            return _PAIRGRAM_SCHEMA.empty_table()
+        ca = group["doc_a"].to_numpy(zero_copy_only=False)[~is_gram]
+        cb = group["doc_b"].to_numpy(zero_copy_only=False)[~is_gram]
+        csa = group["size_a"].to_numpy(zero_copy_only=False)[~is_gram]
+        csb = group["size_b"].to_numpy(zero_copy_only=False)[~is_gram]
+        # gram rows sorted by doc: per-doc slices via searchsorted
+        order = np.argsort(gd, kind="stable")
+        gd, gf = gd[order], gf[order]
+        lo = np.searchsorted(gd, cd, side="left")
+        hi = np.searchsorted(gd, cd, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return _PAIRGRAM_SCHEMA.empty_table()
+        rep = np.repeat(np.arange(len(cd)), counts)
+        # flat indices into the gram arrays for each candidate row's doc —
+        # vectorized slice expansion (no Python loop over candidate rows)
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx = np.repeat(lo, counts) + (np.arange(total) - np.repeat(cum, counts))
+        a = ca[rep]
+        b = cb[rep]
+        pb = ((splitmix64(a.astype(_U64)) ^ b.astype(_U64)) % nb).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "size_a": pa.array(csa[rep], pa.int64()),
+                "size_b": pa.array(csb[rep], pa.int64()),
+                "f": pa.array(gf[idx], pa.uint64()),
+                "bucket": pa.array(pb, pa.int64()),
+            }
+        )
+
+    def score(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy(zero_copy_only=False)
+        b = group["doc_b"].to_numpy(zero_copy_only=False)
+        sa = group["size_a"].to_numpy(zero_copy_only=False)
+        sb = group["size_b"].to_numpy(zero_copy_only=False)
+        f = group["f"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard_x1000": pa.array([], pa.int64()),
+            }
+        )
+        if len(a) == 0:
+            return empty
+        order = np.lexsort((f, b, a))
+        a, b, sa, sb, f = a[order], b[order], sa[order], sb[order], f[order]
+        # a gram hash appearing twice under the same pair == shared gram
+        dup = np.zeros(len(a), dtype=bool)
+        dup[1:] = (a[1:] == a[:-1]) & (b[1:] == b[:-1]) & (f[1:] == f[:-1])
+        new_pair = np.ones(len(a), dtype=bool)
+        new_pair[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        pstarts = np.nonzero(new_pair)[0]
+        pair_id = np.cumsum(new_pair) - 1
+        inter = np.bincount(pair_id[dup], minlength=len(pstarts)).astype(
+            np.int64
+        )
+        a0, b0, sa0, sb0 = a[pstarts], b[pstarts], sa[pstarts], sb[pstarts]
+        union = sa0 + sb0 - inter
+        keep = (union > 0) & (100 * inter >= pct * union) & (inter > 0)
+        if not keep.any():
+            return empty
+        jx = np.floor(1000.0 * inter[keep] / union[keep]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(a0[keep], pa.int64()),
+                "doc_b": pa.array(b0[keep], pa.int64()),
+                "jaccard_x1000": pa.array(jx, pa.int64()),
+            }
+        )
+
+    unioned = docs.map_batches(tag_grams, batch_format="pyarrow").union(
+        candidates.map_batches(explode_cands, batch_format="pyarrow")
+    )
+    pair_grams = unioned.groupby("bucket").map_groups(
+        resolve, batch_format="pyarrow"
+    )
+    return pair_grams.groupby("bucket").map_groups(
+        score, batch_format="pyarrow"
+    )

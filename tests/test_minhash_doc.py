@@ -1,0 +1,131 @@
+"""Doc-level MinHash+LSH dedup (`ops/minhash_doc.py`): brute-force-oracle
+parity (an independent numpy reimplementation of the whole chain),
+partition invariance, and S-curve sanity.  The DuckDB twin
+(`__ray_entry__._minhash_doc_sql`) is the second, fully-SQL oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _brute_force(texts, k, n_perm, band_rows, min_jaccard):
+    """Independent single-process recomputation: gram sets via the pinned
+    hash primitives composed from scratch (chain hash per token, poly
+    k-gram, salted mins, fold), then LSH candidates + exact Jaccard."""
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.minhash_doc import doc_minhash_seeds
+    from intertext_ray.ops.simhash import _chain_hash_tokens
+    from intertext_ray.ops.text_stats import rolling_gram_weights
+
+    P = rolling_gram_weights(k)
+    seeds = doc_minhash_seeds(n_perm)
+    n_bands = n_perm // band_rows
+    gram_sets: dict[int, set[int]] = {}
+    sigs: dict[int, np.ndarray] = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        if len(toks) < k:
+            continue
+        th = _chain_hash_tokens(pa.array(toks, pa.string()))
+        fs = set()
+        for i in range(len(toks) - k + 1):
+            acc = np.uint64(0)
+            for j in range(k):
+                acc = np.uint64(acc + th[i + j] * P[j])
+            fs.add(int(splitmix64(acc)))
+        gram_sets[doc_id] = fs
+        farr = np.array(sorted(fs), dtype=np.uint64)
+        sigs[doc_id] = np.array(
+            [splitmix64(farr ^ s).min() for s in seeds], dtype=np.uint64
+        )
+    keys: dict[int, list[int]] = {}
+    for doc_id, sig in sigs.items():
+        ks = []
+        for b in range(n_bands):
+            acc = np.uint64(b)
+            for p in range(b * band_rows, (b + 1) * band_rows):
+                acc = splitmix64(acc ^ sig[p])
+            ks.append(int(acc))
+        keys[doc_id] = ks
+    docs = sorted(sigs)
+    expected = {}
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            if not set(keys[a]) & set(keys[b]):
+                continue
+            inter = len(gram_sets[a] & gram_sets[b])
+            union = len(gram_sets[a] | gram_sets[b])
+            if inter and 100 * inter >= int(round(min_jaccard * 100)) * union:
+                expected[(a, b)] = int(np.floor(1000.0 * inter / union))
+    return expected
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    base = [str(vocab[i]) for i in rng.integers(0, 40, size=30)]
+    for i in range(30):
+        if i % 3 == 0:
+            # near-dup of base: perturb a few words
+            t = list(base)
+            for j in rng.integers(0, 30, size=i % 5):
+                t[j] = vocab[int(rng.integers(0, 40))]
+            texts.append(" ".join(t))
+        else:
+            texts.append(
+                " ".join(vocab[int(x)] for x in rng.integers(0, 40, size=25))
+            )
+    texts.append("")        # empty doc: no grams, no signature
+    texts.append("a b")     # < k tokens
+    return texts
+
+
+def _run(texts, num_buckets, **kw):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    from intertext_ray.ops.minhash_doc import minhash_doc_dedup
+
+    res = (
+        minhash_doc_dedup(rd.from_arrow(t), num_buckets=num_buckets, **kw)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    return {
+        (int(r.doc_a), int(r.doc_b)): int(r.jaccard_x1000)
+        for r in res.itertuples()
+    }
+
+
+def test_matches_brute_force(dup_docs, ray_session):
+    got = _run(dup_docs, num_buckets=8)
+    expected = _brute_force(
+        dup_docs, k=3, n_perm=16, band_rows=2, min_jaccard=0.5
+    )
+    assert got == expected
+    assert len(expected) > 0  # planted near-dups must surface
+
+
+def test_partition_invariance(dup_docs, ray_session):
+    assert _run(dup_docs, num_buckets=1) == _run(dup_docs, num_buckets=16)
+
+
+def test_threshold_monotone(dup_docs, ray_session):
+    lo = _run(dup_docs, num_buckets=8, min_jaccard=0.3)
+    hi = _run(dup_docs, num_buckets=8, min_jaccard=0.8)
+    assert set(hi) <= set(lo)
+    for pair, jx in hi.items():
+        assert jx == lo[pair] >= 800
+
+
+def test_exact_dups_score_1000(ray_session):
+    texts = ["x y z w v u t s", "x y z w v u t s", "q r s t u v w x"]
+    got = _run(texts, num_buckets=4)
+    assert got[(0, 1)] == 1000
