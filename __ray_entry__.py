@@ -418,6 +418,22 @@ def _q_minhash_doc(sf_dir: str):
     )
 
 
+def _q_minhash_doc_clusters(sf_dir: str):
+    """Doc-level dup clusters re-derived by the DuckDB twin from the raw
+    table alone (minhash -> LSH -> verify -> recursive min-label closure) —
+    no engine checkpoints in the oracle path."""
+    import ray.data
+
+    from intertext_ray.ops.minhash_doc import minhash_doc_clusters
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return minhash_doc_clusters(
+        docs, k=3, n_perm=16, band_rows=2, min_jaccard=0.5
+    )
+
+
 def _q_simhash(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -827,6 +843,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "doc_top_terms": _q_doc_top_terms,
         "minhash_doc_dedup": _q_minhash_doc,
+        "minhash_doc_clusters": _q_minhash_doc_clusters,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dups": _q_simhash_pairs,
         "rolling_fingerprints": _q_rolling_fp,
@@ -1392,6 +1409,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_doc_dedup": _minhash_doc_sql(
             k=3, n_perm=16, band_rows=2, pct=50
         ),
+        "minhash_doc_clusters": _minhash_doc_clusters_sql(
+            k=3, n_perm=16, band_rows=2, pct=50
+        ),
         "rolling_fingerprints": _rolling_fp_sql(),
         "substring_dup_pairs": _substring_pairs_sql(k=8),
         "duplicate_spans": _dup_spans_sql(k=8),
@@ -1849,6 +1869,43 @@ def _minhash_doc_sql(
     would blow up textually — each ``_sql_splitmix`` duplicates its
     argument 8x); LSH candidates as a DISTINCT self-join on band key;
     exact-Jaccard verification over the distinct gram sets."""
+    return f"""
+        {_minhash_doc_chain(k, n_perm, band_rows, pct)}
+        SELECT doc_a, doc_b, jaccard_x1000 FROM mpairs
+    """
+
+
+def _minhash_doc_clusters_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50
+) -> str:
+    """Twin of ``ops.minhash_doc.minhash_doc_clusters`` — the whole chain
+    from the raw documents table through connected components, with NO
+    engine checkpoints involved: minhash kernel -> LSH candidates ->
+    exact-Jaccard pairs -> recursive min-label closure."""
+    return f"""
+        {_minhash_doc_chain(k, n_perm, band_rows, pct)},
+        edges AS (
+          SELECT doc_a AS uu, doc_b AS vv FROM mpairs
+          UNION SELECT doc_b, doc_a FROM mpairs
+        ),
+        cnodes AS (SELECT DISTINCT uu AS node FROM edges),
+        ccx(node, label) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT e3.vv, ccx.label FROM ccx JOIN edges e3 ON e3.uu = ccx.node
+          WHERE ccx.label < e3.vv
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(min(label) AS BIGINT) AS dup_cluster_id
+        FROM ccx GROUP BY node
+    """
+
+
+def _minhash_doc_chain(
+    k: int, n_perm: int, band_rows: int, pct: int
+) -> str:
+    """Shared CTE chain for the minhash_doc twins, ending in
+    ``mpairs(doc_a, doc_b, jaccard_x1000)``."""
     from intertext_ray.ops.minhash_doc import doc_minhash_seeds
 
     seeds = doc_minhash_seeds(n_perm)
@@ -1893,15 +1950,17 @@ def _minhash_doc_sql(
           JOIN dfp fa ON fa.doc_id = c.a
           JOIN dfp fb ON fb.doc_id = c.b AND fb.f = fa.f
           GROUP BY c.a, c.b
+        ),
+        mpairs AS (
+          SELECT CAST(i2.a AS BIGINT) AS doc_a,
+                 CAST(i2.b AS BIGINT) AS doc_b,
+                 CAST(floor(CAST(1000 * i2.i AS DOUBLE)
+                            / (sa.n + sb.n - i2.i)) AS BIGINT) AS jaccard_x1000
+          FROM inter i2
+          JOIN sizes sa ON sa.doc_id = i2.a
+          JOIN sizes sb ON sb.doc_id = i2.b
+          WHERE 100 * i2.i >= {pct} * (sa.n + sb.n - i2.i)
         )
-        SELECT CAST(i2.a AS BIGINT) AS doc_a,
-               CAST(i2.b AS BIGINT) AS doc_b,
-               CAST(floor(CAST(1000 * i2.i AS DOUBLE)
-                          / (sa.n + sb.n - i2.i)) AS BIGINT) AS jaccard_x1000
-        FROM inter i2
-        JOIN sizes sa ON sa.doc_id = i2.a
-        JOIN sizes sb ON sb.doc_id = i2.b
-        WHERE 100 * i2.i >= {pct} * (sa.n + sb.n - i2.i)
     """
 
 

@@ -430,3 +430,46 @@ def _jaccard_verify(
     return pair_grams.groupby("bucket").map_groups(
         score, batch_format="pyarrow"
     )
+
+
+def minhash_doc_clusters(
+    docs: ray.data.Dataset,
+    **kwargs,
+) -> pa.Table:
+    """(doc_id, dup_cluster_id) — connected components with min-member
+    labels over the verified :func:`minhash_doc_dedup` pairs (driver
+    union-find: the pair graph is candidate-thinned and threshold-filtered,
+    ≪ corpus; same justification and distributed escape hatch as
+    ``stages/cluster.components_from_matches``).
+
+    Unlike the flagship's ``dedup_clusters`` (whose SQL twin reads the
+    engine's checkpointed match edges), this chain's DuckDB twin re-derives
+    clusters FROM THE RAW TABLE ALONE: minhash kernel -> LSH candidates ->
+    exact-Jaccard pairs -> recursive min-label closure, end to end."""
+    from intertext_ray.stages.cluster import _cc_min_label
+
+    pairs = minhash_doc_dedup(docs, **kwargs)
+    aa, bb = [], []
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        aa.append(batch["doc_a"].to_numpy(zero_copy_only=False))
+        bb.append(batch["doc_b"].to_numpy(zero_copy_only=False))
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "dup_cluster_id": pa.array([], pa.int64()),
+        }
+    )
+    if not aa or not sum(len(x) for x in aa):
+        return empty
+    u = np.concatenate(aa)
+    v = np.concatenate(bb)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    label = _cc_min_label(inv[: len(u)], inv[len(u) :], len(nodes))
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes.astype(np.int64), pa.int64()),
+            "dup_cluster_id": pa.array(
+                nodes[label].astype(np.int64), pa.int64()
+            ),
+        }
+    )

@@ -129,3 +129,38 @@ def test_exact_dups_score_1000(ray_session):
     texts = ["x y z w v u t s", "x y z w v u t s", "q r s t u v w x"]
     got = _run(texts, num_buckets=4)
     assert got[(0, 1)] == 1000
+
+
+def test_clusters_match_pairs(dup_docs, ray_session):
+    """Cluster labels == min-label connected components over the pair set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.minhash_doc import minhash_doc_clusters
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(dup_docs)), pa.int64()),
+            "text": pa.array(dup_docs, pa.string()),
+        }
+    )
+    got = minhash_doc_clusters(rd.from_arrow(t), num_buckets=8).to_pandas()
+    pairs = _run(dup_docs, num_buckets=8)
+    # independent union-find over the same pair set
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    assert {
+        (int(r.doc_id), int(r.dup_cluster_id)) for r in got.itertuples()
+    } == set(expected.items())
+    assert len(expected) > 0
