@@ -65,8 +65,18 @@ def run_bench() -> dict:
 
     cpath = clips_table_path(cache)
     n_clips = read_clips(cpath).count()
-    # warm page cache so we measure compute+shuffle, not first disk read
-    read_clips(cpath).count()
+    # warm page cache so we measure compute+shuffle, not first disk read.
+    # count() alone is metadata-only on parquet (touches no payload bytes);
+    # summing the audio column's lengths forces a real read of every page.
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    read_clips(cpath).map_batches(
+        lambda b: _pa.table(
+            {"n": _pa.array([_pc.sum(_pc.binary_length(b["bytes"])).as_py() or 0])}
+        ),
+        batch_format="pyarrow",
+    ).count()
     def one_headline() -> tuple[float, int]:
         t0 = time.time()
         clips = read_clips(cpath)
