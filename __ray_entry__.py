@@ -491,6 +491,17 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(docs, group_col="lang", k=25)
 
 
+def _q_hll_distinct(sf_dir: str):
+    import ray.data as rd
+
+    from intertext_ray.ops.sketches import hll_distinct
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return hll_distinct(docs, group_col="source", value_col="text", p=12)
+
+
 def _q_token_quantiles(sf_dir: str):
     from intertext_ray.ops.sampling import exact_int_quantiles
     from intertext_ray.ops.text_stats import token_counts
@@ -831,6 +842,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "stratified_sample": _q_stratified_sample,
         "token_quantiles": _q_token_quantiles,
+        "hll_distinct": _q_hll_distinct,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1230,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS value
             FROM qs
         """.replace("{toks}", _TOKS),
+        "hll_distinct": _hll_sql(p=12),
         "top_bigrams": """
             WITH d AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
@@ -1818,6 +1831,74 @@ def _redact_sql() -> str:
                    {counts}
             FROM documents
         """
+
+
+def _hll_sql(p: int = 12) -> str:
+    """Twin of ``ops.sketches.hll_distinct`` — recomputes the HLL sketch
+    itself in SQL: splitmix64 byte-chain per distinct (source, text),
+    register/rho split (rho via iterative bit-smear + bit_count), per-
+    register max, then the SAME integer-only estimator (alpha literal
+    imported from the op; HUGEINT power table instead of 2**x floats).
+    The linear-counting branch's ``floor(m * ln(m/V))`` is float, but libm
+    and DuckDB agree bit-exactly for every V in 1..m (pinned by
+    tests/test_sketches.py)."""
+    from intertext_ray.ops.sketches import alpha_x1e9
+
+    m = 1 << p
+    w = 64 - p  # remainder width
+    step = _sql_splitmix(
+        "xor(h, CAST(ascii(substr(text, pos + 1, 1)) AS UBIGINT))"
+    )
+    return f"""
+        WITH RECURSIVE
+        vals AS (SELECT DISTINCT source, text FROM documents),
+        chain(source, text, pos, h) AS (
+          SELECT source, text, 0, CAST(11400714819323198485 AS UBIGINT)
+          FROM vals
+          UNION ALL
+          SELECT source, text, pos + 1, {step}
+          FROM chain WHERE pos < length(text)
+        ),
+        th AS (SELECT source, h FROM chain WHERE pos = length(text)),
+        r0 AS (SELECT source,
+                      CAST(h >> {w} AS BIGINT) AS reg,
+                      CAST(h & ((CAST(1 AS UBIGINT) << {w}) - 1) AS BIGINT) AS rem
+               FROM th),
+        sm1 AS (SELECT source, reg, rem | (rem >> 1) AS s FROM r0),
+        sm2 AS (SELECT source, reg, s | (s >> 2) AS s FROM sm1),
+        sm3 AS (SELECT source, reg, s | (s >> 4) AS s FROM sm2),
+        sm4 AS (SELECT source, reg, s | (s >> 8) AS s FROM sm3),
+        sm5 AS (SELECT source, reg, s | (s >> 16) AS s FROM sm4),
+        sm6 AS (SELECT source, reg, s | (s >> 32) AS s FROM sm5),
+        rh AS (SELECT source, reg, {w} - bit_count(s) + 1 AS rho FROM sm6),
+        rr AS (SELECT source, reg, max(rho) AS rho FROM rh GROUP BY 1, 2),
+        pw(b, v) AS (
+          SELECT 0, CAST(1 AS HUGEINT)
+          UNION ALL SELECT b + 1, v * 2 FROM pw WHERE b < 64
+        ),
+        ag AS (SELECT source,
+                      CAST(count(*) AS HUGEINT) AS used,
+                      SUM(pw.v) AS s_present
+               FROM rr JOIN pw ON pw.b = 64 - rr.rho
+               GROUP BY source),
+        est AS (SELECT source, used,
+                       (CAST({alpha_x1e9(p)} AS HUGEINT) * {m} * {m}
+                          * (SELECT v FROM pw WHERE b = 64))
+                         // (s_present
+                             + ({m} - used) * (SELECT v FROM pw WHERE b = 64))
+                         // 1000000000 AS raw
+                FROM ag)
+        SELECT source,
+               CASE WHEN 2 * raw <= 5 * {m} AND used < {m}
+                    THEN CAST(floor({m} * ln(CAST({m} AS DOUBLE)
+                                             / CAST({m} - used AS DOUBLE)))
+                              AS BIGINT)
+                    ELSE CAST(raw AS BIGINT) END AS est_distinct,
+               CAST(used AS BIGINT) AS used_regs,
+               CASE WHEN 2 * raw <= 5 * {m} AND used < {m}
+                    THEN 'linear' ELSE 'raw' END AS method
+        FROM est ORDER BY source
+    """
 
 
 def _gram_fpr_prefix(k: int) -> str:

@@ -1,0 +1,153 @@
+"""Distributed cardinality sketches: HyperLogLog distinct-count.
+
+Why a sketch at 100 TB: exact ``COUNT(DISTINCT key)`` needs an all-to-all
+shuffle of every distinct key; an HLL register table is bounded at
+``m = 2^p`` rows *per group* regardless of corpus size.  Per-batch
+combiners max into a dense m-register array, so the shuffle moves at most
+``groups x m`` tiny rows, and register merge is an associative/commutative
+max — partition-order- and resume-invariant by construction (the same
+property the reference relies on for its bounter word-count sketch,
+``/root/reference/intertext/intertext.py:78,1253`` — this is the exact
+analogue for cardinality instead of frequency).
+
+Determinism contract (what makes the DuckDB twin hash-exact):
+- value hash = the splitmix64 byte-chain of ``ops/simhash.hash_bytes``;
+- register = top ``p`` hash bits, rho = leading-zero count of the
+  remaining ``64-p`` bits + 1 (bit_length via exact float64 ``frexp``,
+  valid because ``64-p <= 52 < 53`` mantissa bits — hence ``p >= 12``);
+- the estimator is integer-only: ``S = sum_j 2^(64 - rho_j)`` over all m
+  registers (empty register => rho 0 => 2^64), raw estimate
+  ``alpha_x1e9 * m^2 * 2^64 // S // 10^9``, and the standard
+  linear-counting correction ``floor(m * ln(m / V))`` when the raw
+  estimate is <= 2.5m (ln agreement between libm and DuckDB verified
+  exhaustively for every V in 1..m in tests).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from intertext_ray.ops.simhash import _chain_hash_tokens
+
+_U64 = np.uint64
+
+
+def alpha_x1e9(p: int) -> int:
+    """HLL bias constant for m = 2^p registers, scaled to an integer so the
+    engine and the SQL twin share one literal (p >= 7: 0.7213/(1+1.079/m))."""
+    m = 1 << p
+    return int(round(1e9 * 0.7213 * m / (m + 1.079)))
+
+
+def hll_registers(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    value_col: str = "text",
+    p: int = 12,
+) -> ray.data.Dataset:
+    """(group, reg, rho) register maxes — the mergeable sketch state.
+
+    Per-batch combiner: hash -> (reg, rho) -> ``np.maximum.at`` into a
+    dense ``groups_in_batch x m`` array, emit only non-empty registers.
+    The downstream groupby therefore exchanges at most ``groups x m``
+    rows per input block — bounded, never corpus-proportional.
+    """
+    if p < 12 or p > 16:
+        # p>=12 keeps the rho remainder under 2^52 (exact float64 /
+        # in-range HUGEINT twin); p<=16 bounds the estimator product
+        # under HUGEINT max in the SQL twin.
+        raise ValueError("hll_registers requires 12 <= p <= 16")
+    m = 1 << p
+    shift = _U64(64 - p)
+    rem_mask = _U64((1 << (64 - p)) - 1)
+
+    def regs(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        h = _chain_hash_tokens(vals)
+        reg = (h >> shift).astype(np.int64)
+        rem = (h & rem_mask).astype(np.float64)  # exact: < 2^52
+        bl = np.frexp(rem)[1]  # bit_length; frexp(0) -> 0
+        rho = ((64 - p) - bl + 1).astype(np.uint8)
+        enc = batch.column(group_col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        enc = enc.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = len(enc.dictionary)
+        dense = np.zeros(n_codes * m, dtype=np.uint8)
+        np.maximum.at(dense, codes * m + reg, rho)
+        nz = np.nonzero(dense)[0]
+        return pa.table(
+            {
+                group_col: enc.dictionary.take(pa.array(nz // m)),
+                "reg": pa.array(nz % m, pa.int64()),
+                "rho": pa.array(dense[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(regs, batch_format="pyarrow")
+        .groupby([group_col, "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+
+def hll_estimate(used: int, s_present: int, p: int) -> tuple[int, str]:
+    """Integer-exact HLL estimate from per-group register aggregates:
+    ``used`` = non-empty registers, ``s_present`` = sum of 2^(64-rho) over
+    them.  Returns (estimate, method)."""
+    m = 1 << p
+    s_total = s_present + (m - used) * (1 << 64)
+    raw = (alpha_x1e9(p) * m * m * (1 << 64)) // s_total // 10**9
+    if 2 * raw <= 5 * m and used < m:
+        return math.floor(m * math.log(m / (m - used))), "linear"
+    return raw, "raw"
+
+
+def hll_distinct(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    value_col: str = "text",
+    p: int = 12,
+) -> pa.Table:
+    """Approximate distinct ``value_col`` count per ``group_col`` value.
+
+    The register table brought to the driver is bounded by
+    ``n_groups x 2^p`` rows (the sketch's whole point); n_groups must be
+    driver-small, the VALUE cardinality is unbounded.  Standard error
+    ~= 1.04/sqrt(2^p) (~1.6% at p=12) in the raw regime; the
+    linear-counting branch covers small cardinalities exactly as in
+    Flajolet et al. 2007.
+    """
+    regs = hll_registers(ds, group_col, value_col, p).take_all()
+    per_group: dict[str, list[int, int]] = {}
+    for r in regs:
+        st = per_group.setdefault(r[group_col], [0, 0])
+        st[0] += 1
+        st[1] += 1 << (64 - int(r["rho"]))
+    groups = sorted(per_group)
+    ests, methods = [], []
+    for g in groups:
+        used, s_present = per_group[g]
+        est, method = hll_estimate(used, s_present, p)
+        ests.append(est)
+        methods.append(method)
+    return pa.table(
+        {
+            group_col: pa.array(groups, pa.string()),
+            "est_distinct": pa.array(ests, pa.int64()),
+            "used_regs": pa.array(
+                [per_group[g][0] for g in groups], pa.int64()
+            ),
+            "method": pa.array(methods, pa.string()),
+        }
+    )

@@ -1,0 +1,122 @@
+"""HyperLogLog distinct-count sketch: register parity vs a scalar
+reference, partition invariance, estimator accuracy, and the ln-agreement
+pin that makes the DuckDB twin's linear-counting branch hash-exact."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+P = 12
+M = 1 << P
+
+
+def _ref_registers(values, p=P):
+    """Scalar-reference HLL registers (independent of the engine path)."""
+    from intertext_ray.ops.simhash import hash_bytes
+
+    regs = {}
+    for v in values:
+        h = hash_bytes(v)
+        reg = h >> (64 - p)
+        rem = h & ((1 << (64 - p)) - 1)
+        rho = (64 - p) - rem.bit_length() + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def _tbl(groups, texts):
+    return pa.table(
+        {
+            "source": pa.array(groups, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_hll_registers_match_scalar_reference(ray_session):
+    from intertext_ray.ops.sketches import hll_registers
+
+    texts = [f"value {i} pad" for i in range(300)] + ["", " ", "dup", "dup"]
+    groups = ["a" if i % 3 else "b" for i in range(len(texts))]
+    ds = rd.from_arrow(_tbl(groups, texts))
+    got = {
+        (r["source"], r["reg"]): r["rho"]
+        for r in hll_registers(ds, "source", "text", P).take_all()
+    }
+    want = {}
+    for g in ("a", "b"):
+        vals = [t for t, gg in zip(texts, groups) if gg == g]
+        for reg, rho in _ref_registers(vals).items():
+            want[(g, reg)] = rho
+    assert got == want
+
+
+def test_hll_partition_invariance(ray_session):
+    from intertext_ray.ops.sketches import hll_distinct
+
+    texts = [f"doc {i} text body" for i in range(1000)]
+    groups = ["s%d" % (i % 4) for i in range(len(texts))]
+    tbl = _tbl(groups, texts)
+    one = hll_distinct(rd.from_arrow(tbl), "source", "text", P)
+    many = hll_distinct(
+        rd.from_arrow(tbl).repartition(17), "source", "text", P
+    )
+    assert one.equals(many)
+
+
+def test_hll_estimate_accuracy_raw_regime(ray_session):
+    from intertext_ray.ops.sketches import hll_distinct
+
+    n = 60_000  # >> 2.5 * M -> raw-estimator regime
+    texts = [f"unique value number {i}" for i in range(n)]
+    out = hll_distinct(
+        rd.from_arrow(_tbl(["all"] * n, texts)), "source", "text", P
+    ).to_pylist()[0]
+    assert out["method"] == "raw"
+    # std error ~1.04/sqrt(M) ~= 1.6%; allow 3 sigma
+    assert abs(out["est_distinct"] - n) / n < 0.05
+
+
+def test_hll_linear_counting_small_cardinality(ray_session):
+    from intertext_ray.ops.sketches import hll_distinct
+
+    n = 500
+    texts = [f"small {i}" for i in range(n)] * 3  # duplicates collapse
+    out = hll_distinct(
+        rd.from_arrow(_tbl(["g"] * len(texts), texts)), "source", "text", P
+    ).to_pylist()[0]
+    assert out["method"] == "linear"
+    # linear counting is near-exact at n << M
+    assert abs(out["est_distinct"] - n) / n < 0.05
+
+
+def test_hll_ln_agreement_duckdb_exhaustive():
+    """The ONE float op shared with the SQL twin: floor(m*ln(m/V)) must
+    agree between libm (engine) and DuckDB for every possible V."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT v, CAST(floor({M} * ln(CAST({M} AS DOUBLE) / CAST(v AS DOUBLE))) AS BIGINT)"
+        f" FROM generate_series(1, {M - 1}) t(v)"
+    ).fetchall()
+    for v, got in rows:
+        assert got == math.floor(M * math.log(M / v))
+
+
+def test_hll_estimator_integer_math_matches_float_formula():
+    """The integer-scaled raw estimator tracks the textbook float formula
+    to within rounding (sanity check on the scaling algebra)."""
+    from intertext_ray.ops.sketches import alpha_x1e9, hll_estimate
+
+    rng = np.random.default_rng(7)
+    rhos = rng.integers(1, 20, size=M)  # fully-populated register file
+    used = M
+    s_present = int(sum(1 << (64 - int(r)) for r in rhos))
+    est, method = hll_estimate(used, s_present, P)
+    assert method == "raw"
+    alpha = alpha_x1e9(P) / 1e9
+    z = sum(2.0 ** -float(r) for r in rhos)
+    want = alpha * M * M / z
+    assert abs(est - want) / want < 1e-4  # floor truncation + alpha rounding
