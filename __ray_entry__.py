@@ -491,6 +491,12 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(docs, group_col="lang", k=25)
 
 
+def _q_cms_word_counts(sf_dir: str):
+    from intertext_ray.ops.sketches import cms_estimate_words
+
+    return cms_estimate_words(_docs(sf_dir), width=8192, depth=4)
+
+
 def _q_hll_distinct(sf_dir: str):
     import ray.data as rd
 
@@ -843,6 +849,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "token_quantiles": _q_token_quantiles,
         "hll_distinct": _q_hll_distinct,
+        "cms_word_counts": _q_cms_word_counts,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1243,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
             FROM qs
         """.replace("{toks}", _TOKS),
         "hll_distinct": _hll_sql(p=12),
+        "cms_word_counts": _cms_sql(width=8192, depth=4),
         "top_bigrams": """
             WITH d AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
@@ -1831,6 +1839,38 @@ def _redact_sql() -> str:
                    {counts}
             FROM documents
         """
+
+
+def _cms_sql(width: int = 8192, depth: int = 4) -> str:
+    """Twin of ``ops.sketches.cms_estimate_words`` — recomputes the
+    count-min sketch in SQL: token chain hash, per-row salted positions
+    (salt literals imported from the op), cell sums, min-over-rows
+    estimate. Integer-only, so hash-exact including any collisions."""
+    from intertext_ray.ops.sketches import cms_salts
+
+    selects = []
+    for i, salt in enumerate(cms_salts(depth)):
+        expr = _sql_splitmix(f"xor(h, CAST({salt} AS UBIGINT))")
+        selects.append(
+            f"SELECT w, {i} AS i, CAST(({expr}) % {width} AS BIGINT) AS p FROM th"
+        )
+    pos_union = "\n          UNION ALL\n          ".join(selects)
+    return f"""
+        WITH RECURSIVE
+        toks AS ({_TOKS}),
+        tc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        {_SQL_TOKEN_CHAIN},
+        pos AS (
+          {pos_union}
+        ),
+        cells AS (
+          SELECT i, p, SUM(c) AS cell
+          FROM pos JOIN tc USING (w) GROUP BY i, p
+        )
+        SELECT pos.w AS w, CAST(MIN(cells.cell) AS BIGINT) AS est_count
+        FROM pos JOIN cells USING (i, p)
+        GROUP BY pos.w
+    """
 
 
 def _hll_sql(p: int = 12) -> str:

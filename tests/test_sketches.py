@@ -105,6 +105,50 @@ def test_hll_ln_agreement_duckdb_exhaustive():
         assert got == math.floor(M * math.log(M / v))
 
 
+def test_cms_never_undercounts_and_is_exact_without_collisions(ray_session):
+    from collections import Counter
+
+    from intertext_ray.ops.sketches import cms_estimate_words
+
+    texts = [f"alpha beta gamma w{i % 40}" for i in range(400)]
+    truth = Counter(w for t in texts for w in t.split())
+    docs = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    wide = {
+        r["w"]: r["est_count"]
+        for r in cms_estimate_words(docs, width=8192, depth=4).take_all()
+    }
+    assert set(wide) == set(truth)
+    # 43 distinct words into 4 rows of 8192 cells: no collisions -> exact
+    assert wide == dict(truth)
+    # force collisions: estimates may only overcount, never undercount
+    tight = {
+        r["w"]: r["est_count"]
+        for r in cms_estimate_words(docs, width=16, depth=2).take_all()
+    }
+    assert all(tight[w] >= c for w, c in truth.items())
+    assert sum(tight.values()) > sum(truth.values())  # collisions occurred
+
+
+def test_cms_partition_invariance(ray_session):
+    from intertext_ray.ops.sketches import cms_estimate_words
+
+    texts = [f"tok{i % 97} tok{i % 13} filler" for i in range(600)]
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    one = {
+        r["w"]: r["est_count"]
+        for r in cms_estimate_words(
+            rd.from_arrow(tbl), width=64, depth=3
+        ).take_all()
+    }
+    many = {
+        r["w"]: r["est_count"]
+        for r in cms_estimate_words(
+            rd.from_arrow(tbl).repartition(23), width=64, depth=3
+        ).take_all()
+    }
+    assert one == many
+
+
 def test_hll_estimator_integer_math_matches_float_formula():
     """The integer-scaled raw estimator tracks the textbook float formula
     to within rounding (sanity check on the scaling algebra)."""
