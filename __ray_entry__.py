@@ -781,6 +781,17 @@ def _q_joint_dup_report(sf_dir: str):
     return docs_as_int64(joint_dup_report(clips, num_buckets=16))
 
 
+def _q_audio_segments(sf_dir: str):
+    """Silence-based clip segmentation (no SQL twin: decode not
+    DuckDB-expressible; local tests pin spans + byte-exact payloads).
+    Metadata columns only — the segment payload stays in the op."""
+    from intertext_ray.ops.audio_segment import segment_clips
+    from intertext_ray.pipelines.documents import docs_as_int64
+
+    segs = segment_clips(_audio_dup_clips(sf_dir), with_payload=False)
+    return docs_as_int64(segs)
+
+
 def _q_audio_stats(sf_dir: str):
     """Per-clip loudness/silence/clipping stats (no SQL twin: decode not
     DuckDB-expressible; local test pins vs direct computation)."""
@@ -886,6 +897,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_pairs": _q_audio_dup_pairs,
         "audio_dup_clusters": _q_audio_dup_clusters,
         "audio_stats": _q_audio_stats,
+        "audio_segments": _q_audio_segments,
         "joint_dup_report": _q_joint_dup_report,
         "image_features_stub": _q_image_features,
     }

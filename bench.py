@@ -169,6 +169,19 @@ def run_bench() -> dict:
     exact_dedup(read_documents(SF_DIR)).count()
     queries["text_ops"] = round(time.time() - t0, 3)
 
+    # ---- bounded-state sketches (HLL cardinality + count-min frequency) ----
+    from intertext_ray.ops.sketches import cms_estimate_words, hll_distinct
+
+    t0 = time.time()
+    hll_distinct(
+        rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["source", "text"]
+        ),
+        group_col="source",
+    )
+    cms_estimate_words(read_documents(SF_DIR)).count()
+    queries["sketch_ops"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     docs1k = read_documents(SF_DIR).map_batches(
         lambda b: b.filter(pc.less(b["doc_id"], pa.scalar(1000))),
