@@ -74,3 +74,46 @@ def test_get_sequences_partitions_input(ids):
     assert flat == sorted(set(ids))
     for r in runs:
         assert r == list(range(r[0], r[-1] + 1))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**15), max_value=2**15 - 1),
+        min_size=0,
+        max_size=4000,
+    ),
+    st.sampled_from([8000, 16000]),
+)
+def test_segment_spans_well_formed(samples, sr):
+    from intertext_ray.ops.audio_segment import segment_spans
+
+    pcm = np.asarray(samples, dtype=np.int16)
+    spans = segment_spans(pcm, sr, min_gap_ms=100, min_seg_ms=50)
+    prev_end = -1
+    for s, e in spans:
+        assert 0 <= s < e <= len(pcm)
+        assert s > prev_end  # sorted, non-overlapping
+        assert (e - s) * 1000 >= 50 * sr  # min length respected
+        prev_end = e
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_hll_register_merge_is_set_union(values):
+    """Registers of a concatenation == elementwise max of the halves'
+    registers (the associativity the distributed combiner relies on)."""
+    from tests.test_sketches import _ref_registers
+
+    half = len(values) // 2
+    a, b = _ref_registers(values[:half]), _ref_registers(values[half:])
+    merged = dict(a)
+    for r, rho in b.items():
+        merged[r] = max(merged.get(r, 0), rho)
+    assert merged == _ref_registers(values)
