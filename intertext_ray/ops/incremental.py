@@ -93,7 +93,10 @@ def incremental_dup_pairs(
     the previous waves' already-settled result and is never recomputed.
 
     ``num_buckets`` must equal the index's build-time value (bucket = gram
-    hash mod num_buckets on both sides)."""
+    hash mod num_buckets on both sides).  Wave doc_ids are assumed disjoint
+    from the index's (re-ingesting an existing id yields a trivial
+    jaccard=1000 self-pair — the SQL twin replicates that, but it means
+    "already present", not "near-duplicate")."""
     nb = _U64(num_buckets)
     pct = int(round(min_jaccard * 100))
 
