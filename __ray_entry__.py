@@ -306,6 +306,17 @@ def _q_windowed_events(sf_dir: str):
     return windowed_event_stats(ev, window_hours=1)
 
 
+def _q_props_stats(sf_dir: str):
+    import ray.data
+
+    from intertext_ray.ops.events import props_int_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return props_int_stats(ev, key="k")
+
+
 def _q_sessions(sf_dir: str):
     import ray.data
 
@@ -846,6 +857,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_token_counts,
         "windowed_event_stats": _q_windowed_events,
+        "event_props_stats": _q_props_stats,
         "event_sessions": _q_sessions,
         "asof_click_view": _q_asof,
         "event_session_assignment": _q_event_session_assignment,
@@ -1095,6 +1107,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
                        AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "event_props_stats": """
+            -- semi-structured extraction: the twin parses the JSON for
+            -- real (json_extract); the engine uses the vectorized
+            -- flat-key regex fast path — same extraction spec
+            WITH x AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM x WHERE k IS NOT NULL GROUP BY event_type
         """,
         "event_sessions": """
             -- gaps-and-islands sessionization, 30-min gap

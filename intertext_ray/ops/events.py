@@ -384,3 +384,87 @@ def sliding_event_stats(
             Sum("sum_cents", alias_name="sum_cents"),
         )
     )
+
+
+def props_int_stats(
+    events: ray.data.Dataset,
+    key: str = "k",
+    props_col: str = "props",
+    group_col: str = "event_type",
+) -> ray.data.Dataset:
+    """Semi-structured extraction + aggregate: pull an integer field out of
+    the JSON ``props`` column and report per-``group_col`` (n_events,
+    sum_k, min_k, max_k).
+
+    Extraction is ``pc.extract_regex`` over the Arrow string column — the
+    vectorized fast path for flat numeric keys (exactly the shape of the
+    events fixture; a general nested-JSON extractor would be an actor-pool
+    stage holding a parser).  Rows without the key drop out on BOTH sides
+    (the DuckDB twin uses ``json_extract .. IS NOT NULL``).  Same combiner
+    shape as :func:`windowed_event_stats`: per-batch partials, then one
+    groupby over ``group_col`` keys (≪ events)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    pattern = f'"{key}":\\s*(?P<v>-?\\d+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch[props_col]
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        ext = pc.extract_regex(props, pattern)
+        v = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        ok = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        if not ok.any():
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_k": pa.array([], pa.int64()),
+                    "min_k": pa.array([], pa.int64()),
+                    "max_k": pa.array([], pa.int64()),
+                }
+            )
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        enc = grp.filter(pa.array(ok)).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = v.to_numpy(zero_copy_only=False)[ok]
+        order = np.argsort(codes, kind="stable")
+        codes, vals = codes[order], vals[order]
+        first = np.ones(len(codes), dtype=bool)
+        if len(codes) > 1:
+            first[1:] = codes[1:] != codes[:-1]
+        starts = np.nonzero(first)[0]
+        seg = np.cumsum(first) - 1
+        return pa.table(
+            {
+                group_col: enc.dictionary.take(pa.array(codes[starts])),
+                "n_events": pa.array(np.bincount(seg), pa.int64()),
+                "sum_k": pa.array(
+                    np.bincount(seg, weights=vals.astype(np.float64)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "min_k": pa.array(
+                    np.minimum.reduceat(vals, starts), pa.int64()
+                ),
+                "max_k": pa.array(
+                    np.maximum.reduceat(vals, starts), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        events.select_columns([group_col, props_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )

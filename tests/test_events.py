@@ -171,3 +171,35 @@ def test_sliding_window_covers_two_windows(ray_session):
 
     with _pytest.raises(ValueError):
         sliding_event_stats(ev, window_hours=3, slide_hours=2)
+
+
+def test_props_int_stats_brute_force_and_nulls(ray_session):
+    import json
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.events import props_int_stats
+
+    rows = []
+    for i in range(500):
+        et = f"type{i % 3}"
+        props = json.dumps({"k": (i * 7) % 100 - 50}) if i % 10 else "{}"
+        rows.append((et, props))
+    tbl = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "props": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_k"], r["min_k"], r["max_k"])
+        for r in props_int_stats(rd.from_arrow(tbl).repartition(7)).take_all()
+    }
+    want = {}
+    for et, props in rows:
+        d = json.loads(props)
+        if "k" not in d:
+            continue  # null-key rows drop out on both sides
+        n, s, lo, hi = want.get(et, (0, 0, 10**9, -(10**9)))
+        want[et] = (n + 1, s + d["k"], min(lo, d["k"]), max(hi, d["k"]))
+    assert got == want
