@@ -508,6 +508,17 @@ def _q_cms_word_counts(sf_dir: str):
     return cms_estimate_words(_docs(sf_dir), width=8192, depth=4)
 
 
+def _q_token_quantiles_sketch(sf_dir: str):
+    from intertext_ray.ops.sketches import log2_quantile_sketch
+    from intertext_ray.ops.text_stats import token_counts
+
+    return log2_quantile_sketch(
+        token_counts(_docs(sf_dir)),
+        "n_tokens",
+        [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0],
+    )
+
+
 def _q_hll_distinct(sf_dir: str):
     import ray.data as rd
 
@@ -871,6 +882,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "stratified_sample": _q_stratified_sample,
         "token_quantiles": _q_token_quantiles,
+        "token_quantiles_sketch": _q_token_quantiles_sketch,
         "hll_distinct": _q_hll_distinct,
         "cms_word_counts": _q_cms_word_counts,
         "lang_id": _q_lang,
@@ -1287,6 +1299,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT MIN(v) FROM s, nn
                          WHERE cum >= GREATEST(1, CAST(CEIL(CAST(q AS DOUBLE) * n) AS BIGINT)))
                         AS BIGINT) AS value
+            FROM qs
+        """.replace("{toks}", _TOKS),
+        "token_quantiles_sketch": f"""
+            WITH RECURSIVE toks AS ({{toks}}),
+            tc AS (
+              SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, 0 FROM documents WHERE trim(text) = ''
+            ),
+            -- bucket = bit_length(v) via iterative bit-smear + bit_count
+            b0 AS (SELECT CAST(n_tokens AS BIGINT) AS v FROM tc),
+            s1 AS (SELECT v | (v >> 1) AS s FROM b0),
+            s2 AS (SELECT s | (s >> 2) AS s FROM s1),
+            s3 AS (SELECT s | (s >> 4) AS s FROM s2),
+            s4 AS (SELECT s | (s >> 8) AS s FROM s3),
+            s5 AS (SELECT s | (s >> 16) AS s FROM s4),
+            s6 AS (SELECT s | (s >> 32) AS s FROM s5),
+            bk AS (SELECT bit_count(s) AS bucket FROM s6),
+            c AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY bucket),
+            s AS (SELECT bucket,
+                         CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+                  FROM c),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bk),
+            pw(bb, pv) AS (
+              SELECT 0, CAST(1 AS BIGINT)
+              UNION ALL SELECT bb + 1, pv * 2 FROM pw WHERE bb < 62
+            ),
+            qs(q) AS (VALUES (0.0),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99),(1.0))
+            SELECT CAST(q AS DOUBLE) AS q,
+                   CAST((SELECT pv FROM pw WHERE bb = (
+                          SELECT MIN(bucket) FROM s, nn
+                          WHERE cum >= GREATEST(1, CAST(CEIL(CAST(q AS DOUBLE) * n) AS BIGINT))
+                        )) - 1 AS BIGINT) AS est_value
             FROM qs
         """.replace("{toks}", _TOKS),
         "hll_distinct": _hll_sql(p=12),

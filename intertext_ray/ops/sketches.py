@@ -245,6 +245,65 @@ def cms_estimate_words(
     return vocab.map_batches(probe, batch_format="pyarrow")
 
 
+def log2_quantile_sketch(
+    values: ray.data.Dataset,
+    value_col: str,
+    qs: list[float],
+) -> pa.Table:
+    """Mergeable quantile sketch over a non-negative integer column:
+    power-of-two buckets (``bucket = bit_length(v)``), so the state is at
+    most 54 counters regardless of corpus size or distinct-value count —
+    the bounded-state upgrade of ``ops.sampling.exact_int_quantiles``
+    (whose histogram grows with DISTINCT values).  (q, est_value) with
+    ``est_value = 2^bucket - 1``, the bucket's inclusive upper bound: a
+    2x-relative-accuracy guarantee (``exact <= est < 2*exact + 1``), the
+    gamma=2 instance of the DDSketch idea.
+
+    Same rank convention as the exact op (smallest bucket whose cumulative
+    count reaches ``max(1, ceil(q*n))``); integer-only, so the DuckDB twin
+    (bit-smear + bit_count bucketing) is hash-exact.  Values must be in
+    [0, 2^53) — bit_length via exact float64 frexp, as in the HLL rho."""
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.frexp(v.astype(np.float64))[1]  # bit_length; frexp(0) -> 0
+        cnt = np.bincount(b, minlength=1).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "cnt": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        values.select_columns([value_col])
+        .map_batches(buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["bucket"])
+    b = np.array([r["bucket"] for r in rows], dtype=np.int64)
+    cum = np.cumsum([r["cnt"] for r in rows]).astype(np.int64)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        idx = int(np.searchsorted(cum, rank))
+        bb = int(b[min(idx, len(b) - 1)]) if n else 0
+        out_q.append(float(q))
+        out_v.append((1 << bb) - 1)
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "est_value": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
 def hll_distinct(
     ds: ray.data.Dataset,
     group_col: str = "source",

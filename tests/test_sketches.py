@@ -164,3 +164,29 @@ def test_hll_estimator_integer_math_matches_float_formula():
     z = sum(2.0 ** -float(r) for r in rhos)
     want = alpha * M * M / z
     assert abs(est - want) / want < 1e-4  # floor truncation + alpha rounding
+
+
+def test_log2_quantile_sketch_bounds_and_invariance(ray_session):
+    from intertext_ray.ops.sketches import log2_quantile_sketch
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [rng.integers(0, 5000, 3000), np.zeros(50, np.int64)]
+    ).astype(np.int64)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    got = log2_quantile_sketch(rd.from_arrow(tbl), "v", qs).to_pylist()
+    svals = np.sort(vals)
+    n = len(svals)
+    for row in got:
+        rank = max(1, int(np.ceil(row["q"] * n)))
+        exact = int(svals[rank - 1])
+        est = row["est_value"]
+        # est is the inclusive upper bound of exact's power-of-two bucket
+        assert est == (1 << exact.bit_length()) - 1
+        assert exact <= est <= 2 * exact + 1  # 2x relative guarantee
+    # partition invariance
+    again = log2_quantile_sketch(
+        rd.from_arrow(tbl).repartition(13), "v", qs
+    ).to_pylist()
+    assert again == got
