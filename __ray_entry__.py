@@ -814,6 +814,19 @@ def _q_audio_segments(sf_dir: str):
     return docs_as_int64(segs)
 
 
+def _q_audio_transcode(sf_dir: str):
+    """Canonical-codec rewrite with per-row invariant verification (no SQL
+    twin: codecs not DuckDB-expressible; tests pin round-trip exactness).
+    Metadata columns only — payload stays in the op."""
+    from intertext_ray.ops.audio_transcode import transcode_clips
+    from intertext_ray.pipelines.documents import docs_as_int64
+
+    out = transcode_clips(
+        _audio_dup_clips(sf_dir), to_codec="flac", with_payload=False
+    )
+    return docs_as_int64(out)
+
+
 def _q_audio_stats(sf_dir: str):
     """Per-clip loudness/silence/clipping stats (no SQL twin: decode not
     DuckDB-expressible; local test pins vs direct computation)."""
@@ -922,6 +935,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_clusters": _q_audio_dup_clusters,
         "audio_stats": _q_audio_stats,
         "audio_segments": _q_audio_segments,
+        "audio_transcode": _q_audio_transcode,
         "joint_dup_report": _q_joint_dup_report,
         "image_features_stub": _q_image_features,
     }
