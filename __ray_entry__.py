@@ -445,6 +445,22 @@ def _q_minhash_doc_clusters(sf_dir: str):
     )
 
 
+def _q_source_dup_report(sf_dir: str):
+    """Per-source duplication rollup over the doc-level MinHash chain —
+    the twin recomputes dup membership from the raw table (same chain as
+    minhash_doc_clusters) then LEFT JOINs back to documents."""
+    import ray.data
+
+    from intertext_ray.ops.minhash_doc import source_dup_report
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return source_dup_report(
+        docs, k=3, n_perm=16, band_rows=2, min_jaccard=0.5
+    )
+
+
 def _q_simhash(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -911,6 +927,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _q_doc_top_terms,
         "minhash_doc_dedup": _q_minhash_doc,
         "minhash_doc_clusters": _q_minhash_doc_clusters,
+        "source_dup_report": _q_source_dup_report,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dups": _q_simhash_pairs,
         "rolling_fingerprints": _q_rolling_fp,
@@ -1031,14 +1048,24 @@ _SQL_SIMHASH_FP = f"""
     )
 """
 
-# work dirs of the checkpointed engine runs the relational twins read from
-# (driver correctness runs at sf0.01; clips corpus is 500 clips there)
-_ENTRY_WORK = "/tmp/itx_entry_sf0.01"
-_CLIPS_WORK = "/tmp/itx_clips_v4_n500_s42_a1/dedup_work"
+# work dirs of the checkpointed engine runs the relational twins read from.
+# Defaults target the DRIVER contract (correctness runs at sf0.01, whose
+# clips corpus is 500 clips); tools/check_entry.py overrides via env so
+# the same twins are honest at any sf tier.
 
 
-def _ck(stage: str, work: str = _ENTRY_WORK) -> str:
-    return f"read_parquet('{work}/{stage}/*.parquet')"
+def _entry_work() -> str:
+    return os.environ.get("ITX_ORACLE_ENTRY_WORK", "/tmp/itx_entry_sf0.01")
+
+
+def _clips_work() -> str:
+    return os.environ.get(
+        "ITX_ORACLE_CLIPS_WORK", "/tmp/itx_clips_v4_n500_s42_a1/dedup_work"
+    )
+
+
+def _ck(stage: str, work: str | None = None) -> str:
+    return f"read_parquet('{work or _entry_work()}/{stage}/*.parquet')"
 
 
 def _sql_doc_clusters(matches_src: str) -> str:
@@ -1529,6 +1556,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_doc_dedup": _minhash_doc_sql(
             k=3, n_perm=16, band_rows=2, pct=50
         ),
+        "source_dup_report": _source_dup_report_sql(
+            k=3, n_perm=16, band_rows=2, pct=50
+        ),
         "minhash_doc_clusters": _minhash_doc_clusters_sql(
             k=3, n_perm=16, band_rows=2, pct=50
         ),
@@ -1670,7 +1700,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters": _sql_doc_clusters(_ck("matches")),
         "dedup_survivors": _sql_survivors(_ck("matches")),
-        "clips_pipeline": _sql_doc_clusters(_ck("matches", _CLIPS_WORK)),
+        "clips_pipeline": _sql_doc_clusters(_ck("matches", _clips_work())),
         "pair_clusters": f"WITH {_pair_clusters_cte()} SELECT * FROM pcres",
         "match_scatterplots": _scatterplots_sql(),
         "audio_validate": f"""
@@ -1679,7 +1709,7 @@ def oracle_sql() -> dict[str, str]:
             -- must decode (decode_ok) and reconstruct at SNR >= 30 dB
             SELECT codec, count(*) AS n, count(*) AS n_decoded,
                    count(*) AS n_snr_ok
-            FROM read_parquet('{_CLIPS_WORK.rsplit("/", 1)[0]}/clips/*.parquet')
+            FROM read_parquet('{_clips_work().rsplit("/", 1)[0]}/clips/*.parquet')
             GROUP BY codec
         """,
     }
@@ -2118,6 +2148,33 @@ def _minhash_doc_clusters_sql(
         SELECT CAST(node AS BIGINT) AS doc_id,
                CAST(min(label) AS BIGINT) AS dup_cluster_id
         FROM ccx GROUP BY node
+    """
+
+
+def _source_dup_report_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50
+) -> str:
+    """Twin of ``ops.minhash_doc.source_dup_report`` — dup membership
+    recomputed from the raw table via the shared minhash chain, then a
+    LEFT JOIN back to documents for the per-source rollup."""
+    return f"""
+        {_minhash_doc_chain(k, n_perm, band_rows, pct)},
+        dupdocs AS (
+          -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB executes a
+          -- CTE-level UNION as UNION ALL (observed: 50 rows from 47
+          -- distinct nodes), which would double-count via the LEFT JOIN
+          SELECT DISTINCT node FROM (
+            SELECT doc_a AS node FROM mpairs
+            UNION ALL SELECT doc_b FROM mpairs
+          )
+        )
+        SELECT d.source AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(dd.node) AS BIGINT) AS n_dup_docs,
+               CAST(floor(1000.0 * count(dd.node) / count(*)) AS BIGINT)
+                   AS dup_rate_x1000
+        FROM documents d LEFT JOIN dupdocs dd ON dd.node = d.doc_id
+        GROUP BY d.source
     """
 
 

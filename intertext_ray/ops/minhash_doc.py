@@ -473,3 +473,84 @@ def minhash_doc_clusters(
             ),
         }
     )
+
+
+def source_dup_report(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    group_col: str = "source",
+    **kwargs,
+) -> pa.Table:
+    """Per-``group_col`` duplication rollup: (group, n_docs, n_dup_docs,
+    dup_rate_x1000) where a doc counts as dup iff it appears in any
+    verified :func:`minhash_doc_dedup` pair — the governance report a
+    curation pipeline publishes per source/snapshot.
+
+    Scale shape: the dup-doc id set is pair-graph-sized (≪ corpus, same
+    justification as the driver union-find) and is broadcast ONCE as a
+    sorted array via ``ray.put``; the corpus side streams through a
+    searchsorted membership test + per-batch per-group partial counts, so
+    the only exchange is the tiny (group, partials) groupby."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    clusters = minhash_doc_clusters(
+        docs.select_columns(["doc_id", text_col]), text_col=text_col, **kwargs
+    )
+    dup_ids = np.sort(clusters["doc_id"].to_numpy(zero_copy_only=False))
+    ref = ray.put(dup_ids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)  # sorted once on the driver
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids):
+            pos = np.minimum(np.searchsorted(ids, d), len(ids) - 1)
+            is_dup = ids[pos] == d
+        else:
+            is_dup = np.zeros(len(d), dtype=bool)
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        enc = grp.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = len(enc.dictionary)
+        return pa.table(
+            {
+                group_col: enc.dictionary,
+                "n_docs": pa.array(
+                    np.bincount(codes, minlength=nc).astype(np.int64)
+                ),
+                "n_dup_docs": pa.array(
+                    np.bincount(
+                        codes, weights=is_dup.astype(np.float64), minlength=nc
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    rolled = (
+        docs.select_columns(["doc_id", group_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_dup_docs", alias_name="n_dup_docs"),
+        )
+        .take_all()
+    )
+    rolled.sort(key=lambda r: r[group_col])
+    rate = [
+        int(np.floor(1000.0 * r["n_dup_docs"] / r["n_docs"]))
+        for r in rolled
+    ]
+    return pa.table(
+        {
+            group_col: pa.array([r[group_col] for r in rolled], pa.string()),
+            "n_docs": pa.array([r["n_docs"] for r in rolled], pa.int64()),
+            "n_dup_docs": pa.array(
+                [r["n_dup_docs"] for r in rolled], pa.int64()
+            ),
+            "dup_rate_x1000": pa.array(rate, pa.int64()),
+        }
+    )

@@ -164,3 +164,52 @@ def test_clusters_match_pairs(dup_docs, ray_session):
         (int(r.doc_id), int(r.dup_cluster_id)) for r in got.itertuples()
     } == set(expected.items())
     assert len(expected) > 0
+
+
+def test_source_dup_report_matches_pairwise_truth(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.minhash_doc import (
+        minhash_doc_dedup,
+        source_dup_report,
+    )
+
+    texts, sources = [], []
+    for i in range(120):
+        if i % 4 == 0:
+            texts.append("the quick brown fox jumps over the lazy dog wow")
+        elif i % 4 == 1:
+            texts.append("the quick brown fox jumps over the lazy dog yes")
+        else:
+            texts.append(f"totally unique document number {i} with words {i*7}")
+        sources.append(f"src{i % 3}")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(120), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(sources, pa.string()),
+        }
+    )
+    kw = dict(k=3, n_perm=16, band_rows=2, min_jaccard=0.5)
+    pairs = minhash_doc_dedup(
+        rd.from_arrow(tbl).select_columns(["doc_id", "text"]), **kw
+    ).take_all()
+    dup = set()
+    for p in pairs:
+        dup.add(p["doc_a"])
+        dup.add(p["doc_b"])
+    assert dup  # planted near-dups must be found
+    got = source_dup_report(
+        rd.from_arrow(tbl).repartition(9), **kw
+    ).to_pylist()
+    want = {}
+    for i in range(120):
+        n, d = want.get(sources[i], (0, 0))
+        want[sources[i]] = (n + 1, d + (1 if i in dup else 0))
+    assert len(got) == 3
+    for row in got:
+        n, d = want[row["source"]]
+        assert (row["n_docs"], row["n_dup_docs"]) == (n, d)
+        assert row["dup_rate_x1000"] == int(np.floor(1000.0 * d / n))

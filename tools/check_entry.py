@@ -46,6 +46,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # point the checkpoint-reading oracle twins at THIS tier's work dirs
+    # (the driver contract defaults them to sf0.01)
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    os.environ["ITX_ORACLE_ENTRY_WORK"] = f"/tmp/itx_entry_{tag}"
+
     import ray
 
     if not ray.is_initialized():
@@ -57,6 +64,12 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
+
+    from intertext_ray.pipelines.documents import clips_corpus_for_sf
+
+    os.environ["ITX_ORACLE_CLIPS_WORK"] = (
+        clips_corpus_for_sf(sf_dir, with_audio=True) + "/dedup_work"
+    )
 
     con = duckdb.connect()
     for t in TABLES:
