@@ -320,7 +320,7 @@ def hll_distinct(
     Flajolet et al. 2007.
     """
     regs = hll_registers(ds, group_col, value_col, p).take_all()
-    per_group: dict[str, list[int, int]] = {}
+    per_group: dict[str, list[int]] = {}  # group -> [used, s_present]
     for r in regs:
         st = per_group.setdefault(r[group_col], [0, 0])
         st[0] += 1
