@@ -1163,12 +1163,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_props_stats": """
             -- semi-structured extraction: the twin parses the JSON for
-            -- real (json_extract); the engine uses the vectorized
-            -- flat-key regex fast path — same extraction spec
+            -- real (json_extract); the engine uses a vectorized flat-key
+            -- regex fast path plus a json.loads fallback for rows where
+            -- the regex could mislead (escapes / nesting / quoted or
+            -- float values).  Contract on BOTH sides: the value counts
+            -- only when '$.k' is a TOP-LEVEL integer-typed JSON value —
+            -- hence the json_type guard (quoted "12" and floats drop).
             WITH x AS (
               SELECT event_type,
                      CAST(json_extract(props, '$.k') AS BIGINT) AS k
               FROM events
+              WHERE json_valid(props)
+                AND json_type(props, '$.k') IN ('BIGINT','UBIGINT')
             )
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_events,

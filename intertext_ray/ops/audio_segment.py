@@ -113,9 +113,14 @@ def segment_clips(
                 cols["clip_id"].append(cids[i])
                 cols["doc_id"].append(int(doc[i]))
                 cols["seg_idx"].append(j)
-                cols["start_ms"].append(s * 1000 // sr)
-                cols["end_ms"].append(e * 1000 // sr)
-                cols["dur_ms"].append((e - s) * 1000 // sr)
+                start_ms = s * 1000 // sr
+                end_ms = e * 1000 // sr
+                cols["start_ms"].append(start_ms)
+                cols["end_ms"].append(end_ms)
+                # derived, not independently floored: end_ms - start_ms can
+                # differ from floor((e-s)*1000/sr) by 1 ms, and downstream
+                # consumers recompute duration from the boundaries
+                cols["dur_ms"].append(end_ms - start_ms)
                 cols["n_samples"].append(e - s)
                 cols["sr_hz"].append(sr)
                 if with_payload:

@@ -69,7 +69,7 @@ def transcode_clips(
             payloads.append(blob)
         out = {
             "clip_id": batch["clip_id"],
-            "doc_id": pa.array(doc, pa.uint64()),
+            "doc_id": pa.array(np.asarray(doc, dtype=np.int64), pa.int64()),
             "codec": pa.array([to_codec] * n, pa.string()),
             "sr_hz": pa.array(srs.astype(np.int32), pa.int32()),
             "n_samples": pa.array(nsamp, pa.int64()),

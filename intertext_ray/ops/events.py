@@ -396,17 +396,42 @@ def props_int_stats(
     the JSON ``props`` column and report per-``group_col`` (n_events,
     sum_k, min_k, max_k).
 
-    Extraction is ``pc.extract_regex`` over the Arrow string column — the
-    vectorized fast path for flat numeric keys (exactly the shape of the
-    events fixture; a general nested-JSON extractor would be an actor-pool
-    stage holding a parser).  Rows without the key drop out on BOTH sides
-    (the DuckDB twin uses ``json_extract .. IS NOT NULL``).  Same combiner
-    shape as :func:`windowed_event_stats`: per-batch partials, then one
-    groupby over ``group_col`` keys (≪ events)."""
+    Contract: the extracted field is a TOP-LEVEL integer-typed JSON value
+    (the twin guards with ``json_type(props,'$.key') IN ('BIGINT',
+    'UBIGINT')``).  Extraction is ``pc.extract_regex`` over the Arrow
+    string column — the vectorized fast path — but the regex alone can
+    match inside nested objects or string values and can truncate floats,
+    so rows where that is POSSIBLE (any escape ``\\``, any nesting, or a
+    quoted/float value after the key) are detected vectorized and re-parsed
+    with ``json.loads``; only those pay the Python parse.  A key embedded
+    in a JSON string value necessarily carries a ``\\"`` escape, so the
+    backslash check catches that case.  Rows without a top-level integer
+    value drop out on BOTH sides.  Same combiner shape as
+    :func:`windowed_event_stats`: per-batch partials, then one groupby
+    over ``group_col`` keys (≪ events)."""
+    import json
+
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min, Sum
 
-    pattern = f'"{key}":\\s*(?P<v>-?\\d+)'
+    pattern = f'"{key}"\\s*:\\s*(?P<v>-?\\d+)'
+    # a regex hit on one of these shapes may not be a top-level integer:
+    #   \\            escapes => key text could live inside a string value
+    #   {...{ or [    nested containers => key could be non-top-level
+    #   "key": " / digits followed by . e E  => quoted or float value
+    suspect_pat = (
+        '\\\\|\\[|\\{[^{]*\\{'
+        f'|"{key}"\\s*:\\s*("|-?\\d+[.eE])'
+    )
+
+    def _exact(raw: str) -> int | None:
+        try:
+            val = json.loads(raw).get(key)
+        except Exception:
+            return None
+        if isinstance(val, bool) or not isinstance(val, int):
+            return None
+        return val
 
     def partial(batch: pa.Table) -> pa.Table:
         props = batch[props_col]
@@ -415,6 +440,19 @@ def props_int_stats(
         ext = pc.extract_regex(props, pattern)
         v = pc.cast(pc.struct_field(ext, "v"), pa.int64())
         ok = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        suspect = pc.match_substring_regex(props, suspect_pat).to_numpy(
+            zero_copy_only=False
+        )
+        if suspect.any():
+            vals_np = v.to_numpy(zero_copy_only=False).copy()
+            for i in np.nonzero(suspect)[0]:
+                exact = _exact(props[i].as_py())
+                ok[i] = exact is not None
+                if exact is not None:
+                    vals_np[i] = exact
+            v = pa.array(
+                np.where(ok, vals_np, 0), pa.int64(), mask=~ok
+            )
         if not ok.any():
             return pa.table(
                 {

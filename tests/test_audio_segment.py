@@ -83,7 +83,10 @@ def test_segment_clips_payload_byte_exact(ray_session):
             assert np.array_equal(got, decoded[s:e])  # byte-exact slice
             assert r["n_samples"] == e - s
             assert r["start_ms"] == s * 1000 // SR
-            assert r["dur_ms"] == (e - s) * 1000 // SR
+            assert r["end_ms"] == e * 1000 // SR
+            # dur_ms is derived from the ms boundaries so recomputed
+            # durations are internally consistent
+            assert r["dur_ms"] == r["end_ms"] - r["start_ms"]
 
 
 def test_segment_clips_undecodable_emits_no_rows(ray_session):

@@ -203,3 +203,63 @@ def test_props_int_stats_brute_force_and_nulls(ray_session):
         n, s, lo, hi = want.get(et, (0, 0, 10**9, -(10**9)))
         want[et] = (n + 1, s + d["k"], min(lo, d["k"]), max(hi, d["k"]))
     assert got == want
+
+
+def test_props_int_stats_non_flat_json_matches_duckdb(ray_session):
+    """The regex fast path must not diverge from the twin's json_extract
+    semantics on non-flat JSON: nested objects, key text inside string
+    values, quoted numerics, floats, spaced colons (ADVICE r2)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.events import props_int_stats
+
+    props = [
+        '{"k": 5}',                      # flat int — kept
+        '{"x": {"k": 3}}',               # nested — regex matches, must drop
+        '{"a": "\\"k\\": 7"}',           # key inside a string value — drop
+        '{"k": "12"}',                   # quoted numeric — drop (not BIGINT)
+        '{"k": 3.5}',                    # float — drop (regex would say 3)
+        '{"k": 3.0}',                    # integral float — still DOUBLE: drop
+        '{"k" : -9}',                    # spaced colon — kept
+        '{"k": 1e2}',                    # exponent float — drop
+        '{"kk": 11}',                    # different key — drop
+        '{"k": -4, "x": [1, 2]}',        # array elsewhere, top-level int — kept
+        '{"x": [{"k": 8}]}',             # key inside array object — drop
+        '{"k": true}',                   # boolean — drop
+        "not json at all",               # unparsable — drop
+        '{"k": 5, "note": "says \\"k\\": 99 here"}',  # int + decoy string — kept as 5
+    ]
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["t"] * len(props), pa.string()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+    got = props_int_stats(rd.from_arrow(tbl).repartition(3)).take_all()
+    con = duckdb.connect()
+    con.register("events", tbl)
+    want = con.execute(
+        """
+        WITH x AS (
+          SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events
+          WHERE json_valid(props)
+            AND json_type(props, '$.k') IN ('BIGINT','UBIGINT')
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) n_events,
+               CAST(sum(k) AS BIGINT) sum_k, CAST(min(k) AS BIGINT) min_k,
+               CAST(max(k) AS BIGINT) max_k
+        FROM x GROUP BY event_type
+        """
+    ).fetchall()
+    con.close()
+    assert len(got) == 1 and len(want) == 1
+    g = got[0]
+    assert (
+        g["event_type"], g["n_events"], g["sum_k"], g["min_k"], g["max_k"]
+    ) == want[0]
+    # kept rows: 5, -9, -4, 5 → n=4, sum=-3, min=-9, max=5
+    assert want[0] == ("t", 4, -3, -9, 5)
