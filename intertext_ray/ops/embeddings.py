@@ -220,8 +220,20 @@ def cosine_dup_pairs(
     return ds.sort(["a", "b"])
 
 
-def _dedup_pairs_bucketed(pairs: ray.data.Dataset, num_buckets: int = 64):
-    """Exact (a, b) pair dedup as a bucketed groupby + vectorized
+_CAND_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+_RESOLVED_VEC_SCHEMA = pa.schema(
+    [
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("side", pa.int8()),
+        ("vec", pa.list_(pa.float64())),
+    ]
+)
+
+
+def _dedup_id_pairs_bucketed(pairs: ray.data.Dataset, num_buckets: int = 64):
+    """Exact (a, b) id-pair dedup as a bucketed groupby + vectorized
     first-per-key (the engine-wide dedup pattern — no per-key map_groups)."""
     nbu = np.uint64(num_buckets)
 
@@ -235,18 +247,148 @@ def _dedup_pairs_bucketed(pairs: ray.data.Dataset, num_buckets: int = 64):
     def uniq(group: pa.Table) -> pa.Table:
         a = group["a"].to_numpy(zero_copy_only=False)
         b = group["b"].to_numpy(zero_copy_only=False)
-        c = group["cos_x1000"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((c, b, a))
-        a, b, c = a[order], b[order], c[order]
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
         keep = np.ones(len(a), dtype=bool)
         if len(a) > 1:
             keep[1:] = ~((a[1:] == a[:-1]) & (b[1:] == b[:-1]))
-        return _cos_pairs_table(a[keep], b[keep], c[keep])
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+            },
+            schema=_CAND_PAIR_SCHEMA,
+        )
 
     return (
         pairs.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+def _score_pairs_cogroup(
+    cand: ray.data.Dataset,
+    embeddings: ray.data.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exactly score candidate (a, b) id pairs by cosine without ever
+    shipping a vector more than once: phase 1 co-locates each pair side
+    with its vector by id-hash bucket (the `audio_dedup.verify_audio_pairs`
+    pattern); phase 2 co-locates the two resolved sides by pair-hash bucket
+    and computes the dot products vectorized.  Emits (a, b, cos_x1000) for
+    pairs with cos >= threshold."""
+    nbu = np.uint64(num_buckets)
+
+    def tag_vecs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_embedding_matrix(t))
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(ids.astype(np.uint64)) % nbu).astype(np.int64)
+                ),
+                "kind": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+                "doc": pa.array(ids, pa.int64()),
+                "a": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+                "b": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+                "vec": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+
+    def tag_requests(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.concatenate([a, b])
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(doc.astype(np.uint64)) % nbu).astype(np.int64)
+                ),
+                "kind": pa.array(np.ones(2 * len(t), np.int8), pa.int8()),
+                "doc": pa.array(doc, pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "vec": pa.array([[]] * (2 * len(t)), pa.list_(pa.float64())),
+            }
+        )
+
+    def resolve(gtab: pa.Table) -> pa.Table:
+        kind = gtab["kind"].to_numpy(zero_copy_only=False)
+        doc = gtab["doc"].to_numpy(zero_copy_only=False)
+        vec_col = gtab["vec"]
+        if isinstance(vec_col, pa.ChunkedArray):
+            vec_col = vec_col.combine_chunks()
+        src_rows = np.nonzero(kind == 0)[0]
+        req = np.nonzero(kind == 1)[0]
+        if len(req) == 0 or len(src_rows) == 0:
+            return _RESOLVED_VEC_SCHEMA.empty_table()
+        src_docs = doc[src_rows]
+        order = np.argsort(src_docs, kind="stable")
+        src_docs, src_rows = src_docs[order], src_rows[order]
+        pos = np.searchsorted(src_docs, doc[req])
+        ok = (pos < len(src_docs)) & (
+            src_docs[np.minimum(pos, len(src_docs) - 1)] == doc[req]
+        )
+        req = req[ok]
+        gather = src_rows[pos[ok]]
+        a = gtab["a"].to_numpy(zero_copy_only=False)[req]
+        b = gtab["b"].to_numpy(zero_copy_only=False)[req]
+        side = np.where(doc[req] == a, np.int8(0), np.int8(1))
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "side": pa.array(side, pa.int8()),
+                "vec": vec_col.take(pa.array(gather, pa.int64())),
+            },
+            schema=_RESOLVED_VEC_SCHEMA,
+        )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "bucket",
+            pa.array((splitmix64(splitmix64(a) ^ b) % nbu).astype(np.int64)),
+        )
+
+    def score(gtab: pa.Table) -> pa.Table:
+        a = gtab["a"].to_numpy(zero_copy_only=False)
+        b = gtab["b"].to_numpy(zero_copy_only=False)
+        side = gtab["side"].to_numpy(zero_copy_only=False)
+        if len(a) < 2:
+            return _cos_pairs_table([], [], [])
+        order = np.lexsort((side, b, a))
+        a, b, side = a[order], b[order], side[order]
+        mat = _embedding_matrix(gtab, "vec")[order]
+        # runs of exactly (side 0, side 1) for the same (a, b) pair
+        same_next = np.zeros(len(a), dtype=bool)
+        same_next[:-1] = (
+            (a[1:] == a[:-1]) & (b[1:] == b[:-1])
+            & (side[:-1] == 0) & (side[1:] == 1)
+        )
+        lo = np.nonzero(same_next)[0]
+        if len(lo) == 0:
+            return _cos_pairs_table([], [], [])
+        sims = np.einsum("ij,ij->i", mat[lo], mat[lo + 1])
+        keep = sims >= threshold
+        return _cos_pairs_table(
+            a[lo][keep], b[lo][keep], np.floor(1000.0 * sims[keep])
+        )
+
+    tagged = embeddings.map_batches(tag_vecs, batch_format="pyarrow").union(
+        cand.map_batches(tag_requests, batch_format="pyarrow")
+    )
+    resolved = tagged.groupby("bucket").map_groups(
+        resolve, batch_format="pyarrow"
+    )
+    return (
+        resolved.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score, batch_format="pyarrow")
     )
 
 
@@ -260,8 +402,17 @@ def lsh_cosine_dup_pairs(
 ) -> ray.data.Dataset:
     """Scale path: random-hyperplane LSH — each vector lands in ``n_tables``
     sign-buckets; only same-bucket pairs are exactly scored.  Approximate
-    (recall < 1 by design) but shuffle-shaped like the MinHash path: explode
-    -> bucket groupby -> verify -> bucketed dedup."""
+    (recall < 1 by design) but shuffle-shaped like the MinHash path:
+    explode -> bucket groupby -> pair emission -> bucketed pair dedup ->
+    co-grouped vector resolution + exact scoring.
+
+    The LSH exchange ships (bucket_key, vec_id) ONLY — at 768-dim float64
+    a vector is ~6 KB, so replicating it ``n_tables``x through the shuffle
+    (the round-2 shape) multiplies exchange volume by orders of magnitude;
+    instead the full vectors travel exactly once, into the id-hash-bucketed
+    verify join (the `audio_dedup.verify_audio_pairs` pattern), and each
+    DISTINCT candidate pair is scored once (the old path scored every
+    duplicate then deduped)."""
     # deterministic planes from the pinned seed family
     first = embeddings.take(1)
     dim = len(first[0]["embedding"])
@@ -273,7 +424,7 @@ def lsh_cosine_dup_pairs(
         pl = ray.get(planes_ref)
         vecs = _normalize(_embedding_matrix(batch))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        keys, out_ids, out_vecs = [], [], []
+        keys, out_ids = [], []
         for t in range(pl.shape[0]):
             signs = (vecs @ pl[t].T) > 0
             key = np.zeros(len(ids), dtype=np.uint64)
@@ -282,37 +433,33 @@ def lsh_cosine_dup_pairs(
             key |= np.uint64(t) << np.uint64(48)
             keys.append(key)
             out_ids.append(ids)
-            out_vecs.append(vecs)
-        vec_list = pa.array(
-            list(np.concatenate(out_vecs)), pa.list_(pa.float64())
-        )
         return pa.table(
             {
                 "bucket_key": pa.array(np.concatenate(keys), pa.uint64()),
                 "vec_id": pa.array(np.concatenate(out_ids).astype(np.int64)),
-                "vec": vec_list,
             }
         )
 
-    def verify(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
         if len(ids) < 2:
-            return _cos_pairs_table([], [], [])
-        mat = _embedding_matrix(group, "vec")
-        sims = mat @ mat.T
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        da, db = ids[ia], ids[ib]
-        swap = da > db
-        a = np.where(swap, db, da)
-        b = np.where(swap, da, db)
-        return _cos_pairs_table(a, b, np.floor(1000.0 * sims[ia, ib]))
+            return _CAND_PAIR_SCHEMA.empty_table()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {
+                "a": pa.array(ids[ia], pa.int64()),
+                "b": pa.array(ids[ib], pa.int64()),
+            },
+            schema=_CAND_PAIR_SCHEMA,
+        )
 
-    raw = (
+    cand = (
         embeddings.map_batches(explode, batch_format="pyarrow")
         .groupby("bucket_key")
-        .map_groups(verify, batch_format="pyarrow")
+        .map_groups(emit_pairs, batch_format="pyarrow")
     )
-    return _dedup_pairs_bucketed(raw)
+    cand = _dedup_id_pairs_bucketed(cand)
+    return _score_pairs_cogroup(cand, embeddings, threshold, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -326,12 +473,36 @@ def train_ivf_centroids(
     sample_rows: int = 4096,
     iters: int = 8,
     seed: int = 0x1BF,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Coarse quantizer: k-means over a bounded sample (sample ≪ corpus, so
-    driver-side Lloyd iterations are scale-correct — the FULL dataset never
-    leaves the cluster; only ``sample_rows`` rows do).  Deterministic from
-    ``seed``.  Returns (n_cells, dim) L2-normalized centroids."""
-    sample = embeddings.limit(sample_rows).to_pandas()
+    """Coarse quantizer: k-means over a bounded UNIFORM sample (sample ≪
+    corpus, so driver-side Lloyd iterations are scale-correct — the FULL
+    dataset never leaves the cluster; only ~``sample_rows`` rows do).
+
+    The sample is seeded-uniform, not positional: keep rows whose
+    ``splitmix64(vec_id ^ salt)`` clears a count-derived rate threshold
+    (2x oversampled), then the ``sample_rows`` smallest hashes win.  A
+    pure function of the ids — identical across layouts, partitionings
+    and re-runs, and free of head-of-corpus bias (``limit()`` would train
+    on the FIRST rows, a biased slice on any sorted/clustered layout:
+    by-source, by-time...).  Deterministic from ``seed``.  Returns
+    (n_cells, dim) L2-normalized centroids."""
+    total = embeddings.count()
+    rate = min(1.0, (2.0 * sample_rows) / max(total, 1))
+    thresh = np.uint64(min(int(rate * float(2**64 - 1)), 2**64 - 1))
+    salt = splitmix64(np.uint64(seed ^ 0xA5A5_5A5A))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ salt)
+        m = h <= thresh
+        kept = batch.select([id_col, "embedding"]).filter(pa.array(m))
+        return kept.append_column("_h", pa.array(h[m], pa.uint64()))
+
+    # the rate filter leaves ~2x sample_rows rows in total, so this
+    # to_pandas is bounded by the sample size, never the corpus
+    sample = embeddings.map_batches(pick, batch_format="pyarrow").to_pandas()
+    sample = sample.sort_values(["_h", id_col]).head(sample_rows)
     mat = _normalize(np.vstack(sample["embedding"].to_numpy()))
     rng = np.random.default_rng(int(splitmix64(np.uint64(seed))))
     n_cells = min(n_cells, len(mat))

@@ -66,6 +66,73 @@ def test_ivf_assign_partitions_and_determinism(emb_ds):
     assert sizes.max() < len(assigned)
 
 
+def test_ivf_recall_on_sorted_layout(ray_session):
+    """The round-2 trainer sampled with limit() — the FIRST rows — which on
+    a cluster-sorted layout trains centroids on a single cluster's slice.
+    The seeded-uniform hash sample must keep recall on exactly that layout:
+    vectors laid out strictly cluster-by-cluster (as a by-source or by-time
+    corpus would be)."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(23)
+    n_clusters, per, dim = 12, 60, 32
+    centers = rng.standard_normal((n_clusters, dim)) * 3.0
+    # sorted layout: cluster 0 rows first, then cluster 1, ... (no shuffle)
+    vecs = np.vstack(
+        [centers[c] + rng.standard_normal((per, dim)) for c in range(n_clusters)]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(8)
+    # sample budget smaller than one cluster's span: limit() would see
+    # ONLY cluster-0 rows; the hash sample must still cover all clusters
+    cents = train_ivf_centroids(ds, n_cells=12, sample_rows=48)
+    assigned = ivf_assign(ds, cents).to_pandas()
+    sizes = assigned.groupby("cell").size()
+    # centroids spread across the space: no cell owns the corpus, and the
+    # assignment uses a healthy share of the trained cells
+    assert sizes.max() <= len(assigned) * 0.5
+    assert len(sizes) >= 6
+    qids = [5, 130, 311, 415, 702]
+    exact = ann_topk(ds, qids, k=10).to_pandas()
+    approx = ann_topk_ivf(
+        ds, qids, k=10, n_cells=12, nprobe=4, centroids=cents
+    ).to_pandas()
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_centroids_layout_invariant(emb_ds, ray_session):
+    """The training sample is a pure function of vec_id — reordering or
+    repartitioning the corpus must yield bit-identical centroids (the
+    limit() sample could not satisfy this)."""
+    base = train_ivf_centroids(emb_ds, n_cells=8, sample_rows=128)
+    perm = emb_ds.to_pandas().sample(frac=1.0, random_state=3)
+    import pyarrow as pa
+
+    shuffled = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(perm["vec_id"].to_numpy(), pa.int64()),
+                "embedding": pa.array(
+                    list(perm["embedding"].to_numpy()), pa.list_(pa.float64())
+                ),
+            }
+        )
+    ).repartition(5)
+    assert np.array_equal(
+        base, train_ivf_centroids(shuffled, n_cells=8, sample_rows=128)
+    )
+
+
 def test_semantic_dedup(ray_session):
     """Planted near-identical groups: one survivor per group (the lowest
     vec_id), singletons all kept, exactly n rows out."""
