@@ -33,36 +33,100 @@ def doc_grams(text: str, n: int = 4) -> set[bytes]:
     return {b[i : i + n] for i in range(len(b) - n + 1)}
 
 
+def gram_rows_batch(
+    batch: pa.Table, text_col: str = "text", n: int = 4
+) -> pa.Table:
+    """Distinct (gram_hash:uint64, doc_id, dsize) rows per doc, vectorized
+    over the batch's flat UTF-8 byte buffer: ``n`` shifted ORs build every
+    byte-gram's little-endian uint64 (value-identical to
+    ``np.frombuffer(gram.ljust(8, b'\\0'))`` — the scalar reference
+    :func:`doc_grams` path, test-pinned), a doc-boundary mask drops
+    cross-doc windows, and per-doc distinct is one lexsort run mask.  No
+    per-doc Python.  ``dsize`` (the doc's distinct-gram count) rides every
+    row so downstream scoring never needs a per-doc lookup table."""
+    if n > 8:
+        raise ValueError("byte grams are packed into uint64: n must be <= 8")
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "gram": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+            "dsize": pa.array([], pa.int64()),
+        }
+    )
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if len(texts) == 0:
+        return empty
+    bin_arr = pc.cast(texts, pa.large_binary())
+    off0 = bin_arr.offset
+    offs = np.frombuffer(bin_arr.buffers()[1], dtype=np.int64)[
+        off0 : off0 + len(bin_arr) + 1
+    ]
+    buf = bin_arr.buffers()[2]
+    base, total = int(offs[0]), int(offs[-1] - offs[0])
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)[base : base + total]
+        if buf is not None
+        else np.empty(0, np.uint8)
+    )
+    offs_rel = (offs - base).astype(np.int64)
+    lens = np.diff(offs_rel)
+    ndocs = len(lens)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    vals_parts, owner_parts = [], []
+    ngram_total = total - n + 1
+    if ngram_total > 0:
+        d8 = data.astype(np.uint64)
+        acc = np.zeros(ngram_total, dtype=np.uint64)
+        for j in range(n):
+            acc |= d8[j : j + ngram_total] << np.uint64(8 * j)
+        in_doc = doc_of[:ngram_total] == doc_of[n - 1 :]
+        vals_parts.append(acc[in_doc])
+        owner_parts.append(doc_of[:ngram_total][in_doc])
+    # docs shorter than n bytes contribute their whole payload, zero-padded
+    short = np.nonzero((lens > 0) & (lens < n))[0]
+    if len(short):
+        sv = np.zeros(len(short), dtype=np.uint64)
+        for j in range(n - 1):
+            has = lens[short] > j
+            sv[has] |= data[offs_rel[short[has]] + j].astype(
+                np.uint64
+            ) << np.uint64(8 * j)
+        vals_parts.append(sv)
+        owner_parts.append(short)
+    if not vals_parts:
+        return empty
+    vals = np.concatenate(vals_parts)
+    owner = np.concatenate(owner_parts)
+    if len(vals) == 0:
+        return empty
+    order = np.lexsort((vals, owner))
+    vals, owner = vals[order], owner[order]
+    keep = np.ones(len(vals), dtype=bool)
+    keep[1:] = (owner[1:] != owner[:-1]) | (vals[1:] != vals[:-1])
+    vals, owner = vals[keep], owner[keep]
+    new = np.ones(len(owner), dtype=bool)
+    new[1:] = owner[1:] != owner[:-1]
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.concatenate([starts, [len(owner)]]))
+    return pa.table(
+        {
+            "gram": pa.array(splitmix64(vals), pa.uint64()),
+            "doc_id": pa.array(doc_ids[owner], pa.int64()),
+            "dsize": pa.array(np.repeat(counts, counts), pa.int64()),
+        }
+    )
+
+
 def gram_rows(docs: ray.data.Dataset, text_col: str = "text", n: int = 4):
-    """Distinct (gram_hash:uint64, doc_id, dsize) rows per doc — ``dsize``
-    (the doc's distinct-gram count) rides every row so downstream scoring
-    never needs a per-doc lookup table."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        out_doc, out_g, out_sz = [], [], []
-        for d, t in zip(
-            batch["doc_id"].to_numpy(zero_copy_only=False),
-            batch[text_col].to_pylist(),
-        ):
-            gs = doc_grams(t, n)
-            if not gs:
-                continue
-            arr = np.frombuffer(
-                b"".join(g.ljust(8, b"\0") for g in sorted(gs)), dtype=np.uint64
-            )
-            hs = splitmix64(arr)
-            out_doc.extend([int(d)] * len(hs))
-            out_g.extend(hs.tolist())
-            out_sz.extend([len(gs)] * len(hs))
-        return pa.table(
-            {
-                "gram": pa.array(np.array(out_g, dtype=np.uint64), pa.uint64()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "dsize": pa.array(out_sz, pa.int64()),
-            }
-        )
-
-    return docs.map_batches(fn, batch_format="pyarrow")
+    """Dataset wrapper over :func:`gram_rows_batch`."""
+    return docs.map_batches(
+        lambda b: gram_rows_batch(b, text_col, n), batch_format="pyarrow"
+    )
 
 
 def _inter_table(a, b, sa, sb, inter) -> pa.Table:

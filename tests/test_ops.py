@@ -106,6 +106,51 @@ def test_ngram_jaccard(toy_docs):
     assert (0, 3) not in got
 
 
+def test_gram_rows_batch_matches_scalar_reference():
+    """The buffer-vectorized gram kernel is value-identical to the scalar
+    doc_grams set reference on every edge shape: normal docs, docs shorter
+    than n (whole-payload gram), empty docs (no rows), multi-byte UTF-8,
+    repeated grams (distinct once), and a sliced batch (non-zero Arrow
+    offset)."""
+    import numpy as np
+
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.ngram_jaccard import doc_grams, gram_rows_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abc",          # shorter than n=4: one gram, zero-padded
+        "",             # empty: no rows
+        "aaaaaaa",      # heavy repetition: distinct collapses to one gram
+        "héllo wörld",  # multi-byte UTF-8: byte grams, not char grams
+        "xy",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    for batch in (tbl, tbl.slice(1, 4)):  # also exercise a non-zero offset
+        out = gram_rows_batch(batch, "text", 4)
+        got: dict[int, set[int]] = {}
+        sizes: dict[int, set[int]] = {}
+        for r in out.to_pylist():
+            got.setdefault(r["doc_id"], set()).add(r["gram"])
+            sizes.setdefault(r["doc_id"], set()).add(r["dsize"])
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            gs = doc_grams(text, 4)
+            want = {
+                int(splitmix64(np.frombuffer(g.ljust(8, b"\0"), np.uint64))[0])
+                for g in gs
+            }
+            assert got.get(did, set()) == want, did
+            if gs:
+                assert sizes[did] == {len(gs)}, did
+
+
 def test_ann_and_cosine(ray_session):
     from intertext_ray.ops.embeddings import ann_topk, cosine_dup_pairs, lsh_cosine_dup_pairs
 
