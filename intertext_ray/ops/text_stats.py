@@ -532,6 +532,8 @@ def doc_top_terms(
     docs: ray.data.Dataset,
     text_col: str = "text",
     top: int = 3,
+    broadcast_vocab_limit: int = 4_000_000,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Per-doc characteristic terms — tf-idf-style ranking in EXACT integer
     arithmetic: per doc, terms ordered by (tf DESC, df ASC, term ASC) and
@@ -541,12 +543,22 @@ def doc_top_terms(
     Scale shape: two streaming passes over the corpus.  Pass 1 builds the
     global document-frequency table with the combiner-before-shuffle
     pattern (each batch ships its distinct (term, partial-df) rows only);
-    the resulting vocabulary table is vocabulary-sized — ~10^6-10^7 rows
-    at web scale, broadcast once via ``ray.put`` as sorted arrays.  Pass 2
-    recomputes per-doc tf batch-locally (docs never shuffle), maps df with
-    one searchsorted, and takes the per-doc top-k with one lexsort.
+    the df table stays cluster-resident (``materialize()``, vocab-sized).
+    Pass 2 depends on the vocabulary size:
 
-    Returns (doc_id, term, tf, df, term_rank) with term_rank 1-based.
+    - vocab <= ``broadcast_vocab_limit``: the df table is broadcast once
+      via ``ray.put`` as sorted arrays; tf is recomputed batch-locally
+      (docs never shuffle), df mapped with one searchsorted, per-doc
+      top-k with one lexsort.
+    - vocab above the limit (open web vocab — URLs, typos, code — can
+      exceed any broadcast budget): term-bucketed JOIN fallback.  tf rows
+      and df rows meet in a hash(term) co-group (df resolved onto tf rows
+      via one searchsorted per bucket), then a hash(doc) groupby takes
+      the per-doc top-k.  The driver holds NOTHING; both exchanges are
+      tf-row-sized, never corpus-text-sized.
+
+    Both paths emit identical rows: (doc_id, term, tf, df, term_rank),
+    term_rank 1-based (equality test-pinned).
     """
 
     def df_partial(batch: pa.Table) -> pa.Table:
@@ -568,12 +580,17 @@ def doc_top_terms(
             {"term": agg["term"], "partial": pc.cast(agg["doc_count"], pa.int64())}
         )
 
-    df_tbl = (
+    df_ds = (
         docs.map_batches(df_partial, batch_format="pyarrow")
         .groupby("term")
         .sum("partial")
-        .to_pandas()
+        .materialize()  # vocab-sized; blocks stay in the object store
     )
+    if df_ds.count() > broadcast_vocab_limit:
+        return _doc_top_terms_join(
+            docs, df_ds, text_col, top, num_buckets
+        )
+    df_tbl = df_ds.to_pandas()
     terms_sorted = np.sort(df_tbl["term"].to_numpy().astype(str))
     order = np.argsort(df_tbl["term"].to_numpy().astype(str))
     dfs_sorted = df_tbl["sum(partial)"].to_numpy().astype(np.int64)[order]
@@ -631,3 +648,157 @@ def doc_top_terms(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+_TOP_TERMS_TAGGED = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("kind", pa.int8()),
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int64()),
+        ("df", pa.int64()),
+    ]
+)
+
+_TOP_TERMS_SCORED = pa.schema(
+    [
+        ("dbucket", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("term", pa.string()),
+        ("tf", pa.int64()),
+        ("df", pa.int64()),
+    ]
+)
+
+
+def _doc_top_terms_join(
+    docs: ray.data.Dataset,
+    df_ds: ray.data.Dataset,
+    text_col: str,
+    top: int,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """The above-broadcast-budget path of :func:`doc_top_terms`: tf rows
+    and df rows co-grouped by hash(term) bucket (df resolved onto tf rows
+    via one searchsorted per bucket), then per-doc top-k under a
+    hash(doc_id) groupby.  No driver-side or broadcast vocabulary state."""
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.simhash import _chain_hash_tokens
+
+    nb = np.uint64(num_buckets)
+
+    def tag_df(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        n = len(terms)
+        if n == 0:
+            return _TOP_TERMS_TAGGED.empty_table()
+        h = _chain_hash_tokens(terms)
+        return pa.table(
+            {
+                "bucket": pa.array((h % nb).astype(np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "term": pc.cast(terms, pa.string()),
+                "doc_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "tf": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "df": pc.cast(t["sum(partial)"], pa.int64()),
+            },
+            schema=_TOP_TERMS_TAGGED,
+        )
+
+    def tag_tf(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if len(texts) == 0:
+            return _TOP_TERMS_TAGGED.empty_table()
+        flat, dix, _ = _flat_tokens(texts)
+        if len(flat) == 0:
+            return _TOP_TERMS_TAGGED.empty_table()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        import pandas as pd
+
+        tf = (
+            pd.DataFrame({"d": dix, "w": flat.to_pandas()})
+            .groupby(["d", "w"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        terms = pa.array(tf["w"], pa.string())
+        h = _chain_hash_tokens(terms)
+        n = len(terms)
+        return pa.table(
+            {
+                "bucket": pa.array((h % nb).astype(np.int64), pa.int64()),
+                "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+                "term": terms,
+                "doc_id": pa.array(
+                    doc_ids[tf["d"].to_numpy()], pa.int64()
+                ),
+                "tf": pa.array(tf["tf"].to_numpy().astype(np.int64)),
+                "df": pa.array(np.zeros(n, np.int64), pa.int64()),
+            },
+            schema=_TOP_TERMS_TAGGED,
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        terms = group["term"].to_numpy(zero_copy_only=False).astype(str)
+        src = np.nonzero(kind == 0)[0]
+        req = np.nonzero(kind == 1)[0]
+        if len(req) == 0 or len(src) == 0:
+            return _TOP_TERMS_SCORED.empty_table()
+        src_terms = terms[src]
+        order = np.argsort(src_terms, kind="stable")
+        src_terms = src_terms[order]
+        src_df = group["df"].to_numpy(zero_copy_only=False)[src[order]]
+        pos = np.searchsorted(src_terms, terms[req])
+        # every tf term exists in the df table (built from the same corpus)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)[req]
+        return pa.table(
+            {
+                "dbucket": pa.array(
+                    (splitmix64(d.astype(np.uint64)) % nb).astype(np.int64)
+                ),
+                "doc_id": pa.array(d, pa.int64()),
+                "term": pa.array(terms[req], pa.string()),
+                "tf": pa.array(
+                    group["tf"].to_numpy(zero_copy_only=False)[req], pa.int64()
+                ),
+                "df": pa.array(src_df[pos], pa.int64()),
+            },
+            schema=_TOP_TERMS_SCORED,
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        w = group["term"].to_numpy(zero_copy_only=False).astype(str)
+        tfv = group["tf"].to_numpy(zero_copy_only=False)
+        dfv = group["df"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((w, dfv, -tfv, d))
+        ds_, tfs_, dfs_, ws_ = d[o], tfv[o], dfv[o], w[o]
+        starts = np.ones(len(ds_), dtype=bool)
+        starts[1:] = ds_[1:] != ds_[:-1]
+        run_start = np.nonzero(starts)[0]
+        run_id = np.cumsum(starts) - 1
+        rank = np.arange(len(ds_), dtype=np.int64) - run_start[run_id] + 1
+        keep = rank <= top
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_[keep], pa.int64()),
+                "term": pa.array(ws_[keep], pa.string()),
+                "tf": pa.array(tfs_[keep], pa.int64()),
+                "df": pa.array(dfs_[keep], pa.int64()),
+                "term_rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    tagged = df_ds.map_batches(tag_df, batch_format="pyarrow").union(
+        docs.map_batches(tag_tf, batch_format="pyarrow")
+    )
+    scored = tagged.groupby("bucket").map_groups(
+        resolve, batch_format="pyarrow"
+    )
+    return scored.groupby("dbucket").map_groups(topk, batch_format="pyarrow")

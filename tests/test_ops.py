@@ -403,6 +403,40 @@ def test_doc_top_terms(ray_session):
     assert not (out.doc_id == 3).any()
 
 
+def test_doc_top_terms_join_path_equals_broadcast(ray_session):
+    """Force the term-bucketed join fallback (broadcast_vocab_limit=0) and
+    pin row-identical output against the broadcast path on a corpus with
+    tf ties, shared and unique terms, and empty docs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.text_stats import doc_top_terms
+
+    rng = __import__("numpy").random.default_rng(5)
+    vocab = [f"w{i:03d}" for i in range(60)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for _ in range(40)
+    ]
+    texts[7] = ""  # empty doc
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(6)
+    key = ["doc_id", "term_rank"]
+    broad = doc_top_terms(docs, top=3).to_pandas().sort_values(key)
+    joined = (
+        doc_top_terms(docs, top=3, broadcast_vocab_limit=0)
+        .to_pandas()
+        .sort_values(key)
+    )
+    assert broad.reset_index(drop=True).equals(joined.reset_index(drop=True))
+
+
 def test_incremental_dedup(ray_session, tmp_path):
     """Incremental wave vs full recompute: pairs with >=1 new doc agree
     exactly with the all-pairs ngram result; old-vs-old never emitted;
