@@ -30,10 +30,12 @@ Physical plan (all stages streaming, no driver materialization):
 4. verify: candidates explode to per-side rows bucketed by doc hash and
    co-group with the distinct gram sets (the ``verify_hash_join`` shape);
    each side's gram list is re-emitted tagged with the pair key, then a
-   pair-bucketed groupby counts gram hashes seen twice = |A ∩ B|.  Work
-   is proportional to Σ(|A|+|B|) over CANDIDATES — the whole point of
-   LSH; the all-co-gram-pairs alternative (``ngram_jaccard_pairs``) has
-   no candidate thinning.
+   pair-bucketed groupby counts gram hashes seen twice = |A ∩ B|.  The
+   gram side is pre-filtered to the broadcast candidate doc-id set
+   (pair-graph-sized) BEFORE hashing or shuffling, so gram compute and
+   the verify exchange are both proportional to Σ(|A|+|B|) over
+   CANDIDATE docs — the whole point of LSH; the all-co-gram-pairs
+   alternative (``ngram_jaccard_pairs``) has no candidate thinning.
 5. exact score: ``jaccard_x1000 = floor(1000*inter/union)``, keep
    ``100*inter >= pct*union`` — integer/IEEE expression-identical to the
    SQL twin.
@@ -280,13 +282,56 @@ def _jaccard_verify(
 ) -> ray.data.Dataset:
     """Exact gram-set Jaccard for candidate pairs only: co-group candidate
     sides with per-doc distinct gram sets by doc hash, re-emit each side's
-    grams tagged with the pair key, count per-pair duplicates."""
+    grams tagged with the pair key, count per-pair duplicates.
+
+    The gram side is filtered to CANDIDATE docs before anything is hashed
+    or shuffled: the distinct candidate doc-id set (pair-graph-sized after
+    LSH thinning — the same broadcast-budget argument as
+    ``source_dup_report``'s ray.put) is broadcast once and applied per
+    batch, so both the gram computation and the verify exchange are
+    Σ(|A|+|B|) over candidate docs, never Σ|doc| over the corpus."""
+    import ray
+
     from intertext_ray.ops.substring import gram_positions_batch
 
     nb = _U64(num_buckets)
     pct = int(round(min_jaccard * 100))
 
+    # pair-graph-sized; materialize so the candidate pipeline is not
+    # re-executed by the union below
+    candidates = candidates.materialize()
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        d = np.unique(
+            np.concatenate(
+                [
+                    t["doc_a"].to_numpy(zero_copy_only=False),
+                    t["doc_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"doc": pa.array(d.astype(np.int64), pa.int64())})
+
+    cand_ids = np.unique(
+        np.asarray(
+            candidates.map_batches(ids_only, batch_format="pyarrow").unique(
+                "doc"
+            ),
+            dtype=np.int64,
+        )
+    )
+    cand_ref = ray.put(cand_ids)
+
     def tag_grams(batch: pa.Table) -> pa.Table:
+        cids = ray.get(cand_ref)
+        if len(cids) == 0:
+            return _TAGGED_SCHEMA.empty_table()
+        d0 = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(cids, d0)
+        hit = (pos < len(cids)) & (cids[np.minimum(pos, len(cids) - 1)] == d0)
+        if not hit.any():
+            return _TAGGED_SCHEMA.empty_table()
+        batch = batch.filter(pa.array(hit))
         g = gram_positions_batch(batch, text_col, k)
         d = g["doc_id"].to_numpy(zero_copy_only=False)
         f = g["f"].to_numpy(zero_copy_only=False)
