@@ -48,7 +48,7 @@ def _fp_batch(batch: pa.Table) -> pa.Table:
     srs = batch["sr_hz"].to_numpy(zero_copy_only=False)
     codecs = batch["codec"].to_pylist()
     doc = doc_ids_for_clip_ids(batch["clip_id"])
-    fps: list[list[int]] = []
+    fps: list[np.ndarray] = []
     nf = np.zeros(len(batch), dtype=np.int64)
     for i in range(len(batch)):
         try:
@@ -57,19 +57,29 @@ def _fp_batch(batch: pa.Table) -> pa.Table:
         except Exception:
             f = np.zeros(0, dtype=np.uint32)
         nf[i] = len(f)
-        fps.append(f.astype(np.int64).tolist())
+        fps.append(f)
+    # packed uint32 list column straight from the numpy buffers — half the
+    # width of int64 and no per-clip Python list materialization
+    offsets = np.zeros(len(batch) + 1, dtype=np.int32)
+    np.cumsum(nf, out=offsets[1:])
+    values = (
+        np.concatenate(fps) if fps else np.zeros(0, np.uint32)
+    ).astype(np.uint32)
+    subfps = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(values, pa.uint32())
+    )
     return pa.table(
         {
             "clip_id": batch["clip_id"],
             "doc_id": pa.array(doc, pa.uint64()),
             "n_frames": pa.array(nf, pa.int64()),
-            "subfps": pa.array(fps, pa.list_(pa.int64())),
+            "subfps": subfps,
         }
     )
 
 
 def audio_fingerprints(clips: ray.data.Dataset, batch_size: int = 64) -> ray.data.Dataset:
-    """(clip_id, doc_id, n_frames, subfps:list<int64>) per clip.  Small
+    """(clip_id, doc_id, n_frames, subfps:list<uint32>) per clip.  Small
     batch_size: rows carry whole encoded payloads (bytes bound memory, not
     row count), exactly like `stages/audio.py`."""
     return clips.map_batches(
@@ -214,7 +224,7 @@ _RESOLVED_SCHEMA = pa.schema(
         ("clip_b", pa.uint64()),
         ("offset", pa.int64()),
         ("side", pa.int8()),
-        ("fps", pa.list_(pa.int64())),
+        ("fps", pa.list_(pa.uint32())),
     ]
 )
 
@@ -275,7 +285,7 @@ def verify_audio_pairs(
                 "clip_a": pa.array(np.concatenate([a, a]), pa.uint64()),
                 "clip_b": pa.array(np.concatenate([b, b]), pa.uint64()),
                 "offset": pa.array(np.concatenate([o, o]), pa.int64()),
-                "fps": pa.array([[]] * (2 * len(t)), pa.list_(pa.int64())),
+                "fps": pa.array([[]] * (2 * len(t)), pa.list_(pa.uint32())),
             }
         )
 
@@ -454,7 +464,9 @@ def audio_dup_pairs(
 
         from intertext_ray.state.checkpoint import CheckpointStore
 
-        sem = f"audio:g={g}:cap={cap}:ber={max_ber}:ov={min_overlap}:off={max_offset}:probes={probes}"
+        # fp2: subfps packed as list<uint32> — distinct key so a resumed
+        # run never unions stale list<int64> fingerprint checkpoints
+        sem = f"audio:fp2:g={g}:cap={cap}:ber={max_ber}:ov={min_overlap}:off={max_offset}:probes={probes}"
         store = CheckpointStore(
             work_dir, hashlib.sha256(sem.encode()).hexdigest()[:16]
         )
