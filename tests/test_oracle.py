@@ -101,3 +101,55 @@ def test_truth_clusters_are_recovered(small_corpus, small_docs, oracle_result):
     # planted members verify; but a solid majority must
     assert total > 0
     assert recovered / total > 0.6, (recovered, total)
+
+
+def test_difflib_sql_kernel_exact():
+    """The recursive Ratcliff/Obershelp SQL kernel (DIFFLIB_SQL_CTES, used by
+    the dedup_match_sample twin) reproduces Python difflib's
+    int(SequenceMatcher(None, a, b, autojunk=False).ratio() * 100) exactly —
+    including tie-breaking on equal-length blocks (stressed with a tiny
+    alphabet) and the identical/disjoint extremes."""
+    import random
+    from difflib import SequenceMatcher
+
+    import duckdb
+    import pandas as pd
+
+    from __ray_entry__ import DIFFLIB_SQL_CTES
+
+    random.seed(23)
+    voc = ["alpha", "beta", "gamma", "x", "y", "the", "of", "b"]
+    pairs = []
+    pid = 0
+    for _ in range(40):  # realistic 14-word windows with edits
+        base = " ".join(random.choice(voc) for _ in range(14))
+        toks = base.split()
+        for _ in range(random.randrange(0, 5)):
+            toks[random.randrange(14)] = random.choice(voc)
+        pairs.append((pid, base, " ".join(toks)))
+        pid += 1
+    for _ in range(60):  # tiny-alphabet tie-break stress
+        a = "".join(random.choice("abc ") for _ in range(random.randrange(1, 30)))
+        b = "".join(random.choice("abc ") for _ in range(random.randrange(1, 30)))
+        pairs.append((pid, a, b))
+        pid += 1
+    pairs.append((pid, "same text here", "same text here"))
+    pairs.append((pid + 1, "aaaa", "bbbb"))
+
+    df = pd.DataFrame(pairs, columns=["pair_id", "a", "b"])
+    con = duckdb.connect()
+    con.register("src", df)
+    sql = f"""
+        WITH RECURSIVE
+        pairs AS (SELECT * FROM src),
+        {DIFFLIB_SQL_CTES}
+        SELECT p.pair_id,
+               CAST(trunc((2.0 * COALESCE(m.m, 0)
+                           / (length(p.a) + length(p.b))) * 100) AS INT) AS sim
+        FROM pairs p LEFT JOIN msum m USING (pair_id)
+        ORDER BY p.pair_id
+    """
+    got = dict(con.execute(sql).fetchall())
+    for i, a, b in pairs:
+        exp = int(SequenceMatcher(None, a, b, autojunk=False).ratio() * 100)
+        assert got[i] == exp, (i, a, b, got[i], exp)
