@@ -19,6 +19,7 @@ import os
 import subprocess
 import sys
 import time
+from intertext_ray.sources.clips import read_table as _read_table
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -37,6 +38,9 @@ def run_bench() -> dict:
     import ray.data as rd
     from ray.data import DataContext
 
+    from intertext_ray.logs import quiet_ray_data_noise
+
+    quiet_ray_data_noise()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     # the streaming executor's per-op resource reservation fragments CPUs
@@ -149,12 +153,12 @@ def run_bench() -> dict:
     from intertext_ray.ops.embeddings import ann_topk, cosine_dup_pairs
 
     t0 = time.time()
-    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = _read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     ann_topk(emb, query_ids=[0, 1, 2, 3, 4, 5, 6, 7], k=10)
     queries["ann_topk"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = _read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     cosine_dup_pairs(emb, threshold=0.35).count()
     queries["cosine_dup_pairs"] = round(time.time() - t0, 3)
 
@@ -174,7 +178,7 @@ def run_bench() -> dict:
 
     t0 = time.time()
     hll_distinct(
-        rd.read_parquet(
+        _read_table(
             f"{SF_DIR}/documents.parquet", columns=["source", "text"]
         ),
         group_col="source",
@@ -199,7 +203,7 @@ def run_bench() -> dict:
     )
 
     t0 = time.time()
-    ev = rd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = _read_table(f"{SF_DIR}/events.parquet")
     windowed_event_stats(ev).count()
     sessions = sessionize(ev)
     sess_iv = sessions.map_batches(
@@ -241,7 +245,7 @@ def run_bench() -> dict:
     from intertext_ray.ops.embeddings import ann_topk_ivf
 
     t0 = time.time()
-    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = _read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     ann_topk_ivf(emb, query_ids=[0, 1, 2, 3, 4, 5, 6, 7], k=10, n_cells=32, nprobe=8)
     queries["ann_topk_ivf"] = round(time.time() - t0, 3)
 

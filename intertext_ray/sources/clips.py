@@ -36,6 +36,27 @@ def read_clips(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
     return ray.data.read_parquet(path, columns=columns)
 
 
+def read_table(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """``read_parquet`` with the file's schema metadata stripped.
+
+    Tables written through pandas embed a ``pandas`` JSON blob in the Arrow
+    schema metadata; such schemas are unhashable (``hash(schema)`` raises
+    ``unhashable type: 'dict'``), which trips a noisy-but-harmless Ray
+    warning in plan-time schema unification (``transform_pyarrow.
+    unify_schemas``'s set-dedup fast path).  Passing the metadata-free
+    schema keeps plan inference quiet; column pruning still happens at the
+    read."""
+    import pyarrow.parquet as pq
+
+    try:
+        clean = pq.read_schema(path).remove_metadata()
+    except (OSError, pa.ArrowInvalid):  # directory / glob input: leave as-is
+        return ray.data.read_parquet(path, columns=columns)
+    if columns is not None:  # Ray validates blocks against the PROJECTED schema
+        clean = pa.schema([clean.field(c) for c in columns])
+    return ray.data.read_parquet(path, schema=clean, columns=columns)
+
+
 def doc_ids_for_clip_ids(clip_ids: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Deterministic uint64 doc_id per clip_id, computed row-locally (no
     global sort/shuffle — SURVEY.md §2.9 'ordering').
@@ -82,9 +103,7 @@ def clips_to_docs(batch: pa.Table) -> pa.Table:
 
 def read_documents(sf_dir: str) -> ray.data.Dataset:
     """Adapter: the driver testdata ``documents`` table -> (doc_id, text)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ds = read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_docs(batch: pa.Table) -> pa.Table:
         return pa.table(
