@@ -31,19 +31,57 @@ _UNIDECODE_EXTRAS = str.maketrans(
     }
 )
 
+# Greek + Cyrillic romanization (standard ELOT/GOST-style tables, applied
+# after NFKD so accented forms fold to their base letter first).  This
+# narrows the documented non-Latin divergence from the reference's
+# ``unidecode``: outputs follow the standard romanizations and agree with
+# unidecode on the common range, but byte-parity is only *guaranteed* for
+# the Latin table above (unidecode itself is not importable here to pin
+# against).  Scripts without a table (CJK, Arabic, ...) still pass through.
+_ROMANIZE = str.maketrans(
+    {
+        # Greek (lowercase / uppercase)
+        "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z",
+        "η": "e", "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m",
+        "ν": "n", "ξ": "x", "ο": "o", "π": "p", "ρ": "r", "σ": "s",
+        "ς": "s", "τ": "t", "υ": "u", "φ": "ph", "χ": "kh", "ψ": "ps",
+        "ω": "o",
+        "Α": "A", "Β": "B", "Γ": "G", "Δ": "D", "Ε": "E", "Ζ": "Z",
+        "Η": "E", "Θ": "Th", "Ι": "I", "Κ": "K", "Λ": "L", "Μ": "M",
+        "Ν": "N", "Ξ": "X", "Ο": "O", "Π": "P", "Ρ": "R", "Σ": "S",
+        "Τ": "T", "Υ": "U", "Φ": "Ph", "Χ": "Kh", "Ψ": "Ps", "Ω": "O",
+        # Cyrillic (lowercase / uppercase)
+        "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+        "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k", "л": "l",
+        "м": "m", "н": "n", "о": "o", "п": "p", "р": "r", "с": "s",
+        "т": "t", "у": "u", "ф": "f", "х": "kh", "ц": "ts", "ч": "ch",
+        "ш": "sh", "щ": "shch", "ъ": "", "ы": "y", "ь": "", "э": "e",
+        "ю": "iu", "я": "ia", "ё": "e",
+        "А": "A", "Б": "B", "В": "V", "Г": "G", "Д": "D", "Е": "E",
+        "Ж": "Zh", "З": "Z", "И": "I", "Й": "I", "К": "K", "Л": "L",
+        "М": "M", "Н": "N", "О": "O", "П": "P", "Р": "R", "С": "S",
+        "Т": "T", "У": "U", "Ф": "F", "Х": "Kh", "Ц": "Ts", "Ч": "Ch",
+        "Ш": "Sh", "Щ": "Shch", "Ъ": "", "Ы": "Y", "Ь": "", "Э": "E",
+        "Ю": "Iu", "Я": "Ia", "Ё": "E",
+    }
+)
+
 
 def strip_diacritics(text: str) -> str:
     """Diacritic folding (reference uses ``unidecode``,
     ``intertext/intertext.py:1143-1144``; unidecode is not in this
     environment, so we pin an explicit table for the non-decomposable Latin
     characters — matching unidecode's outputs — followed by NFKD +
-    combining-mark strip.  Remaining divergence: non-Latin scripts pass
-    through instead of transliterating; only matters when
-    ``strip_diacritics=True`` on such corpora)."""
+    combining-mark strip, then Greek/Cyrillic romanization via the
+    standard tables in ``_ROMANIZE``.  Remaining divergence: scripts
+    without a table (CJK, Arabic, ...) pass through, and Greek/Cyrillic
+    parity with unidecode is standard-romanization-close but not pinned
+    byte-exact; only matters when ``strip_diacritics=True``)."""
     text = text.translate(_UNIDECODE_EXTRAS)
-    return "".join(
+    folded = "".join(
         c for c in unicodedata.normalize("NFKD", text) if not unicodedata.combining(c)
     )
+    return folded.translate(_ROMANIZE)
 
 
 def tokenize(text: str, fold_diacritics: bool = False) -> list[str]:

@@ -83,3 +83,20 @@ def test_strip_diacritics_unidecode_parity():
         "ðe": "de",
     }.items():
         assert sd(src) == want
+
+
+def test_strip_diacritics_romanizes_greek_cyrillic():
+    """Greek/Cyrillic fold to standard romanizations (accents removed by the
+    NFKD pass first, so ΐ/ё-style accented forms fold to their base letter's
+    romanization); untabled scripts still pass through."""
+    from intertext_ray.functions.text import strip_diacritics as sd
+
+    assert sd("Μοσχα") == "Moskha"
+    assert sd("αβγ θεος ψυχη") == "abg theos psukhe"
+    assert sd("Москва") == "Moskva"
+    assert sd("объект") == "obekt"
+    assert sd("ещё") == "eshche"  # ё NFKD-decomposes to е + combining
+    # accented Greek folds to the base letter first, then romanizes
+    assert sd("ά έ ή") == "a e e"
+    # untabled scripts pass through
+    assert sd("日本語") == "日本語"
