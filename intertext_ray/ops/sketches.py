@@ -342,3 +342,136 @@ def hll_distinct(
             "method": pa.array(methods, pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — approximate set membership with a FIXED-size bitmap
+# ---------------------------------------------------------------------------
+
+
+def bloom_salts(k: int) -> list[int]:
+    """Per-probe-index hash salts — pinned splitmix64 values shared with the
+    SQL twin (embedded there as literals)."""
+    from intertext_ray.functions.hashing import splitmix64
+
+    return [int(splitmix64(_U64(0xB100F + i))) for i in range(k)]
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions: pos_i = splitmix64(h ^ salt_i) % m_bits."""
+    from intertext_ray.functions.hashing import splitmix64
+
+    salts = bloom_salts(k)
+    return np.stack(
+        [
+            (splitmix64(h ^ _U64(s)) % _U64(m_bits)).astype(np.int64)
+            for s in salts
+        ],
+        axis=1,
+    )
+
+
+def bloom_build(
+    ds: ray.data.Dataset,
+    value_col: str = "text",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> np.ndarray:
+    """Build the bitmap (``m_bits/64`` uint64 words) over ``value_col``.
+
+    Why at 100 TB: exact membership needs the full distinct-key set
+    co-located somewhere; the bloom bitmap is FIXED-size (m_bits/8 bytes,
+    e.g. 128 KiB at 2^20 bits) no matter how many members stream in —
+    per-batch combiners OR into a dense local bitmap and emit only the
+    non-zero words, the word-indexed groupby exchanges at most
+    ``m_bits/64 x blocks`` tiny rows, and bitwise-OR is associative and
+    commutative so the merge is partition-order- and resume-invariant.
+    Same bounded-state contract as the HLL/CMS sketches above.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    n_words = m_bits // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        h = _chain_hash_tokens(vals)
+        pos = _bloom_positions(h, m_bits, k).ravel()
+        words = np.zeros(n_words, dtype=np.uint64)
+        np.bitwise_or.at(words, pos // 64, _U64(1) << (pos % 64).astype(np.uint64))
+        nz = np.nonzero(words)[0]
+        return pa.table(
+            {
+                "word_idx": pa.array(nz, pa.int64()),
+                "bits": pa.array(words[nz], pa.uint64()),
+            }
+        )
+
+    # the per-block partials are already bounded (<= n_words rows each);
+    # final OR-fold on the driver over the tiny word rows
+    parts = (
+        ds.select_columns([value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    words = np.zeros(n_words, dtype=np.uint64)
+    for r in parts:
+        words[int(r["word_idx"])] |= _U64(r["bits"])
+    return words
+
+
+def bloom_probe(
+    ds: ray.data.Dataset,
+    words: np.ndarray,
+    id_col: str = "doc_id",
+    value_col: str = "text",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> ray.data.Dataset:
+    """(id, maybe_member) per probe row: member iff ALL k bits are set.
+
+    The bitmap is broadcast ONCE (``ray.put``); each probe batch tests its
+    positions vectorized against the shared words array — zero shuffles on
+    the probe side, so the corpus streams.  No false negatives by
+    construction; false-positive odds ~ (set_bits/m)^k.
+    """
+    import ray
+
+    ref = ray.put(words)
+
+    class Prober:
+        def __init__(self):
+            self.words = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch.column(value_col)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            h = _chain_hash_tokens(vals)
+            pos = _bloom_positions(h, m_bits, k)
+            bit = (self.words[pos // 64] >> (pos % 64).astype(np.uint64)) & _U64(1)
+            member = bit.all(axis=1)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "maybe_member": pa.array(member),
+                }
+            )
+
+    return ds.select_columns([id_col, value_col]).map_batches(
+        Prober, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+def bloom_membership(
+    corpus: ray.data.Dataset,
+    members: ray.data.Dataset,
+    id_col: str = "doc_id",
+    value_col: str = "text",
+    m_bits: int = 1 << 13,
+    k: int = 3,
+) -> ray.data.Dataset:
+    """Probe every corpus row against a bloom built from ``members``."""
+    words = bloom_build(members, value_col, m_bits, k)
+    return bloom_probe(corpus, words, id_col, value_col, m_bits, k)

@@ -193,3 +193,22 @@ def test_streaming_equals_checkpointed(pipeline_run, oracle_result, tmp_path):
     }
     assert eng == oracle_result.matches
     assert len(m) == len(eng)  # fused dedup left no duplicate match rows
+
+
+def test_lineage_report_tables(pipeline_run):
+    """stage_report/partition_report roll the checkpoint manifests into
+    queryable lineage tables: every checkpointed stage appears, row counts
+    match the manifests, and partition rows sum to the stage total."""
+    from intertext_ray.state.report import partition_report, stage_report
+
+    res, _, _ = pipeline_run
+    st = stage_report(res.store).to_pandas().set_index("stage")
+    for stage in ("windows", "hashbands", "candidates", "matches"):
+        assert stage in st.index
+        assert st.loc[stage, "complete"]
+    assert st.loc["matches", "rows"] == res.matches.count()
+    assert (st["upstream"].loc["matches"]) == "candidates,windows"
+    pr = partition_report(res.store).to_pandas()
+    sums = pr.groupby("stage")["rows"].sum()
+    for stage in ("windows", "hashbands", "candidates", "matches"):
+        assert sums[stage] == st.loc[stage, "rows"]

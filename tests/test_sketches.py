@@ -190,3 +190,60 @@ def test_log2_quantile_sketch_bounds_and_invariance(ray_session):
         rd.from_arrow(tbl).repartition(13), "v", qs
     ).to_pylist()
     assert again == got
+
+
+def test_bloom_membership_exact_vs_scalar_reference(ray_session):
+    """The distributed bloom build/probe matches a scalar recomputation of
+    the bitmap bit-for-bit: no false negatives ever, and the false-positive
+    SET (not just its size) is identical.  Also partition-invariant."""
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.sketches import (
+        _chain_hash_tokens,
+        bloom_membership,
+        bloom_salts,
+    )
+
+    m_bits, k = 256, 3  # tiny bitmap so false positives actually occur
+    texts = [f"doc text number {i} with words" for i in range(400)]
+    ids = np.arange(400, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    corpus = rd.from_arrow(tbl).repartition(7)
+    members = rd.from_arrow(tbl.filter(pa.array(ids % 10 == 0)))
+
+    out = (
+        bloom_membership(corpus, members, m_bits=m_bits, k=k)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # scalar reference bitmap
+    salts = bloom_salts(k)
+    h = _chain_hash_tokens(pa.array(texts))
+    setbits = set()
+    for i in np.nonzero(ids % 10 == 0)[0]:
+        for s in salts:
+            setbits.add(int(splitmix64(h[i] ^ np.uint64(s)) % np.uint64(m_bits)))
+    expect = [
+        all(
+            int(splitmix64(h[j] ^ np.uint64(s)) % np.uint64(m_bits)) in setbits
+            for s in salts
+        )
+        for j in range(400)
+    ]
+    assert out["maybe_member"].tolist() == expect
+    # no false negatives
+    assert out[out.doc_id % 10 == 0]["maybe_member"].all()
+    # the tiny bitmap must have produced real false positives (else the
+    # parity assertion above is vacuous)
+    assert sum(expect) > 40
+    # partition invariance
+    again = (
+        bloom_membership(
+            rd.from_arrow(tbl).repartition(13), members, m_bits=m_bits, k=k
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert again["maybe_member"].tolist() == out["maybe_member"].tolist()
