@@ -699,6 +699,15 @@ def _q_word_counts(sf_dir: str):
     return word_counts(_docs(sf_dir))
 
 
+def _q_uniform_sample(sf_dir: str):
+    """Global deterministic uniform k-sample (distributed reservoir
+    equivalent; splitmix-rank kernel shared with hash_split ★ /
+    stratified_sample ★, both in the driver check window)."""
+    from intertext_ray.ops.sampling import uniform_sample_k
+
+    return uniform_sample_k(_docs(sf_dir), k=64, salt=7)
+
+
 def _q_bloom_membership(sf_dir: str):
     """Bloom-filter set membership (bounded-state sketch #4): the bitmap is
     built from the docs with doc_id % 10 == 0, then EVERY doc is probed.
@@ -1018,6 +1027,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "event_session_assignment": _q_event_session_assignment,
         "sliding_event_stats": _q_sliding_events,
         # --- position 51+: twins transitively pinned by an in-window twin
+        "uniform_sample": _q_uniform_sample,
         "word_counts": _q_word_counts,
         "window_counts": _q_window_counts,
         "token_counts": _q_token_counts,
@@ -1666,6 +1676,21 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_sql(p=12),
         "cms_word_counts": _cms_sql(width=8192, depth=4),
         "bloom_membership": _bloom_sql(m_bits=1024, k=3),
+        "uniform_sample": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     {_sql_splitmix("xor(CAST(doc_id AS UBIGINT), CAST(7 AS UBIGINT))")} AS hv
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY hv, doc_id) - 1 AS sample_rank
+              FROM h
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r WHERE sample_rank < 64
+        """,
         "top_bigrams": """
             WITH d AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr

@@ -125,3 +125,43 @@ def exact_int_quantiles(
             "value": pa.array(out_v, pa.int64()),
         }
     )
+
+
+def uniform_sample_k(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    k: int = 100,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic GLOBAL uniform k-sample without replacement: the k rows
+    with the smallest ``splitmix64(id ^ salt)`` (ties by id) — the
+    distributed equivalent of reservoir sampling, but a pure function of
+    the keys (layout-, partition- and resume-invariant, unlike an actual
+    reservoir whose content depends on encounter order).
+
+    Scale shape: a per-batch combiner cuts every batch to its k smallest
+    hashes, so at most ``k x n_blocks`` (id, hash) rows reach the single
+    final top-k — never the corpus."""
+    s = np.uint64(salt)
+
+    def topk(tbl: pa.Table) -> pa.Table:
+        d = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(d ^ s)
+        order = np.lexsort((d, h))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(d[order].astype(np.int64), pa.int64()),
+                "sample_rank": pa.array(
+                    np.arange(len(order), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    combined = docs.select_columns([id_col]).map_batches(
+        topk, batch_format="pyarrow"
+    )
+    # single final cut over ALL combiner survivors in one batch
+    # (batch_size=None = whole block; the stream is <= k rows per block)
+    return combined.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None
+    )

@@ -122,3 +122,31 @@ def test_exact_int_quantiles(ray_session):
     for q, v in zip(out.q, out.value):
         rank = max(1, int(np.ceil(q * n)))
         assert v == sv[rank - 1], (q, v, sv[rank - 1])
+
+
+def test_uniform_sample_k_matches_scalar_and_is_layout_invariant(ray_session):
+    """The distributed two-phase top-k equals a scalar argsort of
+    splitmix64(id^salt) over ALL ids, at any partitioning, and with more
+    combiner survivors than one default batch (k * n_blocks > 1024 would
+    silently break a batched final cut — hence batch_size=None there)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.sampling import uniform_sample_k
+
+    n, k, salt = 5000, 700, 7
+    ids = np.arange(n, dtype=np.uint64)
+    tbl = pa.table({"doc_id": pa.array(ids.astype(np.int64)), "x": pa.array(ids.astype(np.int64))})
+    h = splitmix64(ids ^ np.uint64(salt))
+    expect = ids[np.lexsort((ids, h))][:k].astype(np.int64).tolist()
+
+    for parts in (3, 17):
+        got = (
+            uniform_sample_k(rd.from_arrow(tbl).repartition(parts), k=k, salt=salt)
+            .to_pandas()
+            .sort_values("sample_rank")
+        )
+        assert got["doc_id"].tolist() == expect
+        assert got["sample_rank"].tolist() == list(range(k))
