@@ -914,6 +914,25 @@ def _q_audio_stats(sf_dir: str):
     return docs_as_int64(audio_stats(_audio_dup_clips(sf_dir)))
 
 
+def _q_audio_pcm_stats(sf_dir: str):
+    """Integer-exact audio stats over a deterministic 1/7 clip sample of
+    the SQL-decodable codecs — the driver-checkable face of the audio
+    family (the twin re-decodes the payload bytes in SQL)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_stats import audio_pcm_stats
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    return audio_pcm_stats(clips.map_batches(samp, batch_format="pyarrow"))
+
+
 def _q_image_features(sf_dir: str):
     """Multimodal stub pipeline: binary payload -> feature vector (shape
     check only; decode is a deterministic fake in this container)."""
@@ -1006,8 +1025,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
-        "curate_corpus": _q_curate_corpus,
         "doc_top_terms": _q_doc_top_terms,
+        "audio_pcm_stats": _q_audio_pcm_stats,
         # sampling / splits / packing / PII
         "hash_split": _q_hash_split,
         "assign_chunks": _q_assign_chunks,
@@ -1027,6 +1046,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "event_session_assignment": _q_event_session_assignment,
         "sliding_event_stats": _q_sliding_events,
         # --- position 51+: twins transitively pinned by an in-window twin
+        "curate_corpus": _q_curate_corpus,
         "uniform_sample": _q_uniform_sample,
         "word_counts": _q_word_counts,
         "window_counts": _q_window_counts,
@@ -1270,6 +1290,99 @@ DIFFLIB_SQL_CTES = """
           SELECT pair_id, sum(k) AS m FROM rec WHERE k IS NOT NULL GROUP BY pair_id
         )
 """
+
+
+def _audiodup_clips_path() -> str:
+    return os.environ.get(
+        "ITX_ORACLE_AUDIODUP_CLIPS", "/tmp/itx_audiodup_v1_n500_s7/clips"
+    )
+
+
+def _audio_pcm_sql() -> str:
+    """Twin of ``_q_audio_pcm_stats`` — RE-DECODES the audio payload in SQL
+    for the losslessly SQL-expressible codecs over the same 1/7 clip
+    sample:
+
+    - ``pcm_s16le``: the blob IS the samples — hex-pair arithmetic
+      reconstructs each little-endian int16;
+    - ``wav``: same, after the canonical 44-byte RIFF header the fixture
+      writer emits (``functions/audio.encode_wav``);
+    - ``ulaw``/``alaw``: 256-entry decode tables embedded as VALUES
+      literals GENERATED FROM the engine decoder (parity by construction).
+
+    Every statistic is an exact integer (energy via HUGEINT sum of
+    squares), so the comparison is hash-exact with no float tolerance."""
+    from intertext_ray.functions.audio import decode_alaw, decode_ulaw
+
+    ut = ", ".join(
+        f"({i}, {int(v)})" for i, v in enumerate(decode_ulaw(bytes(range(256))))
+    )
+    at = ", ".join(
+        f"({i}, {int(v)})" for i, v in enumerate(decode_alaw(bytes(range(256))))
+    )
+    hexd = "'0123456789ABCDEF'"
+    return f"""
+        WITH src AS (
+          SELECT clip_id, codec, hex(bytes) AS h, octet_length(bytes) AS nb
+          FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+          WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) % 7 = 0
+            AND codec IN ('pcm_s16le', 'wav', 'ulaw', 'alaw')
+        ),
+        p16 AS (
+          SELECT clip_id, h,
+                 CASE codec WHEN 'wav' THEN 44 ELSE 0 END AS off,
+                 (nb - CASE codec WHEN 'wav' THEN 44 ELSE 0 END) // 2 AS n
+          FROM src WHERE codec IN ('pcm_s16le', 'wav')
+        ),
+        i16 AS (
+          SELECT clip_id, i,
+                 (strpos({hexd}, substr(h, (off + 2*i)*2 + 1, 1)) - 1) * 16
+               + (strpos({hexd}, substr(h, (off + 2*i)*2 + 2, 1)) - 1) AS b0,
+                 (strpos({hexd}, substr(h, (off + 2*i + 1)*2 + 1, 1)) - 1) * 16
+               + (strpos({hexd}, substr(h, (off + 2*i + 1)*2 + 2, 1)) - 1) AS b1
+          FROM p16, unnest(generate_series(0, n - 1)) u(i)
+        ),
+        s16 AS (
+          SELECT clip_id, i,
+                 CASE WHEN b0 + 256*b1 >= 32768 THEN b0 + 256*b1 - 65536
+                      ELSE b0 + 256*b1 END AS s
+          FROM i16
+        ),
+        g711 AS (
+          SELECT clip_id, codec, h, nb AS n FROM src
+          WHERE codec IN ('ulaw', 'alaw')
+        ),
+        gb AS (
+          SELECT clip_id, codec, i,
+                 (strpos({hexd}, substr(h, 2*i + 1, 1)) - 1) * 16
+               + (strpos({hexd}, substr(h, 2*i + 2, 1)) - 1) AS byte
+          FROM g711, unnest(generate_series(0, n - 1)) u(i)
+        ),
+        ut(byte, s) AS (VALUES {ut}),
+        at2(byte, s) AS (VALUES {at}),
+        sg AS (
+          SELECT gb.clip_id, gb.i,
+                 CASE gb.codec WHEN 'ulaw' THEN ut.s ELSE at2.s END AS s
+          FROM gb JOIN ut ON ut.byte = gb.byte JOIN at2 ON at2.byte = gb.byte
+        ),
+        allsamp AS (
+          SELECT * FROM s16 UNION ALL SELECT * FROM sg
+        ),
+        lagged AS (
+          SELECT clip_id, s,
+                 lag(s) OVER (PARTITION BY clip_id ORDER BY i) AS sp
+          FROM allsamp
+        )
+        SELECT clip_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS energy,
+               CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+               CAST(count(*) FILTER (WHERE sp * s < 0) AS BIGINT)
+                   AS n_zero_cross,
+               CAST(count(*) FILTER (WHERE s = 32767 OR s = -32768) AS BIGINT)
+                   AS n_clipped
+        FROM lagged GROUP BY clip_id
+    """
 
 
 def _bloom_sql(m_bits: int = 1024, k: int = 3) -> str:
@@ -1676,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_sql(p=12),
         "cms_word_counts": _cms_sql(width=8192, depth=4),
         "bloom_membership": _bloom_sql(m_bits=1024, k=3),
+        "audio_pcm_stats": _audio_pcm_sql(),
         "uniform_sample": f"""
             WITH h AS (
               SELECT doc_id,

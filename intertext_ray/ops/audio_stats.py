@@ -106,3 +106,63 @@ def audio_stats(
         num_cpus=1,
         zero_copy_batch=True,
     )
+
+
+def audio_pcm_stats(
+    clips: ray.data.Dataset,
+    codecs: tuple[str, ...] = ("pcm_s16le", "wav", "ulaw", "alaw"),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """INTEGER-exact per-clip loudness/activity stats over the losslessly
+    SQL-decodable codecs — the driver-checkable face of the audio family.
+
+    Unlike :func:`audio_stats` (dBFS floats, rows-only check), every output
+    here is an exact integer, so a DuckDB twin can re-decode the payload
+    bytes (hex-pair arithmetic for s16le / canonical-header WAV, 256-entry
+    table literals for G.711 u-law/A-law — tables generated FROM the engine
+    decoder, parity by construction) and hash-compare:
+
+    - ``n_samples``     decoded sample count
+    - ``energy``        sum of squared samples (< 2^46 at 2 s / 44.1 kHz)
+    - ``peak_abs``      max |sample|
+    - ``n_zero_cross``  count of strict sign flips (s[i-1] * s[i] < 0)
+    - ``n_clipped``     samples at full scale (32767 / -32768)
+    """
+    keep = set(codecs)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        srs = batch["sr_hz"].to_numpy(zero_copy_only=False)
+        cod = batch["codec"].to_pylist()
+        ids = batch["clip_id"].to_pylist()
+        out = {
+            "clip_id": [], "n_samples": [], "energy": [],
+            "peak_abs": [], "n_zero_cross": [], "n_clipped": [],
+        }
+        for i in range(len(batch)):
+            if cod[i] not in keep:
+                continue
+            pcm = decode_clip(blobs[i], int(srs[i]), cod[i])
+            s = pcm.astype(np.int64)
+            out["clip_id"].append(ids[i])
+            out["n_samples"].append(len(s))
+            out["energy"].append(int(np.sum(s * s)))
+            out["peak_abs"].append(int(np.max(np.abs(s))) if len(s) else 0)
+            out["n_zero_cross"].append(
+                int(np.sum(s[:-1] * s[1:] < 0)) if len(s) > 1 else 0
+            )
+            out["n_clipped"].append(
+                int(np.sum((pcm == 32767) | (pcm == -32768)))
+            )
+        return pa.table(
+            {
+                "clip_id": pa.array(out["clip_id"], pa.string()),
+                "n_samples": pa.array(out["n_samples"], pa.int64()),
+                "energy": pa.array(out["energy"], pa.int64()),
+                "peak_abs": pa.array(out["peak_abs"], pa.int64()),
+                "n_zero_cross": pa.array(out["n_zero_cross"], pa.int64()),
+                "n_clipped": pa.array(out["n_clipped"], pa.int64()),
+            }
+        )
+
+    return clips.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

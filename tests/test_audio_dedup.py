@@ -267,3 +267,37 @@ def test_containment_short_clip_inside_longer_recording():
     assert len(pairs) == 1
     assert int(pairs.offset.iloc[0]) == 40
     assert float(pairs.ber.iloc[0]) < 0.1
+
+
+def test_audio_pcm_stats_integer_exact():
+    """audio_pcm_stats matches a direct per-clip scalar computation exactly
+    (every output is an integer — this op exists so the SQL twin can
+    re-decode the payload and hash-compare with zero float tolerance)."""
+    import numpy as np
+
+    from intertext_ray.ops.audio_stats import audio_pcm_stats
+
+    clips, _ = gen_audio_dup_corpus(24, seed=33)
+    out = (
+        audio_pcm_stats(ray.data.from_arrow(clips))
+        .to_pandas()
+        .set_index("clip_id")
+    )
+    n_checked = 0
+    for i in range(len(clips)):
+        codec = clips["codec"][i].as_py()
+        if codec not in ("pcm_s16le", "wav", "ulaw", "alaw"):
+            assert clips["clip_id"][i].as_py() not in out.index
+            continue
+        pcm = decode_clip(
+            clips["bytes"][i].as_py(), clips["sr_hz"][i].as_py(), codec
+        )
+        s = pcm.astype(np.int64)
+        row = out.loc[clips["clip_id"][i].as_py()]
+        assert row.n_samples == len(s)
+        assert row.energy == int(np.sum(s * s))
+        assert row.peak_abs == int(np.max(np.abs(s)))
+        assert row.n_zero_cross == int(np.sum(s[:-1] * s[1:] < 0))
+        assert row.n_clipped == int(np.sum((pcm == 32767) | (pcm == -32768)))
+        n_checked += 1
+    assert n_checked >= 12

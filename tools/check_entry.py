@@ -70,6 +70,11 @@ def main():
     os.environ["ITX_ORACLE_CLIPS_WORK"] = (
         clips_corpus_for_sf(sf_dir, with_audio=True) + "/dedup_work"
     )
+    from intertext_ray.fixtures.gen_audio import audio_dup_corpus_for_sf
+
+    os.environ["ITX_ORACLE_AUDIODUP_CLIPS"] = (
+        audio_dup_corpus_for_sf(sf_dir) + "/clips"
+    )
 
     con = duckdb.connect()
     for t in TABLES:
