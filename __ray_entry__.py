@@ -933,6 +933,74 @@ def _q_audio_pcm_stats(sf_dir: str):
     return audio_pcm_stats(clips.map_batches(samp, batch_format="pyarrow"))
 
 
+
+def _source_formats_cache(sf_dir: str) -> str:
+    """One-time deterministic conversion of the documents table into the
+    other supported source formats (JSONL / CSV / one-txt-file-per-doc),
+    cached under /tmp per tier — used by the reader-path queries."""
+    import duckdb
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cache = f"/tmp/itx_srcfmt_{tag}"
+    done = os.path.join(cache, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(os.path.join(cache, "txt"), exist_ok=True)
+        con = duckdb.connect()
+        base = f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        con.execute(
+            f"COPY ({base}) TO '{cache}/documents.jsonl' (FORMAT JSON)"
+        )
+        con.execute(
+            f"COPY ({base}) TO '{cache}/documents.csv' (FORMAT CSV, HEADER)"
+        )
+        for did, text in con.execute(base).fetchall():
+            with open(os.path.join(cache, "txt", f"doc_{did}.txt"), "w") as f:
+                f.write(text)
+        with open(done, "w") as f:
+            f.write("ok")
+    return cache
+
+
+def _q_jsonl_token_counts(sf_dir: str):
+    """Reader-path verification: documents round-tripped through JSONL
+    (ray.data.read_json) must produce byte-identical downstream results —
+    twin is the plain token_counts SQL over the parquet table."""
+    from intertext_ray.ops.text_stats import token_counts
+    from intertext_ray.sources.text_corpus import read_documents_jsonl
+
+    cache = _source_formats_cache(sf_dir)
+    return _i64(token_counts(read_documents_jsonl(f"{cache}/documents.jsonl")))
+
+
+def _q_csv_token_counts(sf_dir: str):
+    """Reader-path verification for the CSV source (ray.data.read_csv)."""
+    from intertext_ray.ops.text_stats import token_counts
+    from intertext_ray.sources.text_corpus import read_documents_csv
+
+    cache = _source_formats_cache(sf_dir)
+    return _i64(token_counts(read_documents_csv(f"{cache}/documents.csv")))
+
+
+def _q_textdir_window_counts(sf_dir: str):
+    """Reader-path verification for the reference's own corpus shape — a
+    directory of one-text-file-per-document (sources.text_corpus
+    .read_text_dir); windowizer output must match the parquet-derived
+    window_counts twin exactly."""
+    from ray.data.aggregate import Count
+
+    from intertext_ray.config import IntertextConfig
+    from intertext_ray.sources.text_corpus import read_text_dir
+    from intertext_ray.stages.windows import windows_stage
+
+    cache = _source_formats_cache(sf_dir)
+    ds = windows_stage(read_text_dir(f"{cache}/txt"), IntertextConfig())
+    return (
+        _i64(ds.select_columns(["doc_id"]))
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_windows"))
+    )
+
+
 def _q_image_features(sf_dir: str):
     """Multimodal stub pipeline: binary payload -> feature vector (shape
     check only; decode is a deterministic fake in this container)."""
@@ -1053,6 +1121,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "simhash_fingerprints": _q_simhash,
         "rolling_fingerprints": _q_rolling_fp,
+        "jsonl_token_counts": _q_jsonl_token_counts,
+        "csv_token_counts": _q_csv_token_counts,
+        "textdir_window_counts": _q_textdir_window_counts,
         # --- non-SQL-expressible (approx-by-design / difflib / FFT)
         "dedup_matches": _q_matches,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -1790,6 +1861,29 @@ def oracle_sql() -> dict[str, str]:
         "cms_word_counts": _cms_sql(width=8192, depth=4),
         "bloom_membership": _bloom_sql(m_bits=1024, k=3),
         "audio_pcm_stats": _audio_pcm_sql(),
+        "jsonl_token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "csv_token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "textdir_window_counts": """
+            WITH w AS (
+              SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT doc_id, CAST((n-14)//4 + 1 AS BIGINT) AS n_windows
+            FROM w WHERE n >= 14
+        """,
+
         "uniform_sample": f"""
             WITH h AS (
               SELECT doc_id,
