@@ -408,16 +408,29 @@ def bloom_build(
             }
         )
 
-    # the per-block partials are already bounded (<= n_words rows each);
-    # final OR-fold on the driver over the tiny word rows
-    parts = (
+    # distributed OR-reduce: per-block partials (<= n_words rows each) fold
+    # through a word-indexed groupby with an associative bitwise-OR
+    # aggregate, so the driver receives AT MOST n_words rows no matter how
+    # many blocks the corpus has
+    from ray.data.aggregate import AggregateFn
+
+    or_agg = AggregateFn(
+        init=lambda k: 0,
+        merge=lambda a, b: a | b,
+        accumulate_block=lambda a, blk: a
+        | int(np.bitwise_or.reduce(np.asarray(blk["bits"], dtype=np.uint64))),
+        name="bits",
+    )
+    rows = (
         ds.select_columns([value_col])
         .map_batches(partial, batch_format="pyarrow")
+        .groupby("word_idx")
+        .aggregate(or_agg)
         .take_all()
     )
     words = np.zeros(n_words, dtype=np.uint64)
-    for r in parts:
-        words[int(r["word_idx"])] |= _U64(r["bits"])
+    for r in rows:
+        words[int(r["word_idx"])] = _U64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
     return words
 
 
