@@ -117,3 +117,32 @@ def test_hll_register_merge_is_set_union(values):
     for r, rho in b.items():
         merged[r] = max(merged.get(r, 0), rho)
     assert merged == _ref_registers(values)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.text(alphabet="abγ é", min_size=1, max_size=40),
+    st.text(alphabet="abγ é", min_size=1, max_size=40),
+)
+def test_difflib_sql_kernel_property(a, b):
+    """The recursive Ratcliff/Obershelp SQL kernel equals Python difflib's
+    int(ratio*100) on arbitrary strings, including non-ASCII code points
+    (substr/length are character-based in DuckDB, matching Python)."""
+    from difflib import SequenceMatcher
+
+    import duckdb
+    import pandas as pd
+
+    from __ray_entry__ import DIFFLIB_SQL_CTES
+
+    con = duckdb.connect()
+    con.register("src", pd.DataFrame([(0, a, b)], columns=["pair_id", "a", "b"]))
+    sql = f"""
+        WITH RECURSIVE pairs AS (SELECT * FROM src), {DIFFLIB_SQL_CTES}
+        SELECT CAST(trunc((2.0 * COALESCE(m.m, 0)
+                    / (length(p.a) + length(p.b))) * 100) AS INT) AS sim
+        FROM pairs p LEFT JOIN msum m USING (pair_id)
+    """
+    got = con.execute(sql).fetchone()[0]
+    want = int(SequenceMatcher(None, a, b, autojunk=False).ratio() * 100)
+    assert got == want, (a, b, got, want)
