@@ -490,6 +490,14 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_near_dups(_docs(sf_dir), max_hamming=8)
 
 
+def _q_simhash_clusters(sf_dir: str):
+    """SimHash dup clusters; twin re-derives from the raw table end to end
+    (fingerprint kernel -> bit_count pairs -> recursive min-label CC)."""
+    from intertext_ray.ops.simhash import simhash_clusters
+
+    return simhash_clusters(_docs(sf_dir), max_hamming=8)
+
+
 def _q_rolling_fp(sf_dir: str):
     from intertext_ray.ops.text_stats import rolling_fingerprints
 
@@ -1121,6 +1129,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "simhash_fingerprints": _q_simhash,
         "rolling_fingerprints": _q_rolling_fp,
+        "simhash_clusters": _q_simhash_clusters,
         "jsonl_token_counts": _q_jsonl_token_counts,
         "csv_token_counts": _q_csv_token_counts,
         "textdir_window_counts": _q_textdir_window_counts,
@@ -2074,6 +2083,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.f, b.f)) <= 8
+        """,
+        "simhash_clusters": f"""
+            WITH RECURSIVE
+            toks AS ({_TOKS}),
+            {_SQL_TOKEN_CHAIN},
+            {_SQL_SIMHASH_FP},
+            prs AS (
+              SELECT CAST(a.doc_id AS BIGINT) AS u, CAST(b.doc_id AS BIGINT) AS v
+              FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.f, b.f)) <= 8
+            ),
+            edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            cc(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT e.v, cc.label FROM cc JOIN edges e ON e.u = cc.node
+              WHERE cc.label < e.v
+            )
+            SELECT node AS doc_id, min(label) AS dup_cluster_id
+            FROM cc GROUP BY node
         """,
         "minhash_doc_dedup": _minhash_doc_sql(
             k=3, n_perm=16, band_rows=2, pct=50

@@ -256,3 +256,42 @@ def _pairs_table(a, b, ham) -> pa.Table:
             "hamming": pa.array(np.asarray(ham, dtype=np.int64), pa.int64()),
         }
     )
+
+
+def simhash_clusters(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """(doc_id, dup_cluster_id) — connected components with min-member
+    labels over the exact :func:`simhash_near_dups` pairs (driver
+    union-find; the radius-verified pair graph is ≪ corpus — same
+    justification and distributed escape hatch as
+    ``stages/cluster.components_from_matches``).  The SQL twin re-derives
+    everything from the raw table: simhash fingerprints -> bit_count
+    Hamming pairs -> recursive min-label closure."""
+    from intertext_ray.stages.cluster import _cc_min_label
+
+    pairs = simhash_near_dups(docs, text_col, max_hamming, num_buckets)
+    aa, bb = [], []
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        aa.append(batch["doc_a"].to_numpy(zero_copy_only=False))
+        bb.append(batch["doc_b"].to_numpy(zero_copy_only=False))
+    if not aa or not sum(len(x) for x in aa):
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "dup_cluster_id": pa.array([], pa.int64()),
+            }
+        )
+    u = np.concatenate(aa).astype(np.int64)
+    v = np.concatenate(bb).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    label = _cc_min_label(inv[: len(u)], inv[len(u) :], len(nodes))
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "dup_cluster_id": pa.array(nodes[label], pa.int64()),
+        }
+    )

@@ -491,3 +491,44 @@ def test_incremental_dedup(ray_session, tmp_path):
         wave3, idx, min_jaccard=0.5, num_buckets=8
     ).to_pandas()
     assert set(zip(got2.doc_a, got2.doc_b)) == {(0, 8), (1, 8), (4, 8)}
+
+
+def test_simhash_clusters_min_label(ray_session):
+    """simhash_clusters labels every paired doc with its component's min
+    doc_id, consistent with the pairs the exact-radius path emits."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.simhash import simhash_clusters, simhash_near_dups
+
+    base = " ".join(f"w{i}" for i in range(30))
+    texts = [base, base + " x", base + " y z", "totally different words here"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    pairs = simhash_near_dups(ds, max_hamming=8).to_pandas()
+    clusters = simhash_clusters(ds, max_hamming=8).to_pandas()
+    # membership == nodes of the pair graph
+    assert set(clusters.doc_id) == set(pairs.doc_a) | set(pairs.doc_b)
+    # union-find ground truth
+    parent = {d: d for d in set(pairs.doc_a) | set(pairs.doc_b)}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for d in parent:
+        comp.setdefault(find(d), []).append(d)
+    want = {d: min(m) for r, m in comp.items() for d in m}
+    got = dict(zip(clusters.doc_id, clusters.dup_cluster_id))
+    assert got == want
