@@ -19,6 +19,12 @@ import os
 import subprocess
 import sys
 import time
+
+# must precede the first `import ray` anywhere (ray reads it at
+# ray_constants import time): 50% object store per Ray Data's own
+# recommendation — /dev/shm is 126G here, so no spill-to-disk risk
+os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
+
 from intertext_ray.sources.clips import read_table as _read_table
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
