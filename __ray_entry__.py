@@ -1051,17 +1051,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries, so all SQL-twinned queries come first, ranked so the 50-query
-    # window covers every kernel at least once.  Positions 51+ hold (a) four
-    # twinned queries whose kernel is transitively pinned by an in-window
-    # twin (window_counts by windows, token_counts by token_quantiles,
-    # simhash_fingerprints by simhash_near_dups, rolling_fingerprints by
-    # containment_search, word_counts' groupby-count kernel by
-    # top_bigrams/cms_word_counts over the same tokenization) and (b) the non-SQL-expressible queries (approx-by-
-    # design ANN/semdedup, the full difflib matches table — its kernel is
-    # driver-pinned via dedup_match_sample — and the audio/FFT family, each
-    # pinned by repo-local brute-force oracles).  tools/check_entry.py
-    # checks ALL twinned queries regardless of position.
+    # entries, so the 50 leading queries all carry SQL twins, ranked so the
+    # window covers every kernel at least once.  Positions 51+ hold
+    # (a) twinned queries whose kernel is transitively pinned by an
+    # in-window twin (window_counts by windows; token_counts by
+    # token_quantiles; simhash_fingerprints by simhash_near_dups;
+    # rolling_fingerprints by containment_search; word_counts by
+    # top_bigrams/cms_word_counts over the same tokenization;
+    # curate_corpus = lang_id + quality_scores + exact_dedup, each
+    # in-window; uniform_sample's splitmix-rank by hash_split /
+    # stratified_sample; simhash_clusters = simhash_near_dups pairs +
+    # the dedup_clusters closure; the three reader-path queries rerun
+    # in-window kernels through the JSONL/CSV/text-dir sources) and
+    # (b) the non-SQL-expressible queries (approx-by-design ANN/semdedup,
+    # the full difflib matches table — its kernel is driver-pinned via
+    # dedup_match_sample — and the audio/FFT family, pinned by repo-local
+    # brute-force oracles; the audio decode face is driver-checked via
+    # audio_pcm_stats).  tools/check_entry.py checks ALL twinned queries
+    # regardless of position; COVERAGE.md carries the same map.
     return {
         # flagship dedup chain (north rule)
         "windows": _q_windows,
