@@ -212,3 +212,17 @@ def test_lineage_report_tables(pipeline_run):
     sums = pr.groupby("stage")["rows"].sum()
     for stage in ("windows", "hashbands", "candidates", "matches"):
         assert sums[stage] == st.loc[stage, "rows"]
+
+
+def test_resume_across_num_buckets_change(pipeline_run):
+    """num_buckets is a PHYSICAL knob (cluster sizing), not a semantic one:
+    re-running against the same work_dir with a different bucket count must
+    resume from the finished checkpoints (config hash unchanged), not
+    recompute — the real resize-the-cluster-and-resume scenario."""
+    res, docs, work = pipeline_run
+    n = res.matches.count()
+    res2 = run_dedup(
+        docs, CFG, work_dir=work, num_buckets=5, with_pair_clusters=False
+    )
+    assert res2.store.is_complete("matches")
+    assert res2.matches.count() == n
