@@ -490,6 +490,15 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_near_dups(_docs(sf_dir), max_hamming=8)
 
 
+def _q_sorted_neighbor(sf_dir: str):
+    """Sorted-neighborhood (SortingLSH) near-dups: pairs within rank window
+    8 of the global (simhash, doc_id) order AND Hamming <= 8.  The twin is
+    fully independent — fingerprint kernel in SQL + row_number rank join."""
+    from intertext_ray.ops.sorted_neighborhood import sorted_neighbor_dups
+
+    return sorted_neighbor_dups(_docs(sf_dir), window=8, max_hamming=8)
+
+
 def _q_simhash_clusters(sf_dir: str):
     """SimHash dup clusters; twin re-derives from the raw table end to end
     (fingerprint kernel -> bit_count pairs -> recursive min-label CC)."""
@@ -1061,7 +1070,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # curate_corpus = lang_id + quality_scores + exact_dedup, each
     # in-window; uniform_sample's splitmix-rank by hash_split /
     # stratified_sample; simhash_clusters = simhash_near_dups pairs +
-    # the dedup_clusters closure; the three reader-path queries rerun
+    # the dedup_clusters closure; event_session_assignment = the same
+    # sessionize boundary-cumsum kernel as in-window event_sessions, one
+    # aggregation earlier; the three reader-path queries rerun
     # in-window kernels through the JSONL/CSV/text-dir sources) and
     # (b) the non-SQL-expressible queries (approx-by-design ANN/semdedup,
     # the full difflib matches table — its kernel is driver-pinned via
@@ -1089,6 +1100,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_report": _q_source_dup_report,
         # near-dup families
         "simhash_near_dups": _q_simhash_pairs,
+        "sorted_neighbor_dups": _q_sorted_neighbor,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -1126,9 +1138,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": _q_props_stats,
         "event_sessions": _q_sessions,
         "asof_click_view": _q_asof,
-        "event_session_assignment": _q_event_session_assignment,
         "sliding_event_stats": _q_sliding_events,
         # --- position 51+: twins transitively pinned by an in-window twin
+        "event_session_assignment": _q_event_session_assignment,
         "curate_corpus": _q_curate_corpus,
         "uniform_sample": _q_uniform_sample,
         "word_counts": _q_word_counts,
@@ -2089,6 +2101,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.doc_id AS BIGINT) AS doc_b,
                    CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 8
+        """,
+        "sorted_neighbor_dups": f"""
+            WITH RECURSIVE
+            toks AS ({_TOKS}),
+            {_SQL_TOKEN_CHAIN},
+            {_SQL_SIMHASH_FP},
+            ranked AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, f,
+                     row_number() OVER (ORDER BY f, doc_id) AS rk
+              FROM fp
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+                   CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+            FROM ranked a JOIN ranked b
+              ON b.rk > a.rk AND b.rk <= a.rk + 8
             WHERE bit_count(xor(a.f, b.f)) <= 8
         """,
         "simhash_clusters": f"""

@@ -210,6 +210,13 @@ def run_bench() -> dict:
     simhash_near_dups(docs1k, max_hamming=8).count()
     queries["simhash_near_dups_1k"] = round(time.time() - t0, 3)
 
+    # ---- sorted-neighborhood dedup: O(n*window), so the FULL table ----
+    from intertext_ray.ops.sorted_neighborhood import sorted_neighbor_dups
+
+    t0 = time.time()
+    sorted_neighbor_dups(read_documents(SF_DIR), window=8, max_hamming=8).count()
+    queries["sorted_neighbor_full"] = round(time.time() - t0, 3)
+
     # ---- event-stream ops (windows / sessions / asof / range join) ----
     from intertext_ray.ops.events import (
         asof_join_events,

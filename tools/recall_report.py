@@ -137,6 +137,31 @@ def _planted_dup_recall() -> dict:
     return out
 
 
+def _sorted_neighbor_recall(sf_dir: str) -> dict:
+    """Sorted-neighborhood recall vs the EXACT radius pairs
+    (``simhash_near_dups`` has guaranteed full recall at its radius):
+    fraction of Hamming<=8 pairs whose ranks in (simhash, doc_id) order
+    sit within the window, swept over window size.  Rank-locality is the
+    op's documented trade-off — this measures it on the real testdata."""
+    from intertext_ray.ops.simhash import simhash_near_dups
+    from intertext_ray.ops.sorted_neighborhood import sorted_neighbor_dups
+    from intertext_ray.sources.clips import read_documents
+
+    exact = simhash_near_dups(read_documents(sf_dir), max_hamming=8).to_pandas()
+    ep = set(zip(exact["doc_a"], exact["doc_b"]))
+    out: dict = {"exact_pairs": len(ep)}
+    for window in (4, 8, 16, 32):
+        got = sorted_neighbor_dups(
+            read_documents(sf_dir), window=window, max_hamming=8
+        ).to_pandas()
+        # canonicalize: engine emits (lower-rank, higher-rank); exact emits id order
+        gp = {(min(a, b), max(a, b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+        out[f"window_{window}"] = (
+            round(len(ep & gp) / len(ep), 4) if ep else None
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import ray
@@ -156,6 +181,9 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "ivf_recall_at_10_vs_nprobe_testdata": _ivf_sweep(sf_dir),
                 "dup_recall_planted": _planted_dup_recall(),
+                "sorted_neighbor_recall_vs_exact_radius": _sorted_neighbor_recall(
+                    sf_dir
+                ),
             }
         )
     )
