@@ -266,6 +266,17 @@ def _q_doc_top_terms(sf_dir: str):
     return doc_top_terms(_docs(sf_dir), top=3)
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4/RefinedWeb-style line-level boilerplate removal: lines with
+    document frequency >= 3 are dropped from every doc.  The corpus lacks
+    newlines, so both sides derive the SAME deterministic multi-line view
+    first (every 3 whitespace tokens = one line; `break_into_lines`)."""
+    from intertext_ray.ops.line_dedup import break_into_lines, line_dedup
+
+    return line_dedup(break_into_lines(_docs(sf_dir), tokens_per_line=3),
+                      min_df=3)
+
+
 def _q_curate_corpus(sf_dir: str):
     """Composed curation chain: lang gate -> quality gates -> exact-dedup
     survivor (filters BEFORE the only shuffle)."""
@@ -1068,7 +1079,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # rolling_fingerprints by containment_search; word_counts by
     # top_bigrams/cms_word_counts over the same tokenization;
     # curate_corpus = lang_id + quality_scores + exact_dedup, each
-    # in-window; uniform_sample's splitmix-rank by hash_split /
+    # in-window; uniform_sample's and hash_split's splitmix kernel by
     # stratified_sample; simhash_clusters = simhash_near_dups pairs +
     # the dedup_clusters closure; event_session_assignment = the same
     # sessionize boundary-cumsum kernel as in-window event_sessions, one
@@ -1122,8 +1133,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "content_fingerprints": _q_fingerprints,
         "doc_top_terms": _q_doc_top_terms,
         "audio_pcm_stats": _q_audio_pcm_stats,
+        "line_dedup": _q_line_dedup,
         # sampling / splits / packing / PII
-        "hash_split": _q_hash_split,
         "assign_chunks": _q_assign_chunks,
         "redact_pii": _q_redact_pii,
         "stratified_sample": _q_stratified_sample,
@@ -1141,6 +1152,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_stats": _q_sliding_events,
         # --- position 51+: twins transitively pinned by an in-window twin
         "event_session_assignment": _q_event_session_assignment,
+        "hash_split": _q_hash_split,
         "curate_corpus": _q_curate_corpus,
         "uniform_sample": _q_uniform_sample,
         "word_counts": _q_word_counts,
@@ -1951,6 +1963,50 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_sql_splitmix("CAST(doc_id AS UBIGINT)")} % 1000 < 900
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        # line-level boilerplate dedup over the shared 3-tokens-per-line
+        # view (ops/line_dedup.break_into_lines); df counts DOCUMENTS,
+        # n_removed counts removed line occurrences per doc
+        "line_dedup": """
+            WITH tok AS (
+              SELECT doc_id, i, arr[CAST(i AS BIGINT)] AS w
+              FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS arr,
+                       unnest(generate_series(
+                         1, len(regexp_split_to_array(trim(text), '\\s+'))
+                       )) AS i
+                FROM documents WHERE trim(text) <> ''
+              ) t
+            ),
+            lines AS (
+              SELECT doc_id, CAST((i - 1) // 3 AS BIGINT) AS ln,
+                     string_agg(w, ' ' ORDER BY i) AS line
+              FROM tok GROUP BY doc_id, (i - 1) // 3
+            ),
+            freq AS (
+              SELECT line
+              FROM (SELECT line, count(DISTINCT doc_id) AS d
+                    FROM lines GROUP BY line) f
+              WHERE d >= 3
+            ),
+            kept AS (
+              SELECT doc_id, ln, line FROM lines
+              WHERE line NOT IN (SELECT line FROM freq)
+            ),
+            tot AS (SELECT doc_id, count(*) AS nl FROM lines GROUP BY doc_id),
+            ka AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text,
+                     count(*) AS nk
+              FROM kept GROUP BY doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   COALESCE(ka.text, '') AS text,
+                   CAST(COALESCE(tot.nl, 0) - COALESCE(ka.nk, 0) AS BIGINT)
+                     AS n_removed
+            FROM documents d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN ka USING (doc_id)
         """,
         "repetition_scores": """
             WITH d AS (
