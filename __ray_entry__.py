@@ -598,6 +598,20 @@ def _q_hash_split(sf_dir: str):
     return hash_split(_docs(sf_dir), permille_train=900, salt=0)
 
 
+def _q_temperature_resample(sf_dir: str):
+    """Data-mixing: T=2 temperature resample by the skewed ``lang`` column
+    (en is ~3.4x fr in the testdata) toward 250 rows.  The twin recomputes
+    the integer-exact per-group thresholds from the raw table."""
+    from intertext_ray.ops.sampling import temperature_resample
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return temperature_resample(
+        docs, group_col="lang", target_rows=250, temperature=2.0, salt=0
+    )
+
+
 def _q_repetition(sf_dir: str):
     from intertext_ray.ops.text_stats import repetition_scores
 
@@ -1080,7 +1094,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # top_bigrams/cms_word_counts over the same tokenization;
     # curate_corpus = lang_id + quality_scores + exact_dedup, each
     # in-window; uniform_sample's and hash_split's splitmix kernel by
-    # stratified_sample; simhash_clusters = simhash_near_dups pairs +
+    # stratified_sample; windowed_event_stats = sliding_event_stats at
+    # window == slide (same combiner, replication 1);
+    # simhash_clusters = simhash_near_dups pairs +
     # the dedup_clusters closure; event_session_assignment = the same
     # sessionize boundary-cumsum kernel as in-window event_sessions, one
     # aggregation earlier; the three reader-path queries rerun
@@ -1138,6 +1154,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "assign_chunks": _q_assign_chunks,
         "redact_pii": _q_redact_pii,
         "stratified_sample": _q_stratified_sample,
+        "temperature_resample": _q_temperature_resample,
         "token_quantiles": _q_token_quantiles,
         "token_quantiles_sketch": _q_token_quantiles_sketch,
         # sketches
@@ -1145,13 +1162,13 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "cms_word_counts": _q_cms_word_counts,
         "bloom_membership": _q_bloom_membership,
         # events
-        "windowed_event_stats": _q_windowed_events,
         "event_props_stats": _q_props_stats,
         "event_sessions": _q_sessions,
         "asof_click_view": _q_asof,
         "sliding_event_stats": _q_sliding_events,
         # --- position 51+: twins transitively pinned by an in-window twin
         "event_session_assignment": _q_event_session_assignment,
+        "windowed_event_stats": _q_windowed_events,
         "hash_split": _q_hash_split,
         "curate_corpus": _q_curate_corpus,
         "uniform_sample": _q_uniform_sample,
@@ -1963,6 +1980,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_sql_splitmix("CAST(doc_id AS UBIGINT)")} % 1000 < 900
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        # temperature resample (T=2): integer-exact thresholds — IEEE sqrt
+        # is correctly rounded, so floor(sqrt(n)*1000) is bit-identical in
+        # numpy/libm and DuckDB; everything after is integer arithmetic
+        "temperature_resample": f"""
+            WITH n AS (SELECT lang, count(*) AS ns FROM documents GROUP BY lang),
+            w AS (
+              SELECT lang, ns,
+                     CAST(floor(sqrt(CAST(ns AS DOUBLE)) * 1000) AS HUGEINT) AS ws
+              FROM n
+            ),
+            tot AS (SELECT sum(ws) AS wt FROM w),
+            thr AS (
+              SELECT lang,
+                     least(CAST(1048576 AS HUGEINT),
+                           (CAST(1048576 AS HUGEINT) * 250 * ws)
+                             // (wt * ns)) AS t
+              FROM w, tot
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+            FROM documents d JOIN thr USING (lang)
+            WHERE {_sql_splitmix("CAST(d.doc_id AS UBIGINT)")} % 1048576
+                  < CAST(thr.t AS UBIGINT)
         """,
         # line-level boilerplate dedup over the shared 3-tokens-per-line
         # view (ops/line_dedup.break_into_lines); df counts DOCUMENTS,

@@ -127,6 +127,72 @@ def exact_int_quantiles(
     )
 
 
+def temperature_resample(
+    docs: ray.data.Dataset,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    target_rows: int = 1000,
+    temperature: float = 2.0,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Data-mixing / temperature resampling (the multilingual-corpus
+    rebalancing step, mBERT/XLM-R style): keep rows so group g's expected
+    share is proportional to ``n_g^(1/T)`` rather than ``n_g`` —
+    temperature T > 1 upsamples small groups RELATIVE to their raw share
+    while the total lands at ~``target_rows`` (less the shortfall from
+    groups whose rate caps at 1; documented, not redistributed, so the
+    assignment stays a pure per-row function).
+
+    Exactness contract (what makes the SQL twin bit-identical): per-group
+    weights are INTEGERIZED as ``floor(sqrt(n_g) * 1000)`` at T=2 (IEEE
+    sqrt is correctly rounded, so engine and DuckDB agree to the bit; any
+    other T uses ``n**(1/T)`` via libm pow — engine-only, no twin), and
+    the keep threshold is pure integer arithmetic: group g's kept count
+    targets ``target_rows * w_g / sum(w)``, so the per-row rate is
+    ``t_g = min(2^20, (2^20 * target_rows * w_g) // (sum(w) * n_g))``,
+    row kept iff ``splitmix64(id ^ salt) % 2^20 < t_g``.
+
+    Scale shape: one tiny ``groupby(group).count()`` (group-cardinality
+    rows) to the driver, thresholds broadcast as a dict, then a row-local
+    filter — no shuffle of the corpus, resume-invariant like hash_split."""
+    import math
+
+    counts = docs.groupby(group_col).count().to_pandas()
+    groups = counts[group_col].tolist()
+    ns = [int(x) for x in counts["count()"]]
+    if temperature == 2.0:
+        ws = [int(math.floor(math.sqrt(n) * 1000)) for n in ns]
+    else:
+        ws = [int(math.floor((n ** (1.0 / temperature)) * 1000)) for n in ns]
+    W = sum(ws)
+    scale = 1 << 20
+    thr = {
+        g: (
+            min(scale, (scale * int(target_rows) * w) // (W * n))
+            if W * n
+            else 0
+        )
+        for g, w, n in zip(groups, ws, ns)
+    }
+    s = np.uint64(salt)
+
+    def keep(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(b[group_col])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        dict_thr = np.array(
+            [thr.get(v.as_py(), 0) for v in enc.dictionary], dtype=np.uint64
+        )
+        t = dict_thr[np.asarray(enc.indices.to_numpy(zero_copy_only=False))]
+        d = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(d ^ s) % np.uint64(scale)
+        return b.filter(pa.array(h < t))
+
+    return docs.select_columns([id_col, group_col]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 def uniform_sample_k(
     docs: ray.data.Dataset,
     id_col: str = "doc_id",

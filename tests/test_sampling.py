@@ -150,3 +150,83 @@ def test_uniform_sample_k_matches_scalar_and_is_layout_invariant(ray_session):
         )
         assert got["doc_id"].tolist() == expect
         assert got["sample_rank"].tolist() == list(range(k))
+
+
+def test_temperature_resample_rebalances_skew(ray_session):
+    """T=2 on a skewed corpus: kept shares follow sqrt(n_g), total lands
+    near target, and the assignment is layout-invariant and matches the
+    scalar integer-threshold reference exactly."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.sampling import temperature_resample
+
+    sizes = {"big": 6400, "mid": 1600, "small": 100}
+    ids, groups = [], []
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            ids.append(i)
+            groups.append(g)
+            i += 1
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "lang": pa.array(groups)}
+    )
+    target, salt, scale = 2000, 3, 1 << 20
+
+    # scalar integer reference (the twin's arithmetic)
+    ws = {g: int(math.floor(math.sqrt(n) * 1000)) for g, n in sizes.items()}
+    W = sum(ws.values())
+    thr = {
+        g: min(scale, (scale * target * ws[g]) // (W * n))
+        for g, n in sizes.items()
+    }
+    hid = splitmix64(np.array(ids, np.uint64) ^ np.uint64(salt)) % np.uint64(scale)
+    expect = {
+        i for i, g, h in zip(ids, groups, hid) if h < thr[g]
+    }
+
+    for parts in (2, 13):
+        got = temperature_resample(
+            rd.from_arrow(tbl).repartition(parts),
+            group_col="lang",
+            target_rows=target,
+            salt=salt,
+        ).to_pandas()
+        assert set(got["doc_id"]) == expect
+
+    # rebalancing: kept share of 'small' >> raw share; raw ratio big:small
+    # = 64:1 but sqrt ratio = 8:1
+    kept = {g: sum(1 for i2, g2 in zip(ids, groups) if g2 == g and i2 in expect) for g in sizes}
+    assert abs(len(expect) - target) < 0.1 * target
+    raw_ratio = sizes["big"] / sizes["small"]
+    kept_ratio = kept["big"] / max(1, kept["small"])
+    assert kept_ratio < raw_ratio / 4  # much flatter than raw
+    assert kept["big"] > kept["mid"] > kept["small"]  # order preserved
+
+
+def test_temperature_resample_cap_and_high_T(ray_session):
+    """A tiny group whose rate caps at 1 keeps ALL its rows; temperature
+    != 2 exercises the pow path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.sampling import temperature_resample
+
+    n_big, n_tiny = 5000, 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_big + n_tiny), pa.int64()),
+            "lang": pa.array(["big"] * n_big + ["tiny"] * n_tiny),
+        }
+    )
+    got = temperature_resample(
+        rd.from_arrow(tbl), group_col="lang", target_rows=4000, temperature=8.0
+    ).to_pandas()
+    kept_tiny = (got["lang"] == "tiny").sum()
+    assert kept_tiny == n_tiny  # capped at rate 1 -> all kept
