@@ -510,6 +510,17 @@ def _q_sorted_neighbor(sf_dir: str):
     return sorted_neighbor_dups(_docs(sf_dir), window=8, max_hamming=8)
 
 
+def _q_sorted_neighbor_multi(sf_dir: str):
+    """Multi-ordering SortingLSH: union of rank-window pairs over 4
+    bit-rotated sort orders (the standard recall fix for rank-locality).
+    Twin: per-rotation row_number rank join + DISTINCT."""
+    from intertext_ray.ops.sorted_neighborhood import sorted_neighbor_dups_multi
+
+    return sorted_neighbor_dups_multi(
+        _docs(sf_dir), window=4, max_hamming=8, n_orderings=4
+    )
+
+
 def _q_simhash_clusters(sf_dir: str):
     """SimHash dup clusters; twin re-derives from the raw table end to end
     (fingerprint kernel -> bit_count pairs -> recursive min-label CC)."""
@@ -1097,7 +1108,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # stratified_sample; windowed_event_stats = sliding_event_stats at
     # window == slide (same combiner, replication 1);
     # simhash_clusters = simhash_near_dups pairs +
-    # the dedup_clusters closure; event_session_assignment = the same
+    # the dedup_clusters closure; sorted_neighbor_multi = the in-window
+    # sorted_neighbor_dups rank-window kernel unioned over bit rotations
+    # of the in-window simhash fingerprint; event_session_assignment = the same
     # sessionize boundary-cumsum kernel as in-window event_sessions, one
     # aggregation earlier; the three reader-path queries rerun
     # in-window kernels through the JSONL/CSV/text-dir sources) and
@@ -1170,6 +1183,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "event_session_assignment": _q_event_session_assignment,
         "windowed_event_stats": _q_windowed_events,
         "hash_split": _q_hash_split,
+        "sorted_neighbor_multi": _q_sorted_neighbor_multi,
         "curate_corpus": _q_curate_corpus,
         "uniform_sample": _q_uniform_sample,
         "word_counts": _q_word_counts,
@@ -1285,6 +1299,50 @@ _SQL_SIMHASH_FP = f"""
       SELECT doc_id, CAST(0 AS UBIGINT) FROM documents WHERE trim(text) = ''
     )
 """
+
+def _sql_rotl(f: str, r: int) -> str:
+    """uint64 rotate-left of a UBIGINT expression by literal ``r`` bits:
+    the shifted-out high bits land in disjoint low positions, so OR is +."""
+    r = r % 64
+    if r == 0:
+        return f
+    hi = _sql_mod64(f"CAST({f} AS HUGEINT) * {1 << r}")
+    return f"({hi} + (({f}) >> {64 - r}))"
+
+
+def _sorted_neighbor_multi_sql(
+    window: int, max_hamming: int, n_orderings: int
+) -> str:
+    """Twin for the multi-ordering SortingLSH union: per-rotation
+    row_number rank join, DISTINCT over canonical id pairs (Hamming is
+    rotation-invariant, so it is pair-determined and survives DISTINCT)."""
+    step = 64 // n_orderings
+    keys = "\n              UNION ALL ".join(
+        f"SELECT doc_id, f, {r} AS r, {_sql_rotl('f', r * step)} AS key FROM fp"
+        for r in range(n_orderings)
+    )
+    return f"""
+        WITH RECURSIVE
+        toks AS ({_TOKS}),
+        {_SQL_TOKEN_CHAIN},
+        {_SQL_SIMHASH_FP},
+        keys AS (
+              {keys}
+        ),
+        ranked AS (
+          SELECT doc_id, f, r, key,
+                 row_number() OVER (PARTITION BY r ORDER BY key, doc_id) AS rk
+          FROM keys
+        )
+        SELECT DISTINCT
+               least(CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT)) AS doc_a,
+               greatest(CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT)) AS doc_b,
+               CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+        FROM ranked a JOIN ranked b
+          ON a.r = b.r AND b.rk > a.rk AND b.rk <= a.rk + {window}
+        WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+    """
+
 
 # work dirs of the checkpointed engine runs the relational twins read from.
 # Defaults target the DRIVER contract (correctness runs at sf0.01, whose
@@ -2199,6 +2257,9 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.f, b.f)) <= 8
         """,
+        "sorted_neighbor_multi": _sorted_neighbor_multi_sql(
+            window=4, max_hamming=8, n_orderings=4
+        ),
         "sorted_neighbor_dups": f"""
             WITH RECURSIVE
             toks AS ({_TOKS}),

@@ -61,6 +61,14 @@ def _pairs_table(a, b, gap, ham) -> pa.Table:
     )
 
 
+def _rotl(f: np.ndarray, r: int) -> np.ndarray:
+    """uint64 rotate-left (r=0 is the identity; numpy shifts by 64 are UB)."""
+    if r % 64 == 0:
+        return f
+    r = r % 64
+    return (f << _U64(r)) | (f >> _U64(64 - r))
+
+
 def sorted_neighbor_dups(
     docs: ray.data.Dataset,
     text_col: str = "text",
@@ -79,18 +87,39 @@ def sorted_neighbor_dups(
     invariant (pinned in tests).  ``window <= block_size`` is required for
     the one-block-per-pair guarantee.
     """
+    fps = simhash_fingerprints(docs, text_col)
+    return _ordering_pairs(
+        fps, 0, window, max_hamming, part_bits, block_size
+    )
+
+
+def _ordering_pairs(
+    fps: ray.data.Dataset,
+    rot: int,
+    window: int,
+    max_hamming: int,
+    part_bits: int,
+    block_size: int,
+) -> ray.data.Dataset:
+    """The rank/block/pair core for ONE ordering: sort key is the
+    fingerprint rotated left by ``rot`` bits (Hamming distance is
+    rotation-invariant, so ``hamming`` rides unchanged)."""
     if window < 1:
         raise ValueError("window must be >= 1")
     if window > block_size:
         raise ValueError("window must be <= block_size")
 
-    fps = simhash_fingerprints(docs, text_col)
     shift = _U64(64 - part_bits)
 
     def add_part(b: pa.Table) -> pa.Table:
-        sh = b["simhash"].to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "part", pa.array((sh >> shift).astype(np.int64), pa.int64())
+        sh = _rotl(b["simhash"].to_numpy(zero_copy_only=False), rot)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "simhash": b["simhash"],
+                "key": pa.array(sh, pa.uint64()),
+                "part": pa.array((sh >> shift).astype(np.int64), pa.int64()),
+            }
         )
 
     parted = fps.map_batches(add_part, batch_format="pyarrow")
@@ -110,12 +139,13 @@ def sorted_neighbor_dups(
     # rows, duplicating the first `window` ranks of each block into the
     # previous block (ghosts) so every rank-window pair is block-local.
     def rank_and_block(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
         sh = group["simhash"].to_numpy(zero_copy_only=False)
         d = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((d, sh))
-        sh, d = sh[order], d[order]
-        off = ray.get(off_ref)[int(sh[0] >> shift)] if len(sh) else 0
-        rank = off + np.arange(len(sh), dtype=np.int64)
+        order = np.lexsort((d, key))
+        key, sh, d = key[order], sh[order], d[order]
+        off = ray.get(off_ref)[int(key[0] >> shift)] if len(key) else 0
+        rank = off + np.arange(len(key), dtype=np.int64)
         block = rank // bs
         ghost = (rank % bs < w) & (block > 0)
         return pa.table(
@@ -172,3 +202,81 @@ def sorted_neighbor_dups(
         )
 
     return ranked.groupby("block").map_groups(emit, batch_format="pyarrow")
+
+
+def sorted_neighbor_dups_multi(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    window: int = 4,
+    max_hamming: int = 8,
+    n_orderings: int = 4,
+    part_bits: int = 6,
+    block_size: int = 4096,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, hamming), doc_a < doc_b by ID: the UNION over
+    ``n_orderings`` sort orders — ordering r sorts by the fingerprint
+    rotated left ``r * (64 // n_orderings)`` bits — of the rank-window
+    pairs within Hamming ``max_hamming``.  The standard SortingLSH recall
+    fix: a qualifying pair missed in one ordering (separated by > window
+    unrelated docs there) is found in another where its differing bits
+    rotate out of the most-significant positions.
+
+    Scale: per-ordering cost is the single-ordering pipeline (the slim
+    fingerprint map is recomputed per branch — 16 B/row of re-read, far
+    cheaper than materializing a corpus-sized cache); the final dedup is
+    the same capped bucketed pair shuffle as `ops/simhash`."""
+    from intertext_ray.functions.hashing import splitmix64
+
+    fps = simhash_fingerprints(docs, text_col)
+    step = 64 // int(n_orderings)
+    branches = [
+        _ordering_pairs(
+            fps, r * step, window, max_hamming, part_bits, block_size
+        )
+        for r in range(int(n_orderings))
+    ]
+    pairs = branches[0]
+    if len(branches) > 1:
+        pairs = pairs.union(*branches[1:])
+
+    nb = np.uint64(num_buckets)
+
+    def canon(t: pa.Table) -> pa.Table:
+        da = t["doc_a"].to_numpy(zero_copy_only=False)
+        db = t["doc_b"].to_numpy(zero_copy_only=False)
+        hm = t["hamming"].to_numpy(zero_copy_only=False)
+        a = np.minimum(da, db)
+        b = np.maximum(da, db)
+        bucket = (splitmix64(a.astype(np.uint64)) ^ b.astype(np.uint64)) % nb
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(hm, pa.int64()),
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def dedup(group: pa.Table) -> pa.Table:
+        da = group["doc_a"].to_numpy(zero_copy_only=False)
+        db = group["doc_b"].to_numpy(zero_copy_only=False)
+        hm = group["hamming"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hm, db, da))
+        da, db, hm = da[order], db[order], hm[order]
+        keep = np.ones(len(da), dtype=bool)
+        if len(da) > 1:
+            keep[1:] = ~((da[1:] == da[:-1]) & (db[1:] == db[:-1]))
+        return pa.table(
+            {
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "hamming": pa.array(hm[keep], pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(canon, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup, batch_format="pyarrow")
+    )

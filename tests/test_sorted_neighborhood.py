@@ -119,3 +119,53 @@ def test_window_one_adjacent_only(ray_session):
     assert got == ref
     assert all(g == 1 for _, _, g, _ in got)
     assert len(got) == 99  # every adjacent pair kept at max_hamming=64
+
+
+def test_multi_ordering_matches_brute_force_and_boosts_recall(ray_session):
+    from intertext_ray.ops.simhash import hamming64, simhash_batch
+    from intertext_ray.ops.sorted_neighborhood import (
+        _rotl,
+        sorted_neighbor_dups_multi,
+    )
+
+    tbl = _corpus(n=250, seed=13)
+    W, H, NO = 4, 8, 4
+    fp = simhash_batch(tbl["text"])
+    n = len(fp)
+    ref = set()
+    for r in range(NO):
+        key = _rotl(fp, r * (64 // NO))
+        order = np.lexsort((np.arange(n), key))
+        d, f = np.arange(n)[order], fp[order]
+        for g in range(1, W + 1):
+            ham = hamming64(f[:-g], f[g:])
+            for x, y, h in zip(d[:-g], d[g:], ham):
+                if h <= H:
+                    ref.add((min(int(x), int(y)), max(int(x), int(y)), int(h)))
+
+    out = sorted_neighbor_dups_multi(
+        rd.from_arrow(tbl).repartition(5),
+        window=W,
+        max_hamming=H,
+        n_orderings=NO,
+        block_size=64,
+        num_buckets=8,
+    )
+    got = set()
+    for b in out.iter_batches(batch_format="pyarrow"):
+        got.update(
+            zip(
+                b["doc_a"].to_pylist(),
+                b["doc_b"].to_pylist(),
+                b["hamming"].to_pylist(),
+            )
+        )
+    assert got == ref
+
+    # recall boost: the union over 4 orderings finds pairs ordering 0 misses
+    one = {
+        (min(a, b), max(a, b), h)
+        for a, b, _, h in _run(tbl, window=W, max_hamming=H)
+    }
+    assert one < got or one == got
+    assert len(got) >= len(one)

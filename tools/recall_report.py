@@ -159,6 +159,14 @@ def _sorted_neighbor_recall(sf_dir: str) -> dict:
         out[f"window_{window}"] = (
             round(len(ep & gp) / len(ep), 4) if ep else None
         )
+    # same comparison budget as window_16, spread over 4 rotated orderings
+    from intertext_ray.ops.sorted_neighborhood import sorted_neighbor_dups_multi
+
+    got = sorted_neighbor_dups_multi(
+        read_documents(sf_dir), window=4, max_hamming=8, n_orderings=4
+    ).to_pandas()
+    gp = set(zip(got["doc_a"], got["doc_b"]))
+    out["multi_4x_window_4"] = round(len(ep & gp) / len(ep), 4) if ep else None
     return out
 
 
