@@ -987,6 +987,27 @@ def _q_audio_pcm_stats(sf_dir: str):
 
 
 
+def _q_audio_resample(sf_dir: str):
+    """Integer-exact linear SRC to 16 kHz over the same 1/7 clip sample —
+    the SECOND driver-checked audio face (twin re-decodes the payload and
+    re-runs the exact phase arithmetic in SQL)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_resample import resample_stats
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    return resample_stats(
+        clips.map_batches(samp, batch_format="pyarrow"), target_hz=16000
+    )
+
+
 def _source_formats_cache(sf_dir: str) -> str:
     """One-time deterministic conversion of the documents table into the
     other supported source formats (JSONL / CSV / one-txt-file-per-doc),
@@ -1108,7 +1129,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # stratified_sample; windowed_event_stats = sliding_event_stats at
     # window == slide (same combiner, replication 1);
     # simhash_clusters = simhash_near_dups pairs +
-    # the dedup_clusters closure; sorted_neighbor_multi = the in-window
+    # the dedup_clusters closure; assign_chunks = the same two-phase
+    # prefix-scan shape as in-window sorted_neighbor_dups' exact global
+    # ranks (and r2-driver-green); sorted_neighbor_multi = the in-window
     # sorted_neighbor_dups rank-window kernel unioned over bit rotations
     # of the in-window simhash fingerprint; event_session_assignment = the same
     # sessionize boundary-cumsum kernel as in-window event_sessions, one
@@ -1162,9 +1185,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "content_fingerprints": _q_fingerprints,
         "doc_top_terms": _q_doc_top_terms,
         "audio_pcm_stats": _q_audio_pcm_stats,
+        "audio_resample": _q_audio_resample,
         "line_dedup": _q_line_dedup,
         # sampling / splits / packing / PII
-        "assign_chunks": _q_assign_chunks,
         "redact_pii": _q_redact_pii,
         "stratified_sample": _q_stratified_sample,
         "temperature_resample": _q_temperature_resample,
@@ -1183,6 +1206,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "event_session_assignment": _q_event_session_assignment,
         "windowed_event_stats": _q_windowed_events,
         "hash_split": _q_hash_split,
+        "assign_chunks": _q_assign_chunks,
         "sorted_neighbor_multi": _q_sorted_neighbor_multi,
         "curate_corpus": _q_curate_corpus,
         "uniform_sample": _q_uniform_sample,
@@ -1484,10 +1508,10 @@ def _audiodup_clips_path() -> str:
     )
 
 
-def _audio_pcm_sql() -> str:
-    """Twin of ``_q_audio_pcm_stats`` — RE-DECODES the audio payload in SQL
-    for the losslessly SQL-expressible codecs over the same 1/7 clip
-    sample:
+def _audio_decode_ctes() -> str:
+    """Shared SQL fragment: RE-DECODES the audio payload bytes for the
+    losslessly SQL-expressible codecs over the standard 1/7 clip sample,
+    ending in ``allsamp(clip_id, i, s)`` — one row per PCM sample:
 
     - ``pcm_s16le``: the blob IS the samples — hex-pair arithmetic
       reconstructs each little-endian int16;
@@ -1496,8 +1520,7 @@ def _audio_pcm_sql() -> str:
     - ``ulaw``/``alaw``: 256-entry decode tables embedded as VALUES
       literals GENERATED FROM the engine decoder (parity by construction).
 
-    Every statistic is an exact integer (energy via HUGEINT sum of
-    squares), so the comparison is hash-exact with no float tolerance."""
+    Used by the ``audio_pcm_stats`` and ``audio_resample`` twins."""
     from intertext_ray.functions.audio import decode_alaw, decode_ulaw
 
     ut = ", ".join(
@@ -1507,8 +1530,7 @@ def _audio_pcm_sql() -> str:
         f"({i}, {int(v)})" for i, v in enumerate(decode_alaw(bytes(range(256))))
     )
     hexd = "'0123456789ABCDEF'"
-    return f"""
-        WITH src AS (
+    return f"""src AS (
           SELECT clip_id, codec, hex(bytes) AS h, octet_length(bytes) AS nb
           FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
           WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) % 7 = 0
@@ -1553,7 +1575,15 @@ def _audio_pcm_sql() -> str:
         ),
         allsamp AS (
           SELECT * FROM s16 UNION ALL SELECT * FROM sg
-        ),
+        )"""
+
+
+def _audio_pcm_sql() -> str:
+    """Twin of ``_q_audio_pcm_stats``: exact integer stats over the
+    SQL-decoded samples (see :func:`_audio_decode_ctes`) — hash-exact,
+    no float tolerance."""
+    return f"""
+        WITH {_audio_decode_ctes()},
         lagged AS (
           SELECT clip_id, s,
                  lag(s) OVER (PARTITION BY clip_id ORDER BY i) AS sp
@@ -1568,6 +1598,51 @@ def _audio_pcm_sql() -> str:
                CAST(count(*) FILTER (WHERE s = 32767 OR s = -32768) AS BIGINT)
                    AS n_clipped
         FROM lagged GROUP BY clip_id
+    """
+
+
+def _audio_resample_sql(target_hz: int = 16000) -> str:
+    """Twin of ``_q_audio_resample``: re-runs the exact integer linear-SRC
+    phase arithmetic of ``ops.audio_resample.resample_pcm`` over the
+    SQL-decoded samples.  The +32768 offset makes every ``//`` numerator
+    non-negative so truncation == floor on both sides."""
+    t = int(target_hz)
+    return f"""
+        WITH {_audio_decode_ctes()},
+        meta AS (
+          SELECT clip_id, CAST(sr_hz AS BIGINT) AS sin
+          FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+          WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) % 7 = 0
+            AND codec IN ('pcm_s16le', 'wav', 'ulaw', 'alaw')
+        ),
+        par AS (
+          SELECT m.clip_id, m.sin, count(*) AS n_in,
+                 (count(*) - 1) * {t} // m.sin + 1 AS n_out
+          FROM meta m JOIN allsamp a USING (clip_id)
+          GROUP BY m.clip_id, m.sin
+        ),
+        grid AS (
+          SELECT clip_id, sin, n_in, n_out, u.n,
+                 (u.n * sin) // {t} AS idx,
+                 (u.n * sin) % {t} AS f
+          FROM par, unnest(generate_series(0, n_out - 1)) u(n)
+        ),
+        y AS (
+          SELECT g.clip_id, g.sin, g.n_in, g.n_out,
+                 ((a0.s * ({t} - g.f) + a1.s * g.f) + 32768 * {t}) // {t}
+                   - 32768 AS s
+          FROM grid g
+          JOIN allsamp a0 ON a0.clip_id = g.clip_id AND a0.i = g.idx
+          JOIN allsamp a1 ON a1.clip_id = g.clip_id
+                         AND a1.i = least(g.idx + 1, g.n_in - 1)
+        )
+        SELECT clip_id,
+               CAST(min(sin) AS BIGINT) AS sr_hz_in,
+               CAST(min(n_in) AS BIGINT) AS n_in,
+               CAST(count(*) AS BIGINT) AS n_out,
+               CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS energy_out,
+               CAST(max(abs(s)) AS BIGINT) AS peak_abs_out
+        FROM y GROUP BY clip_id
     """
 
 
@@ -1976,6 +2051,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_word_counts": _cms_sql(width=8192, depth=4),
         "bloom_membership": _bloom_sql(m_bits=1024, k=3),
         "audio_pcm_stats": _audio_pcm_sql(),
+        "audio_resample": _audio_resample_sql(target_hz=16000),
         "jsonl_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
