@@ -1008,6 +1008,27 @@ def _q_audio_resample(sf_dir: str):
     )
 
 
+def _q_audio_gain(sf_dir: str):
+    """Integer-exact peak normalization stats over the 1/7 clip sample —
+    the scaling-formula face (decode is in-window via audio_pcm_stats /
+    audio_resample)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_gain import normalize_stats
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    return normalize_stats(
+        clips.map_batches(samp, batch_format="pyarrow"), target_peak=30000
+    )
+
+
 def _source_formats_cache(sf_dir: str) -> str:
     """One-time deterministic conversion of the documents table into the
     other supported source formats (JSONL / CSV / one-txt-file-per-doc),
@@ -1208,6 +1229,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "assign_chunks": _q_assign_chunks,
         "sorted_neighbor_multi": _q_sorted_neighbor_multi,
+        "audio_gain": _q_audio_gain,
         "curate_corpus": _q_curate_corpus,
         "uniform_sample": _q_uniform_sample,
         "word_counts": _q_word_counts,
@@ -1646,6 +1668,35 @@ def _audio_resample_sql(target_hz: int = 16000) -> str:
     """
 
 
+def _audio_gain_sql(target_peak: int = 30000) -> str:
+    """Twin of ``_q_audio_gain``: per-clip peak from the SQL-decoded
+    samples, then the exact integer scaling of
+    ``ops.audio_gain.normalize_peak_pcm`` (offset floor + int16 clamp)."""
+    t = int(target_peak)
+    return f"""
+        WITH {_audio_decode_ctes()},
+        pk AS (
+          SELECT clip_id, max(abs(s)) AS peak, count(*) AS n
+          FROM allsamp GROUP BY clip_id
+        ),
+        y AS (
+          SELECT a.clip_id, pk.peak, pk.n,
+                 CASE WHEN pk.peak = 0 THEN a.s
+                      ELSE least(32767, greatest(-32768,
+                        (CAST(a.s AS HUGEINT) * {t} + 32768 * {t} * pk.peak)
+                          // pk.peak - 32768 * {t}))
+                 END AS s
+          FROM allsamp a JOIN pk USING (clip_id)
+        )
+        SELECT clip_id,
+               CAST(min(peak) AS BIGINT) AS peak_in,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS energy_out,
+               CAST(max(abs(s)) AS BIGINT) AS peak_out
+        FROM y GROUP BY clip_id
+    """
+
+
 def _bloom_sql(m_bits: int = 1024, k: int = 3) -> str:
     """Twin of ``ops.sketches.bloom_membership`` — recomputes the bloom
     bitmap in SQL: splitmix64 byte-chain per distinct text, k salted bit
@@ -2052,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _bloom_sql(m_bits=1024, k=3),
         "audio_pcm_stats": _audio_pcm_sql(),
         "audio_resample": _audio_resample_sql(target_hz=16000),
+        "audio_gain": _audio_gain_sql(target_peak=30000),
         "jsonl_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -13,11 +13,13 @@ an exact integer phase grid —
 Every quantity is integer arithmetic, so the DuckDB twin re-derives the
 resampled signal FROM THE PAYLOAD BYTES (the `audio_pcm_stats` SQL decode
 reused) and hash-compares exact stats — the second driver-checked audio
-face.  Quality caveat (documented, inherent to the baseline): linear SRC
-does not low-pass before decimation, so downsampling aliases; the
-production-quality path is a windowed-sinc polyphase kernel, which slots
-into the same per-clip map (the phase grid is identical) but has no
-integer-exact twin.
+face.  Quality caveat (inherent to the baseline): linear SRC does not
+low-pass before decimation, so downsampling aliases;
+:func:`resample_pcm_sinc` is the production-quality Kaiser-windowed-sinc
+kernel on the identical phase grid (float weights, so no integer-exact
+twin — pinned by a scalar convolution reference and a measured
+aliasing-attenuation test instead), selected via
+``resample_clips(quality='sinc')``.
 
 Scale: stateless task-pool ``map_batches`` over byte-bounded batches,
 row-local — no exchange at any corpus size (same posture as
@@ -58,17 +60,69 @@ def resample_pcm(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return y.astype(np.int16)
 
 
+def resample_pcm_sinc(
+    pcm: np.ndarray,
+    sr_in: int,
+    sr_out: int,
+    taps: int = 32,
+    beta: float = 8.6,
+) -> np.ndarray:
+    """Kaiser-windowed-sinc resampler — the anti-aliasing QUALITY path
+    (linear SRC aliases on downsampling; this one low-passes at the
+    output Nyquist via the kernel cutoff).  Same exact rational phase
+    grid as :func:`resample_pcm`; the kernel is float, so there is no
+    SQL twin — parity is pinned against a direct per-sample convolution
+    reference and an aliasing-attenuation test.
+
+    Per output sample: ``y[n] = round(sum_k x[idx+k] h(k - frac) /
+    sum_k h(k - frac))`` over ``taps`` neighbors (edge-clamped), with
+    ``h(x) = c sinc(c x) kaiser(x / half; beta)`` and
+    ``c = min(1, sr_out / sr_in)``.  The per-sample weight normalization
+    removes DC droop from kernel truncation.  The kernel interpolates
+    (``h(0)=1, h(k)=0`` at nonzero integers), so equal rates pass
+    samples through unchanged."""
+    n_in = len(pcm)
+    if n_in == 0:
+        return np.zeros(0, np.int16)
+    half = taps // 2
+    c = min(1.0, sr_out / sr_in)
+    i0b = float(np.i0(beta))
+    n_out = (n_in - 1) * sr_out // sr_in + 1
+    n = np.arange(n_out, dtype=np.int64)
+    num_pos = n * sr_in
+    idx = num_pos // sr_out
+    frac = (num_pos - idx * sr_out) / sr_out
+    x = pcm.astype(np.float64)
+    acc = np.zeros(n_out, np.float64)
+    den = np.zeros(n_out, np.float64)
+    for k in range(-half + 1, half + 1):
+        d = k - frac
+        w = c * np.sinc(c * d)
+        z = d / half
+        w = w * np.where(
+            np.abs(z) <= 1.0, np.i0(beta * np.sqrt(np.maximum(0.0, 1 - z * z))) / i0b, 0.0
+        )
+        src = np.clip(idx + k, 0, n_in - 1)
+        acc += x[src] * w
+        den += w
+    y = np.rint(acc / den)
+    return np.clip(y, -32768, 32767).astype(np.int16)
+
+
 def resample_clips(
     clips: ray.data.Dataset,
     target_hz: int = 16000,
     codecs: tuple[str, ...] = _SQL_CODECS,
     batch_size: int = 64,
+    quality: str = "linear",
 ) -> ray.data.Dataset:
     """(clip_id, bytes, sr_hz, codec): payload rewritten to pcm_s16le at
-    ``target_hz`` via the exact linear SRC.  Row-local; clips whose codec
-    cannot be decoded here are dropped (count them upstream via
-    `audio_stats` if needed)."""
+    ``target_hz``.  ``quality='linear'`` is the integer-exact twin-checked
+    baseline; ``'sinc'`` is the anti-aliasing Kaiser kernel.  Row-local;
+    clips whose codec cannot be decoded here are dropped (count them
+    upstream via `audio_stats` if needed)."""
     keep = set(codecs)
+    src_fn = resample_pcm if quality == "linear" else resample_pcm_sinc
 
     def fn(batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
@@ -81,7 +135,7 @@ def resample_clips(
                 continue
             pcm = decode_clip(blobs[i], int(srs[i]), cod[i])
             out_id.append(ids[i])
-            out_b.append(encode_pcm_s16le(resample_pcm(pcm, int(srs[i]), target_hz)))
+            out_b.append(encode_pcm_s16le(src_fn(pcm, int(srs[i]), target_hz)))
         n = len(out_id)
         return pa.table(
             {
