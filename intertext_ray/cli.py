@@ -47,12 +47,23 @@ def build_parser() -> argparse.ArgumentParser:
     # Ray-side knobs
     p.add_argument(
         "--mode",
-        choices=["text", "audio", "joint"],
+        choices=["text", "audio", "joint", "preprocess"],
         default="text",
         help="text: reference transcript dedup (default); audio: "
         "audio-payload fingerprint dedup; joint: both chains + per-clip "
-        "dup class (both/text_only/audio_only/unique)",
+        "dup class (both/text_only/audio_only/unique); preprocess: "
+        "payload rewrite (peak normalize + resample to --target-hz), all "
+        "non-audio columns passed through",
     )
+    p.add_argument("--target-hz", type=int, default=16000,
+                   help="preprocess: output sample rate")
+    p.add_argument("--target-peak", type=int, default=0,
+                   help="preprocess: peak-normalize to this level first "
+                   "(0 = skip normalization)")
+    p.add_argument("--resampler", choices=["linear", "sinc"],
+                   default="sinc",
+                   help="preprocess: integer-exact linear or "
+                   "anti-aliasing Kaiser-sinc kernel")
     p.add_argument("--audio-max-ber", type=float, default=0.25,
                    help="audio verify: max bit-error-rate")
     p.add_argument("--audio-shingle", type=int, default=1,
@@ -115,6 +126,39 @@ def main(argv: list[str] | None = None) -> int:
         if args.xml_remove_tags
         else (),
     )
+
+    if args.mode == "preprocess":
+        if not args.clips:
+            print("error: --mode preprocess requires --clips", file=sys.stderr)
+            return 2
+        from intertext_ray.ops.audio_gain import normalize_clips
+        from intertext_ray.ops.audio_resample import resample_clips
+
+        os.makedirs(args.output, exist_ok=True)
+        ds = read_clips(args.clips)
+        n_in = ds.count()
+        if args.target_peak:
+            ds = normalize_clips(ds, target_peak=args.target_peak)
+        ds = resample_clips(
+            ds, target_hz=args.target_hz, quality=args.resampler
+        )
+        out_dir = os.path.join(args.output, "clips_preprocessed")
+        ds = ds.materialize()
+        ds.write_parquet(out_dir)
+        print(
+            json.dumps(
+                {
+                    "mode": "preprocess",
+                    "clips_in": n_in,
+                    "clips_out": ds.count(),
+                    "target_hz": args.target_hz,
+                    "target_peak": args.target_peak or None,
+                    "resampler": args.resampler,
+                    "output": out_dir,
+                }
+            )
+        )
+        return 0
 
     if args.mode in ("audio", "joint"):
         if not args.clips:

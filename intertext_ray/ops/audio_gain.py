@@ -51,30 +51,31 @@ def normalize_clips(
     codecs: tuple[str, ...] = _SQL_CODECS,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
-    """(clip_id, bytes, sr_hz, codec): payload peak-normalized and
-    rewritten to pcm_s16le.  Row-local."""
+    """Payload peak-normalized and rewritten to pcm_s16le; all other input
+    columns pass through untouched (drop-in clips table, same contract as
+    `audio_resample.resample_clips`).  Row-local."""
     keep = set(codecs)
 
     def fn(batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
-        srs = batch["sr_hz"].to_numpy(zero_copy_only=False)
-        cod = batch["codec"].to_pylist()
-        ids = batch["clip_id"].to_pylist()
-        out_id, out_b, out_sr = [], [], []
-        for i in range(len(batch)):
-            if cod[i] not in keep:
-                continue
-            pcm = decode_clip(blobs[i], int(srs[i]), cod[i])
-            out_id.append(ids[i])
-            out_b.append(encode_pcm_s16le(normalize_peak_pcm(pcm, target_peak)))
-            out_sr.append(int(srs[i]))
-        return pa.table(
-            {
-                "clip_id": pa.array(out_id, pa.string()),
-                "bytes": pa.array(out_b, pa.binary()),
-                "sr_hz": pa.array(out_sr, pa.int32()),
-                "codec": pa.array(["pcm_s16le"] * len(out_id), pa.string()),
-            }
+        mask = pa.array([c in keep for c in batch["codec"].to_pylist()])
+        sub = batch.filter(mask)
+        blobs = sub["bytes"].to_pylist()
+        srs = sub["sr_hz"].to_numpy(zero_copy_only=False)
+        cod = sub["codec"].to_pylist()
+        out_b = [
+            encode_pcm_s16le(
+                normalize_peak_pcm(
+                    decode_clip(blobs[i], int(srs[i]), cod[i]), target_peak
+                )
+            )
+            for i in range(len(sub))
+        ]
+        names = sub.column_names
+        sub = sub.set_column(
+            names.index("bytes"), "bytes", pa.array(out_b, pa.binary())
+        )
+        return sub.set_column(
+            names.index("codec"), "codec", pa.array(["pcm_s16le"] * len(sub))
         )
 
     return clips.map_batches(

@@ -116,35 +116,50 @@ def resample_clips(
     batch_size: int = 64,
     quality: str = "linear",
 ) -> ray.data.Dataset:
-    """(clip_id, bytes, sr_hz, codec): payload rewritten to pcm_s16le at
-    ``target_hz``.  ``quality='linear'`` is the integer-exact twin-checked
-    baseline; ``'sinc'`` is the anti-aliasing Kaiser kernel.  Row-local;
-    clips whose codec cannot be decoded here are dropped (count them
-    upstream via `audio_stats` if needed)."""
+    """Payload rewritten to pcm_s16le at ``target_hz``; ALL other input
+    columns (transcript, metadata...) pass through untouched, and
+    ``dur_ms`` — if present — is recomputed from the output sample count,
+    so the result is a drop-in clips table.  ``quality='linear'`` is the
+    integer-exact twin-checked baseline; ``'sinc'`` is the anti-aliasing
+    Kaiser kernel.  Row-local; clips whose codec cannot be decoded here
+    are dropped (count them upstream via `audio_stats` if needed)."""
     keep = set(codecs)
     src_fn = resample_pcm if quality == "linear" else resample_pcm_sinc
 
     def fn(batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
-        srs = batch["sr_hz"].to_numpy(zero_copy_only=False)
-        cod = batch["codec"].to_pylist()
-        ids = batch["clip_id"].to_pylist()
-        out_id, out_b = [], []
-        for i in range(len(batch)):
-            if cod[i] not in keep:
-                continue
+        mask = pa.array([c in keep for c in batch["codec"].to_pylist()])
+        sub = batch.filter(mask)
+        blobs = sub["bytes"].to_pylist()
+        srs = sub["sr_hz"].to_numpy(zero_copy_only=False)
+        cod = sub["codec"].to_pylist()
+        out_b, n_out = [], []
+        for i in range(len(sub)):
             pcm = decode_clip(blobs[i], int(srs[i]), cod[i])
-            out_id.append(ids[i])
-            out_b.append(encode_pcm_s16le(src_fn(pcm, int(srs[i]), target_hz)))
-        n = len(out_id)
-        return pa.table(
-            {
-                "clip_id": pa.array(out_id, pa.string()),
-                "bytes": pa.array(out_b, pa.binary()),
-                "sr_hz": pa.array([target_hz] * n, pa.int32()),
-                "codec": pa.array(["pcm_s16le"] * n, pa.string()),
-            }
+            y = src_fn(pcm, int(srs[i]), target_hz)
+            out_b.append(encode_pcm_s16le(y))
+            n_out.append(len(y))
+        n = len(sub)
+        names = sub.column_names
+        sub = sub.set_column(
+            names.index("bytes"), "bytes", pa.array(out_b, pa.binary())
         )
+        sub = sub.set_column(
+            names.index("sr_hz"),
+            "sr_hz",
+            pa.array([target_hz] * n, sub["sr_hz"].type),
+        )
+        sub = sub.set_column(
+            names.index("codec"), "codec", pa.array(["pcm_s16le"] * n)
+        )
+        if "dur_ms" in names:
+            sub = sub.set_column(
+                names.index("dur_ms"),
+                "dur_ms",
+                pa.array(
+                    [m * 1000 // target_hz for m in n_out], sub["dur_ms"].type
+                ),
+            )
+        return sub
 
     return clips.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, num_cpus=1
