@@ -655,6 +655,14 @@ def _q_duplicate_spans(sf_dir: str):
     return duplicate_spans(_docs(sf_dir), k=8, num_buckets=32)
 
 
+def _q_remove_dup_spans(sf_dir: str):
+    """ExactSubstr REMOVAL (Lee et al.): cut every duplicate-span word and
+    rejoin.  Twin re-derives spans + anti-join + ordered string_agg."""
+    from intertext_ray.ops.substring import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(sf_dir), k=8, num_buckets=32)
+
+
 def _q_suffix_spans(sf_dir: str):
     """Suffix-array path (prefix doubling + banded LCP) at one bucket =
     globally exact; shares the duplicate_spans islands oracle."""
@@ -1230,6 +1238,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "assign_chunks": _q_assign_chunks,
         "sorted_neighbor_multi": _q_sorted_neighbor_multi,
         "audio_gain": _q_audio_gain,
+        "remove_dup_spans": _q_remove_dup_spans,
         "curate_corpus": _q_curate_corpus,
         "uniform_sample": _q_uniform_sample,
         "word_counts": _q_word_counts,
@@ -2438,6 +2447,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprints": _rolling_fp_sql(),
         "substring_dup_pairs": _substring_pairs_sql(k=8),
         "duplicate_spans": _dup_spans_sql(k=8),
+        "remove_dup_spans": _remove_spans_sql(k=8),
         "suffix_repeat_spans": _dup_spans_sql(k=8),
         "containment_search": _containment_sql(k=4, keep_mod=4, qdoc=1),
         "decontaminate": _decontam_sql(k=4),
@@ -3174,6 +3184,52 @@ def _dup_spans_sql(k: int = 8) -> str:
                CAST(max(i) + {k - 1} AS BIGINT) AS end_pos,
                CAST(count(*) AS BIGINT) AS n_grams
         FROM isl GROUP BY doc_id, grp
+    """
+
+
+def _remove_spans_sql(k: int = 8) -> str:
+    """Twin of ``ops.substring.remove_duplicate_spans``: the
+    duplicate-span CTEs, then an anti-join of every token position
+    against its doc's spans and an ordered string_agg rejoin.  Tokens of
+    docs shorter than ``k`` words never enter ``fpr``, so they pass
+    through via ``alltok``; empty docs via the final LEFT JOIN."""
+    return f"""
+        {_gram_fpr_prefix(k)},
+        dupf AS (SELECT f FROM fpr GROUP BY f HAVING count(*) >= 2),
+        dup AS (SELECT doc_id, i FROM fpr JOIN dupf USING (f)),
+        isl AS (
+          SELECT doc_id, i,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM dup
+        ),
+        spans AS (
+          SELECT doc_id, min(i) AS s, max(i) + {k - 1} AS e
+          FROM isl GROUP BY doc_id, grp
+        ),
+        alltok AS (
+          SELECT doc_id, i, arr[CAST(i AS BIGINT)] AS w
+          FROM d, unnest(generate_series(1, len(arr))) u(i)
+        ),
+        keepw AS (
+          SELECT t.doc_id, t.i, t.w FROM alltok t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e
+          )
+        ),
+        ka AS (
+          SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text,
+                 count(*) AS nk
+          FROM keepw GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS nt FROM alltok GROUP BY doc_id)
+        SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
+               COALESCE(ka.text, '') AS text,
+               CAST(COALESCE(tot.nt, 0) - COALESCE(ka.nk, 0) AS BIGINT)
+                 AS n_removed
+        FROM documents dd
+        LEFT JOIN tot USING (doc_id)
+        LEFT JOIN ka USING (doc_id)
     """
 
 

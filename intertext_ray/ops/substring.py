@@ -416,3 +416,119 @@ def suffix_repeat_spans(
         .groupby("bucket")
         .map_groups(spans, batch_format="pyarrow")
     )
+
+
+def remove_duplicate_spans(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 8,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(doc_id, text, n_removed): the Lee-et-al ExactSubstr REMOVAL step —
+    every word inside a :func:`duplicate_spans` span (a maximal run
+    covered by k-word grams occurring >= 2 times corpus-wide) is cut, and
+    the surviving words are rejoined with single spaces.  ``n_removed``
+    counts removed WORDS.  Docs with no spans pass through re-joined
+    (whitespace canonicalized — same tokenization contract as the twin).
+
+    Shape: spans are detected by the existing two-shuffle plan; the cut
+    is a doc-hash bucketed co-group of (docs, spans) — spans are
+    dup-content-proportional, never broadcast — with the per-bucket mask
+    built by a vectorized interval-delta cumsum over the flat token
+    array (no per-doc Python loop)."""
+    nb = _U64(num_buckets)
+    spans = duplicate_spans(docs, text_col, k, num_buckets)
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(_U64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d.astype(np.int64), pa.int64()),
+                "text": t[text_col],
+                "start_pos": pa.array(np.zeros(len(t), np.int64)),
+                "end_pos": pa.array(np.full(len(t), -1, np.int64)),
+                "bucket": pa.array((splitmix64(d) % nb).astype(np.int64)),
+            }
+        )
+
+    def tag_span(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(_U64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d.astype(np.int64), pa.int64()),
+                "text": pa.array([None] * len(t), pa.string()),
+                "start_pos": t["start_pos"],
+                "end_pos": t["end_pos"],
+                "bucket": pa.array((splitmix64(d) % nb).astype(np.int64)),
+            }
+        )
+
+    def cut(group: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(group["text"]).to_numpy(zero_copy_only=False)
+        dtab = group.filter(pa.array(is_doc))
+        stab = group.filter(pa.array(~is_doc))
+        texts = dtab["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        counts = np.asarray(
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        nonempty = lens > 0
+        if not nonempty.all():  # '' artifacts of splitting empty docs
+            doc_of = np.repeat(np.arange(len(counts)), counts)
+            counts = counts - np.bincount(
+                doc_of[~nonempty], minlength=len(counts)
+            )
+            flat = flat.filter(pa.array(nonempty))
+        doc_ids = dtab["doc_id"].to_numpy(zero_copy_only=False)
+        doc_starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        total = int(doc_starts[-1])
+        # interval-delta cumsum: covered[i] > 0 <=> word i is in a span
+        delta = np.zeros(total + 1, np.int64)
+        if len(stab):
+            pos_of = {int(d): j for j, d in enumerate(doc_ids)}
+            sd = stab["doc_id"].to_numpy(zero_copy_only=False)
+            ss = stab["start_pos"].to_numpy(zero_copy_only=False)
+            se = stab["end_pos"].to_numpy(zero_copy_only=False)
+            j = np.array([pos_of[int(x)] for x in sd], np.int64)
+            base = doc_starts[j]
+            n_doc = counts[j]
+            lo = base + np.minimum(ss - 1, n_doc)
+            hi = base + np.minimum(se, n_doc)
+            np.add.at(delta, lo, 1)
+            np.add.at(delta, hi, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        keep = ~covered
+        kept_counts = np.zeros(len(counts), np.int64)
+        nz = counts > 0
+        if total and nz.any():  # reduceat over nonempty docs only (an
+            # empty doc's start can equal `total`, which is out of range)
+            kept_counts[nz] = np.add.reduceat(
+                keep.astype(np.int64), doc_starts[:-1][nz]
+            )
+        kept = flat.filter(pa.array(keep))
+        off = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int64)
+        text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, pa.int64()), kept), " "
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": text,
+                "n_removed": pa.array(counts - kept_counts, pa.int64()),
+            }
+        )
+
+    tagged = docs.map_batches(tag_doc, batch_format="pyarrow").union(
+        spans.map_batches(
+            lambda t: tag_span(t.drop_columns(["n_grams"])),
+            batch_format="pyarrow",
+        )
+    )
+    return tagged.groupby("bucket").map_groups(cut, batch_format="pyarrow")

@@ -213,3 +213,53 @@ def test_empty_and_short_docs(ray_session):
     assert substring_dup_pairs(ds, k=3).take_all() == []
     assert duplicate_spans(ds, k=3).take_all() == []
     assert suffix_repeat_spans(ds, min_len=3).take_all() == []
+
+
+def test_remove_duplicate_spans_matches_span_cut(ray_session):
+    """Removal = detection spans cut from the token stream, rejoined; the
+    scalar reference derives the cut directly from duplicate_spans."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.substring import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(10, 40))))
+        for _ in range(60)
+    ]
+    run = " ".join(rng.choice(vocab, size=12))
+    texts[0] += " " + run
+    texts[1] = run + " " + texts[1]
+    texts[3] = run + " middle filler " + run  # in-doc repeat
+    texts[4] = ""  # empty doc passes through
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+    spans = duplicate_spans(rd.from_arrow(tbl).repartition(5), k=8).to_pandas()
+    got = (
+        remove_duplicate_spans(rd.from_arrow(tbl).repartition(5), k=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == len(texts)
+    span_by_doc = {}
+    for r in spans.itertuples():
+        span_by_doc.setdefault(r.doc_id, []).append((r.start_pos, r.end_pos))
+    assert 0 in span_by_doc and 3 in span_by_doc  # planted runs detected
+    for i, t in enumerate(texts):
+        toks = t.split()
+        cov = set()
+        for s, e in span_by_doc.get(i, []):
+            cov.update(range(s - 1, e))
+        ref = " ".join(w for j, w in enumerate(toks) if j not in cov)
+        assert got.loc[i, "text"] == ref
+        assert got.loc[i, "n_removed"] == len(cov)
+    assert got.loc[3, "n_removed"] == 24  # both in-doc copies cut
