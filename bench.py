@@ -241,12 +241,28 @@ def run_bench() -> dict:
     queries["event_ops"] = round(time.time() - t0, 3)
 
     # ---- exact-substring dedup (suffix-array family) ----
-    from intertext_ray.ops.substring import duplicate_spans, substring_dup_pairs
+    from intertext_ray.ops.substring import (
+        duplicate_spans,
+        remove_duplicate_spans,
+        substring_dup_pairs,
+    )
 
     t0 = time.time()
     substring_dup_pairs(read_documents(SF_DIR), k=8, num_buckets=32).count()
     duplicate_spans(read_documents(SF_DIR), k=8, num_buckets=32).count()
     queries["substring_ops"] = round(time.time() - t0, 3)
+
+    # ---- cleaning rewrites: span removal + line boilerplate ----
+    from intertext_ray.ops.line_dedup import break_into_lines, line_dedup
+
+    t0 = time.time()
+    remove_duplicate_spans(
+        read_documents(SF_DIR), k=8, num_buckets=32
+    ).count()
+    line_dedup(
+        break_into_lines(read_documents(SF_DIR), tokens_per_line=3), min_df=3
+    ).count()
+    queries["clean_ops"] = round(time.time() - t0, 3)
 
     # ---- audio-payload near-dup (decode -> subfingerprint -> LSH -> BER) ----
     import os as _os
