@@ -80,3 +80,53 @@ def test_normalize_dataset_faces(ray_session):
     st = normalize_stats(ds, target_peak=30000).to_pandas().set_index("clip_id")
     assert st.loc["b", "peak_out"] in (29999, 30000)
     assert st.loc["b", "n_samples"] == 1600
+
+
+def test_gain_normalized_clips_detected_as_audio_dups(ray_session):
+    """Pipeline property: Haitsma-Kalker fingerprints are sign-of-energy-
+    difference based, so peak normalization flips only quantization-
+    borderline bits (measured BER ~0.002) — a clip and its normalized
+    copy MUST verify as an audio dup pair.  Also pins the clip-id
+    convention gotcha: doc ids derive from the trailing number, so the
+    copies need distinct numeric suffixes."""
+    from intertext_ray.functions.audio import encode_clip
+    from intertext_ray.ops.audio_dedup import audio_dup_pairs
+    from intertext_ray.ops.audio_gain import normalize_clips
+
+    rng = np.random.default_rng(2)
+    sr = 8000
+    t = np.arange(sr)
+    rows = []
+    for i in range(4):
+        sig = (
+            5000 * np.sin(2 * np.pi * (300 + 90 * i) * t / sr)
+            + 2000 * np.sin(2 * np.pi * (900 + 130 * i) * t / sr)
+            + rng.normal(0, 350, sr)
+        ).astype(np.int16)
+        rows.append((f"clip-{i}", encode_clip(sig, sr, "pcm_s16le")))
+    tbl = pa.table(
+        {
+            "clip_id": pa.array([r[0] for r in rows]),
+            "bytes": pa.array([r[1] for r in rows], pa.binary()),
+            "sr_hz": pa.array([sr] * 4, pa.int32()),
+            "codec": pa.array(["pcm_s16le"] * 4),
+        }
+    )
+    norm = normalize_clips(rd.from_arrow(tbl), target_peak=30000).to_pandas()
+    both = pa.table(
+        {
+            "clip_id": pa.array(
+                [r[0] for r in rows] + [f"clip-{i + 100}" for i in range(4)]
+            ),
+            "bytes": pa.array(
+                [r[1] for r in rows] + norm["bytes"].tolist(), pa.binary()
+            ),
+            "sr_hz": pa.array([sr] * 8, pa.int32()),
+            "codec": pa.array(["pcm_s16le"] * 8),
+        }
+    )
+    pairs = audio_dup_pairs(rd.from_arrow(both), num_buckets=8).to_pandas()
+    assert len(pairs) == 4  # each original <-> its normalized copy, no FPs
+    assert (pairs["offset"] == 0).all()
+    assert (pairs["overlap"] == 29).all()
+    assert (pairs["ber"] <= 0.01).all()
