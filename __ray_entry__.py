@@ -663,6 +663,16 @@ def _q_remove_dup_spans(sf_dir: str):
     return remove_duplicate_spans(_docs(sf_dir), k=8, num_buckets=32)
 
 
+def _q_cosine_text_pairs(sf_dir: str):
+    """Bag-of-words cosine pairs at cos^2 >= 0.99 (x1e6, integer-exact).
+    max_df disabled here: the testdata's ~31-word vocabulary makes every
+    term df ~= corpus, so any df cap would empty the geometry — on real
+    corpora the cap is the stop-word/hot-key control (see op docstring)."""
+    from intertext_ray.ops.text_cosine import cosine_text_pairs
+
+    return cosine_text_pairs(_docs(sf_dir), min_cos2_x1e6=990000, max_df=0)
+
+
 def _q_suffix_spans(sf_dir: str):
     """Suffix-array path (prefix doubling + banded LCP) at one bucket =
     globally exact; shares the duplicate_spans islands oracle."""
@@ -1239,6 +1249,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighbor_multi": _q_sorted_neighbor_multi,
         "audio_gain": _q_audio_gain,
         "remove_dup_spans": _q_remove_dup_spans,
+        "cosine_text_pairs": _q_cosine_text_pairs,
         "curate_corpus": _q_curate_corpus,
         "uniform_sample": _q_uniform_sample,
         "word_counts": _q_word_counts,
@@ -2448,6 +2459,31 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_pairs": _substring_pairs_sql(k=8),
         "duplicate_spans": _dup_spans_sql(k=8),
         "remove_dup_spans": _remove_spans_sql(k=8),
+        # integer-exact BoW cosine: cos2_x1e6 = (dot^2 * 1e6) // (n2a*n2b).
+        # Engine groups by splitmix token-chain HASH, SQL by the token
+        # string — identical barring a 2^-64 chain collision.
+        "cosine_text_pairs": f"""
+            WITH toks AS ({_TOKS}),
+            tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+            n2 AS (SELECT doc_id, sum(c * c) AS n2 FROM tc GROUP BY doc_id),
+            dot AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, sum(a.c * b.c) AS ab
+              FROM tc a JOIN tc b ON a.w = b.w AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            sc AS (
+              SELECT da, db,
+                     CAST((CAST(ab AS HUGEINT) * ab * 1000000)
+                          // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT)
+                       AS cos2_x1e6
+              FROM dot
+              JOIN n2 na ON na.doc_id = da
+              JOIN n2 nb ON nb.doc_id = db
+            )
+            SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+                   cos2_x1e6
+            FROM sc WHERE cos2_x1e6 >= 990000
+        """,
         "suffix_repeat_spans": _dup_spans_sql(k=8),
         "containment_search": _containment_sql(k=4, keep_mod=4, qdoc=1),
         "decontaminate": _decontam_sql(k=4),
