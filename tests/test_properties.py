@@ -146,3 +146,77 @@ def test_difflib_sql_kernel_property(a, b):
     got = con.execute(sql).fetchone()[0]
     want = int(SequenceMatcher(None, a, b, autojunk=False).ratio() * 100)
     assert got == want, (a, b, got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+    st.sampled_from([8000, 16000, 22050, 44100]),
+    st.sampled_from([8000, 16000, 24000]),
+)
+def test_resample_linear_properties(pcm, sr_in, sr_out):
+    """Integer linear SRC: scalar parity, exact endpoint preservation,
+    output length formula, identity at equal rates."""
+    from intertext_ray.ops.audio_resample import resample_pcm
+
+    x = np.array(pcm, np.int16)
+    y = resample_pcm(x, sr_in, sr_out)
+    assert len(y) == (len(x) - 1) * sr_out // sr_in + 1
+    assert y[0] == x[0]  # phase 0 is exact
+    if sr_in == sr_out:
+        assert y.tolist() == x.tolist()
+    # interpolation never exceeds the local input range
+    assert y.max() <= int(x.max()) and y.min() >= int(x.min())
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=200))
+def test_normalize_peak_properties(pcm):
+    """Peak gain: output peak == target exactly (nonsilent input), silent
+    passthrough, sign preservation."""
+    from intertext_ray.ops.audio_gain import normalize_peak_pcm
+
+    x = np.array(pcm, np.int16)
+    y = normalize_peak_pcm(x, 30000).astype(np.int64)
+    if int(np.max(np.abs(x.astype(np.int64)))) == 0:
+        assert y.tolist() == x.tolist()
+    else:
+        assert int(np.max(np.abs(y))) == 30000
+    assert (np.sign(y) == np.sign(x.astype(np.int64))).all() or (
+        # floor can land an attenuated tiny positive at 0
+        (np.sign(y) != np.sign(x.astype(np.int64))).sum()
+        == ((y == 0) & (x > 0)).sum()
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=12
+    ),
+    st.integers(1, 5),
+)
+def test_break_into_lines_round_trip(ray_session, texts, npl):
+    """Joining the derived lines back with spaces reproduces the
+    whitespace-canonicalized doc for every tokens_per_line."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.line_dedup import break_into_lines
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    got = (
+        break_into_lines(rd.from_arrow(tbl), tokens_per_line=npl)
+        .to_pandas()
+        .sort_values("doc_id")["text"]
+        .tolist()
+    )
+    for t, g in zip(texts, got):
+        assert g.replace("\n", " ") == " ".join(t.split())
+        for ln in g.split("\n"):
+            assert ln == "" or len(ln.split()) <= npl
