@@ -127,6 +127,11 @@ def evaluate(tbl: pa.Table, truth: dict) -> dict:
     p = substring_dup_pairs(ds(), k=8, num_buckets=32).to_pandas()
     families["substring (k=8)"] = _canon(zip(p.doc_a, p.doc_b))
 
+    from intertext_ray.ops.text_cosine import cosine_text_pairs
+
+    p = cosine_text_pairs(ds(), min_cos2_x1e6=810_000).to_pandas()
+    families["bow_cosine (cos>=0.9)"] = _canon(zip(p.doc_a, p.doc_b))
+
     tset = set(truth)
     by_kind = {k: {pr for pr, kd in truth.items() if kd == k} for k in kinds}
     out = {}
