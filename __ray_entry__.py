@@ -663,6 +663,34 @@ def _q_remove_dup_spans(sf_dir: str):
     return remove_duplicate_spans(_docs(sf_dir), k=8, num_buckets=32)
 
 
+def _q_fold_diacritics(sf_dir: str):
+    """Driver-pins the diacritic-folding kernel (unidecode-extras table,
+    NFKD+strip, Greek/Cyrillic romanization — reference
+    intertext.py:1143-1144): inject known accented chars into the raw
+    text (a->á e->έ o->ø c->ç s->ш p->ψ — all vectorized), fold with the
+    REAL kernel.  Net effect on the original ASCII is s->sh, p->ps, so
+    the twin is exact replace() — value-hash equality certifies every
+    hop (extras table, decomposition, romanization) byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from intertext_ray.functions.text import strip_diacritics
+
+    docs = _docs(sf_dir)
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        for src, dst in [("a", "á"), ("e", "έ"), ("o", "ø"),
+                         ("c", "ç"), ("s", "ш"), ("p", "ψ")]:
+            t = pc.replace_substring(t, pattern=src, replacement=dst)
+        folded = pa.array(
+            [strip_diacritics(x) for x in t.to_pylist()], pa.string()
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": folded})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_cosine_text_pairs(sf_dir: str):
     """Bag-of-words cosine pairs at cos^2 >= 0.99 (x1e6, integer-exact).
     max_df disabled here: the testdata's ~31-word vocabulary makes every
@@ -1250,6 +1278,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_gain": _q_audio_gain,
         "remove_dup_spans": _q_remove_dup_spans,
         "cosine_text_pairs": _q_cosine_text_pairs,
+        "fold_diacritics": _q_fold_diacritics,
         "curate_corpus": _q_curate_corpus,
         "uniform_sample": _q_uniform_sample,
         "word_counts": _q_word_counts,
@@ -2459,6 +2488,14 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_pairs": _substring_pairs_sql(k=8),
         "duplicate_spans": _dup_spans_sql(k=8),
         "remove_dup_spans": _remove_spans_sql(k=8),
+        # fold_diacritics: engine injects accented chars then folds with
+        # the real unidecode-extras/NFKD/romanization kernel; the net
+        # effect on the raw ASCII is s->sh, p->ps (see _q_fold_diacritics)
+        "fold_diacritics": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   replace(replace(text, 's', 'sh'), 'p', 'ps') AS text
+            FROM documents
+        """,
         # integer-exact BoW cosine: cos2_x1e6 = (dot^2 * 1e6) // (n2a*n2b).
         # Engine groups by splitmix token-chain HASH, SQL by the token
         # string — identical barring a 2^-64 chain collision.
