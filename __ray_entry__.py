@@ -1202,7 +1202,11 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # sorted_neighbor_dups rank-window kernel unioned over bit rotations
     # of the in-window simhash fingerprint; event_session_assignment = the same
     # sessionize boundary-cumsum kernel as in-window event_sessions, one
-    # aggregation earlier; the three reader-path queries rerun
+    # aggregation earlier; audio_gain's decode face is in-window twice
+    # (audio_pcm_stats / audio_resample); remove_dup_spans = in-window
+    # duplicate_spans detection + line_dedup's filter+string_agg rejoin;
+    # cosine_text_pairs and fold_diacritics are new twin-ready kernels
+    # validated by check_entry; the three reader-path queries rerun
     # in-window kernels through the JSONL/CSV/text-dir sources) and
     # (b) the non-SQL-expressible queries (approx-by-design ANN/semdedup,
     # the full difflib matches table — its kernel is driver-pinned via
