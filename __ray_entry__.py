@@ -663,6 +663,16 @@ def _q_remove_dup_spans(sf_dir: str):
     return remove_duplicate_spans(_docs(sf_dir), k=8, num_buckets=32)
 
 
+def _q_perplexity(sf_dir: str):
+    """Char-bigram LM perplexity scores (CCNet-style quality filter):
+    model trained on the splitmix 50% split, every doc scored by average
+    negative log2-likelihood in Q20 fixed point — integer-exact end to
+    end, twin recomputes counts, logs and scores independently."""
+    from intertext_ray.ops.charlm import perplexity_scores
+
+    return perplexity_scores(_docs(sf_dir), permille_train=500, salt=0)
+
+
 def _q_fold_diacritics(sf_dir: str):
     """Driver-pins the diacritic-folding kernel (unidecode-extras table,
     NFKD+strip, Greek/Cyrillic romanization — reference
@@ -1283,6 +1293,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans": _q_remove_dup_spans,
         "cosine_text_pairs": _q_cosine_text_pairs,
         "fold_diacritics": _q_fold_diacritics,
+        "perplexity_scores": _q_perplexity,
         "curate_corpus": _q_curate_corpus,
         "uniform_sample": _q_uniform_sample,
         "word_counts": _q_word_counts,
@@ -2500,6 +2511,7 @@ def oracle_sql() -> dict[str, str]:
                    replace(replace(text, 's', 'sh'), 'p', 'ps') AS text
             FROM documents
         """,
+        "perplexity_scores": _charlm_sql(permille=500),
         # integer-exact BoW cosine: cos2_x1e6 = (dot^2 * 1e6) // (n2a*n2b).
         # Engine groups by splitmix token-chain HASH, SQL by the token
         # string — identical barring a 2^-64 chain collision.
@@ -3307,6 +3319,94 @@ def _remove_spans_sql(k: int = 8) -> str:
         FROM documents dd
         LEFT JOIN tot USING (doc_id)
         LEFT JOIN ka USING (doc_id)
+    """
+
+
+def _charlm_sql(permille: int = 500) -> str:
+    """Fully independent twin of ``ops.charlm.perplexity_scores``:
+    re-counts the training bigrams over the splitmix split, re-derives
+    every needed Q20 log2 via the EXACT integer square-and-shift
+    algorithm of ``charlm.log2_q20`` (bit-smear bit_length + a 21-level
+    recursive CTE — ~700 distinct arguments on this corpus), then
+    re-scores every doc.  ascii() == utf-8 byte on the ASCII testdata
+    (same caveat as the token-chain twins).  nll is non-negative
+    (c_ab <= c_a implies L(num) <= L(den)), so integer ``//`` is floor."""
+    split = _sql_splitmix("CAST(doc_id AS UBIGINT)")
+    return f"""
+        WITH RECURSIVE
+        tr AS (
+          SELECT text FROM documents
+          WHERE {split} % 1000 < {permille} AND length(text) >= 2
+        ),
+        tp AS (
+          SELECT ascii(substr(text, CAST(i AS BIGINT), 1)) AS a,
+                 ascii(substr(text, CAST(i AS BIGINT) + 1, 1)) AS b
+          FROM tr, unnest(generate_series(1, length(text) - 1)) u(i)
+        ),
+        cab AS (SELECT a, b, count(*) AS c FROM tp GROUP BY a, b),
+        ca AS (SELECT a, sum(c) AS c FROM cab GROUP BY a),
+        sp AS (
+          SELECT doc_id,
+                 ascii(substr(text, CAST(i AS BIGINT), 1)) AS a,
+                 ascii(substr(text, CAST(i AS BIGINT) + 1, 1)) AS b
+          FROM documents, unnest(generate_series(1, length(text) - 1)) u(i)
+          WHERE length(text) >= 2
+        ),
+        den AS (
+          SELECT s.a, CAST(COALESCE(ca.c, 0) + 256 AS BIGINT) AS x
+          FROM (SELECT DISTINCT a FROM sp) s LEFT JOIN ca USING (a)
+        ),
+        num AS (
+          SELECT s.a, s.b, CAST(COALESCE(cab.c, 0) + 1 AS BIGINT) AS x
+          FROM (SELECT DISTINCT a, b FROM sp) s
+          LEFT JOIN cab ON cab.a = s.a AND cab.b = s.b
+        ),
+        needs AS (
+          SELECT DISTINCT x FROM (
+            SELECT x FROM den UNION ALL SELECT x FROM num
+          ) t
+        ),
+        sm1 AS (SELECT x, x | (x >> 1) AS s FROM needs),
+        sm2 AS (SELECT x, s | (s >> 2) AS s FROM sm1),
+        sm3 AS (SELECT x, s | (s >> 4) AS s FROM sm2),
+        sm4 AS (SELECT x, s | (s >> 8) AS s FROM sm3),
+        sm5 AS (SELECT x, s | (s >> 16) AS s FROM sm4),
+        sm6 AS (SELECT x, s | (s >> 32) AS s FROM sm5),
+        y0 AS (
+          SELECT x, bit_count(s) - 1 AS e,
+                 CASE WHEN bit_count(s) - 1 >= 30
+                      THEN x >> (bit_count(s) - 31)
+                      ELSE x << (31 - bit_count(s)) END AS y
+          FROM sm6
+        ),
+        lg(x, e, y, frac, i) AS (
+          SELECT x, e, CAST(y AS BIGINT), CAST(0 AS BIGINT), 0 FROM y0
+          UNION ALL
+          SELECT x, e,
+                 CASE WHEN z >= 2147483648 THEN z >> 1 ELSE z END,
+                 frac * 2 + CASE WHEN z >= 2147483648 THEN 1 ELSE 0 END,
+                 i + 1
+          FROM (SELECT x, e, (y * y) >> 30 AS z, frac, i
+                FROM lg WHERE i < 20) q
+        ),
+        lt AS (SELECT x, e * 1048576 + frac AS l FROM lg WHERE i = 20),
+        pl AS (
+          SELECT sp.doc_id, ld.l - ln2.l AS nll
+          FROM sp
+          JOIN den d2 ON d2.a = sp.a
+          JOIN lt ld ON ld.x = d2.x
+          JOIN num n2 ON n2.a = sp.a AND n2.b = sp.b
+          JOIN lt ln2 ON ln2.x = n2.x
+        ),
+        sc2 AS (
+          SELECT doc_id, count(*) AS n_pairs, sum(nll) AS tot
+          FROM pl GROUP BY doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(sc2.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(sc2.tot // sc2.n_pairs, 0) AS BIGINT)
+                 AS avg_nll2_q20
+        FROM documents d LEFT JOIN sc2 USING (doc_id)
     """
 
 

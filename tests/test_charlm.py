@@ -1,0 +1,112 @@
+"""Char-bigram LM perplexity: Q20 log2 kernel properties, scalar scoring
+parity, and the quality-filter separation property."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, (1 << 52)))
+def test_log2_q20_accuracy_and_powers(x):
+    from intertext_ray.ops.charlm import log2_q20
+
+    got = int(log2_q20(np.array([x]))[0])
+    true = math.log2(x) * (1 << 20)
+    assert abs(got - true) < 8  # < 1e-5 in log2 units
+    if x & (x - 1) == 0:  # exact at powers of two
+        assert got == int(math.log2(x)) << 20
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 1 << 40), st.integers(1, 1 << 40))
+def test_log2_q20_monotone(a, b):
+    from intertext_ray.ops.charlm import log2_q20
+
+    la, lb = log2_q20(np.array([a, b]))
+    if a <= b:
+        assert la <= lb
+    else:
+        assert la >= lb
+
+
+@pytest.fixture(scope="module")
+def scored(ray_session):
+    from intertext_ray.ops.charlm import perplexity_scores
+
+    rng = np.random.default_rng(3)
+    vocab = ["table", "scan", "query", "fast", "slow", "window"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 12))))
+        for _ in range(80)
+    ]
+    texts[5] = ""
+    texts[6] = "x"
+    # gibberish docs: uniform random letters (never in the training dist)
+    for i in (70, 71, 72):
+        texts[i] = "".join(
+            rng.choice(list("qzjxkvw"), size=40).tolist()
+        )
+    tbl = pa.table(
+        {"doc_id": pa.array(range(80), pa.int64()), "text": pa.array(texts)}
+    )
+    out = (
+        perplexity_scores(rd.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    return texts, out
+
+
+def test_scoring_matches_scalar_reference(scored):
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.charlm import log2_q20
+
+    texts, out = scored
+    train = [
+        t
+        for i, t in enumerate(texts)
+        if splitmix64(np.uint64(i)) % np.uint64(1000) < 500
+    ]
+    cab: Counter = Counter()
+    for t in train:
+        b = t.encode()
+        for i in range(len(b) - 1):
+            cab[(b[i], b[i + 1])] += 1
+    ca: Counter = Counter()
+    for (a, _), c in cab.items():
+        ca[a] += c
+
+    def L(x):
+        return int(log2_q20(np.array([x]))[0])
+
+    for i, t in enumerate(texts):
+        b = t.encode()
+        if len(b) < 2:
+            assert out.loc[i, "n_pairs"] == 0 and out.loc[i, "avg_nll2_q20"] == 0
+            continue
+        tot = sum(
+            L(ca[b[j]] + 256) - L(cab[(b[j], b[j + 1])] + 1)
+            for j in range(len(b) - 1)
+        )
+        assert out.loc[i, "n_pairs"] == len(b) - 1
+        assert out.loc[i, "avg_nll2_q20"] == tot // (len(b) - 1)
+
+
+def test_gibberish_scores_higher_than_fluent(scored):
+    """The quality-filter property: out-of-distribution byte sequences
+    score strictly higher NLL than in-vocabulary docs."""
+    texts, out = scored
+    gib = out.loc[[70, 71, 72], "avg_nll2_q20"]
+    fluent = out.loc[
+        [i for i in range(60) if len(texts[i]) > 10], "avg_nll2_q20"
+    ]
+    assert gib.min() > fluent.max()
+    assert gib.mean() > 2 * fluent.mean()
