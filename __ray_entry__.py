@@ -603,6 +603,15 @@ def _q_top_bigrams(sf_dir: str):
     return top_ngrams(_docs(sf_dir), n=2, top=20)
 
 
+def _q_bpe_merge_pairs(sf_dir: str):
+    """Top adjacent character-pair counts inside whitespace words — the
+    first BPE-training merge decision, twin-exact incl. the tie-break at
+    the LIMIT boundary (count DESC, pair ASC)."""
+    from intertext_ray.ops.text_stats import bpe_merge_counts
+
+    return bpe_merge_counts(_docs(sf_dir), top=50)
+
+
 def _q_hash_split(sf_dir: str):
     from intertext_ray.ops.sampling import hash_split
 
@@ -1085,6 +1094,80 @@ def _q_audio_gain(sf_dir: str):
     )
 
 
+def _q_audio_vad(sf_dir: str):
+    """Energy-threshold VAD segments (frame mean-square >= -40 dBFS,
+    20 ms frames, min_len=2) over the 1/7 clip sample — the FOURTH
+    driver-checked audio face (twin re-decodes the payload and re-runs
+    the framing + gaps-and-islands segmentation in SQL)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_vad import vad_segments
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    return vad_segments(
+        clips.map_batches(samp, batch_format="pyarrow"), min_len=2
+    )
+
+
+def _q_audio_exact_dups(sf_dir: str):
+    """Decoded-PCM identity dup groups over the 1/7 clip sample augmented
+    with raw-pcm re-containers of its %3 subset (planted exact dups) — the
+    FIFTH driver-checked audio face (twin re-decodes the payload, builds
+    the same virtual copies from the decoded samples, recomputes the
+    moment checksum in wrap-mod-2^64 HUGEINT arithmetic)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_exact import (
+        audio_exact_dup_groups,
+        plant_pcm_copies,
+    )
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    planted = plant_pcm_copies(
+        clips.map_batches(samp, batch_format="pyarrow"), mod=3
+    )
+    return audio_exact_dup_groups(planted, num_buckets=16)
+
+
+def _q_audio_decontam(sf_dir: str):
+    """Audio decontamination: drop clips whose decoded PCM exactly matches
+    an eval-set clip (eval = the %91 subset, i.e. %13 of the 1/7 sample) —
+    broadcast checksum set, zero corpus-side shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_exact import audio_decontam
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    def eval_samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(91) == 0))
+
+    corpus = clips.map_batches(samp, batch_format="pyarrow")
+    ev = clips.map_batches(eval_samp, batch_format="pyarrow")
+    return audio_decontam(corpus, ev)
+
+
 def _source_formats_cache(sf_dir: str) -> str:
     """One-time deterministic conversion of the documents table into the
     other supported source formats (JSONL / CSV / one-txt-file-per-doc),
@@ -1212,12 +1295,23 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # sorted_neighbor_dups rank-window kernel unioned over bit rotations
     # of the in-window simhash fingerprint; event_session_assignment = the same
     # sessionize boundary-cumsum kernel as in-window event_sessions, one
-    # aggregation earlier; audio_gain's decode face is in-window twice
+    # aggregation earlier; sliding_event_stats (r2-driver-green in-window)
+    # generalizes windowed_event_stats; both share the per-bucket combiner
+    # with in-window event_props_stats/event_sessions/asof and stay
+    # check_entry-verified; audio_gain's decode face is in-window twice
     # (audio_pcm_stats / audio_resample); remove_dup_spans = in-window
     # duplicate_spans detection + line_dedup's filter+string_agg rejoin;
     # cosine_text_pairs and fold_diacritics are new twin-ready kernels
-    # validated by check_entry; the three reader-path queries rerun
-    # in-window kernels through the JSONL/CSV/text-dir sources) and
+    # validated by check_entry; token_quantiles_sketch's log2-bucket kernel
+    # is pinned by in-window token_quantiles over the same token counts
+    # plus repo-local partition-invariance tests; audio_decontam = the
+    # in-window audio_exact_dups moment-checksum kernel + the in-window
+    # decontaminate broadcast anti-join shape; suffix_repeat_spans = the
+    # same prefix-doubling suffix-array kernel as in-window
+    # duplicate_spans, with its repeat-run extraction test-pinned; the
+    # three reader-path
+    # queries rerun in-window kernels through the JSONL/CSV/text-dir
+    # sources) and
     # (b) the non-SQL-expressible queries (approx-by-design ANN/semdedup,
     # the full difflib matches table — its kernel is driver-pinned via
     # dedup_match_sample — and the audio/FFT family, pinned by repo-local
@@ -1250,7 +1344,6 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "substring_dup_pairs": _q_substring_pairs,
         "duplicate_spans": _q_duplicate_spans,
-        "suffix_repeat_spans": _q_suffix_spans,
         "decontaminate": _q_decontaminate,
         "containment_search": _q_containment,
         # embeddings
@@ -1259,6 +1352,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         # text analysis / curation
         "bpe_token_counts": _q_bpe_token_counts,
+        "bpe_merge_pairs": _q_bpe_merge_pairs,
         "quality_scores": _q_quality,
         "repetition_scores": _q_repetition,
         "top_bigrams": _q_top_bigrams,
@@ -1267,13 +1361,14 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _q_doc_top_terms,
         "audio_pcm_stats": _q_audio_pcm_stats,
         "audio_resample": _q_audio_resample,
+        "audio_vad_segments": _q_audio_vad,
+        "audio_exact_dups": _q_audio_exact_dups,
         "line_dedup": _q_line_dedup,
         # sampling / splits / packing / PII
         "redact_pii": _q_redact_pii,
         "stratified_sample": _q_stratified_sample,
         "temperature_resample": _q_temperature_resample,
         "token_quantiles": _q_token_quantiles,
-        "token_quantiles_sketch": _q_token_quantiles_sketch,
         # sketches
         "hll_distinct": _q_hll_distinct,
         "cms_word_counts": _q_cms_word_counts,
@@ -1282,8 +1377,11 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "event_props_stats": _q_props_stats,
         "event_sessions": _q_sessions,
         "asof_click_view": _q_asof,
-        "sliding_event_stats": _q_sliding_events,
         # --- position 51+: twins transitively pinned by an in-window twin
+        "suffix_repeat_spans": _q_suffix_spans,
+        "token_quantiles_sketch": _q_token_quantiles_sketch,
+        "audio_decontam": _q_audio_decontam,
+        "sliding_event_stats": _q_sliding_events,
         "event_session_assignment": _q_event_session_assignment,
         "windowed_event_stats": _q_windowed_events,
         "hash_split": _q_hash_split,
@@ -1761,6 +1859,124 @@ def _audio_gain_sql(target_peak: int = 30000) -> str:
     """
 
 
+def _audio_vad_sql(
+    frame_ms: int = 20, thr_msq: int = 107374, min_len: int = 2
+) -> str:
+    """Twin of ``_q_audio_vad``: frames the SQL-decoded samples
+    (complete ``flen``-sample frames only, matching the engine's dropped
+    tail), applies the integer mean-square gate, merges runs of active
+    frames via gaps-and-islands (frame - row_number), drops segments
+    shorter than ``min_len`` — hash-exact, no float tolerance."""
+    t, ml = int(thr_msq), int(min_len)
+    return f"""
+        WITH {_audio_decode_ctes()},
+        meta AS (
+          SELECT clip_id, CAST(sr_hz AS BIGINT) AS sr
+          FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+          WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) % 7 = 0
+            AND codec IN ('pcm_s16le', 'wav', 'ulaw', 'alaw')
+        ),
+        fr AS (
+          SELECT a.clip_id,
+                 a.i // greatest(1, m.sr * {int(frame_ms)} // 1000) AS frame,
+                 greatest(1, m.sr * {int(frame_ms)} // 1000) AS flen,
+                 a.s
+          FROM allsamp a JOIN meta m USING (clip_id)
+        ),
+        fe AS (
+          SELECT clip_id, frame, flen,
+                 sum(CAST(s AS HUGEINT) * s) AS energy, count(*) AS n
+          FROM fr GROUP BY clip_id, frame, flen
+        ),
+        act AS (
+          SELECT clip_id, frame, CAST(energy AS BIGINT) AS energy
+          FROM fe WHERE n = flen AND energy >= CAST({t} AS HUGEINT) * flen
+        ),
+        isl AS (
+          SELECT clip_id, frame, energy,
+                 frame - row_number() OVER (
+                   PARTITION BY clip_id ORDER BY frame) AS grp
+          FROM act
+        ),
+        seg AS (
+          SELECT clip_id, min(frame) AS start_frame,
+                 max(frame) AS end_frame,
+                 count(*) AS n_frames, sum(energy) AS energy
+          FROM isl GROUP BY clip_id, grp
+          HAVING count(*) >= {ml}
+        )
+        SELECT clip_id,
+               CAST(row_number() OVER (
+                 PARTITION BY clip_id ORDER BY start_frame) - 1 AS BIGINT)
+                   AS seg_idx,
+               CAST(start_frame AS BIGINT) AS start_frame,
+               CAST(end_frame AS BIGINT) AS end_frame,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(energy AS BIGINT) AS energy
+        FROM seg
+    """
+
+
+def _audio_ck_ctes(copies_mod: int | None = None) -> str:
+    """Shared fragment on top of ``_audio_decode_ctes``: ends in
+    ``ck(clip_id, n_samples, ck1, ck2)`` — the moment checksum of
+    ``ops/audio_exact.pcm_checksum`` recomputed in exact HUGEINT sums then
+    wrapped mod 2^64 (ring homomorphism == numpy uint64 wraparound).  With
+    ``copies_mod`` set, virtual ``#pcm`` re-container rows (identical
+    decoded samples) are unioned in for clips whose numeric id divides."""
+    aug = "SELECT clip_id, i, s FROM allsamp"
+    if copies_mod is not None:
+        aug += f"""
+          UNION ALL
+          SELECT clip_id || '#pcm', i, s FROM allsamp
+          WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                % {int(copies_mod)} = 0"""
+    c1 = _sql_mod64("sum(CAST(i + 1 AS HUGEINT) * (s + 32769))")
+    c2 = _sql_mod64("sum(CAST(i + 1 AS HUGEINT) * (i + 1) * (s + 32769))")
+    return f"""aug AS ({aug}),
+        ck AS (
+          SELECT clip_id, count(*) AS n_samples, {c1} AS ck1, {c2} AS ck2
+          FROM aug GROUP BY clip_id
+        )"""
+
+
+def _audio_exact_sql(copies_mod: int = 3) -> str:
+    """Twin of ``_q_audio_exact_dups``: recomputes the decoded-PCM moment
+    checksum per clip (originals + virtual ``#pcm`` copies), groups on
+    (n_samples, ck1, ck2), keeps groups of >= 2, canonical keeper =
+    min(clip_id) — hash-exact, no float tolerance."""
+    return f"""
+        WITH {_audio_decode_ctes()},
+        {_audio_ck_ctes(copies_mod=copies_mod)},
+        grp AS (
+          SELECT n_samples, ck1, ck2,
+                 min(clip_id) AS group_id,
+                 CAST(count(*) AS BIGINT) AS group_size
+          FROM ck GROUP BY n_samples, ck1, ck2
+          HAVING count(*) >= 2
+        )
+        SELECT ck.clip_id, grp.group_id, grp.group_size,
+               CAST(ck.n_samples AS BIGINT) AS n_samples
+        FROM ck JOIN grp USING (n_samples, ck1, ck2)
+    """
+
+
+def _audio_decontam_sql(eval_mod: int = 91) -> str:
+    """Twin of ``_q_audio_decontam``: anti-join of corpus checksums against
+    the eval-subset (%``eval_mod``) checksum set."""
+    return f"""
+        WITH {_audio_decode_ctes()},
+        {_audio_ck_ctes()},
+        ev AS (
+          SELECT n_samples, ck1, ck2 FROM ck
+          WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                % {int(eval_mod)} = 0
+        )
+        SELECT ck.clip_id, CAST(ck.n_samples AS BIGINT) AS n_samples
+        FROM ck ANTI JOIN ev USING (n_samples, ck1, ck2)
+    """
+
+
 def _bloom_sql(m_bits: int = 1024, k: int = 3) -> str:
     """Twin of ``ops.sketches.bloom_membership`` — recomputes the bloom
     bitmap in SQL: splitmix64 byte-chain per distinct text, k salted bit
@@ -2167,6 +2383,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _bloom_sql(m_bits=1024, k=3),
         "audio_pcm_stats": _audio_pcm_sql(),
         "audio_resample": _audio_resample_sql(target_hz=16000),
+        "audio_vad_segments": _audio_vad_sql(min_len=2),
+        "audio_exact_dups": _audio_exact_sql(copies_mod=3),
+        "audio_decontam": _audio_decontam_sql(eval_mod=91),
         "audio_gain": _audio_gain_sql(target_peak=30000),
         "jsonl_token_counts": """
             SELECT doc_id,
@@ -2205,6 +2424,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(sample_rank AS BIGINT) AS sample_rank
             FROM r WHERE sample_rank < 64
+        """,
+        # BPE first-merge pair counts: DuckDB substr/length are
+        # code-point based, matching pc.utf8_slice_codeunits/utf8_length
+        "bpe_merge_pairs": """
+            WITH d AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents WHERE trim(text) <> ''
+            ),
+            n AS (SELECT arr, len(arr) AS nt FROM d),
+            tok AS (
+              SELECT arr[CAST(i AS BIGINT)] AS w
+              FROM n, unnest(generate_series(1, nt)) u(i)
+            ),
+            pr AS (
+              SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+              FROM tok, unnest(generate_series(1, length(w) - 1)) u(i)
+            ),
+            c AS (SELECT pair, count(*) AS n_occ FROM pr GROUP BY pair)
+            SELECT pair, CAST(n_occ AS BIGINT) AS n_occ
+            FROM c ORDER BY n_occ DESC, pair LIMIT 50
         """,
         "top_bigrams": """
             WITH d AS (

@@ -1,0 +1,280 @@
+"""Exact audio deduplication by decoded-PCM identity — codec-independent.
+
+A web-scale audio corpus carries byte-level near-copies that no LSH is
+needed for: the SAME samples re-containered (raw s16le vs WAV), or
+re-uploaded losslessly.  Hashing the *payload bytes* misses those (the
+container differs); hashing the *decoded samples* catches them.  This is
+the audio analogue of ``ops/exact_dedup.py`` (reference parity note:
+intertext has no audio stage — `intertext.py` is transcript-only; this op
+is part of the additive audio family required by the input contract).
+
+The content key is an order-sensitive **moment checksum** over the decoded
+int16 stream, chosen so a DuckDB twin can recompute it exactly:
+
+    t_i = s_i + 32769                    (1 .. 65537, never zero)
+    ck1 = sum_i (i+1)   * t_i   mod 2^64
+    ck2 = sum_i (i+1)^2 * t_i   mod 2^64
+
+Equality key = (n_samples, ck1, ck2).  The first-moment weight makes the
+sum order-sensitive (transpositions move ck1), the second moment breaks
+the remaining linear symmetries; both are ring homomorphisms mod 2^64 so
+numpy wraparound and SQL ``% 2^64`` agree bit-for-bit.  It is a checksum,
+not a cryptographic hash — an adversarial corpus could engineer a
+collision; swap ``pcm_checksum`` for sha1-of-sample-bytes (pattern:
+``exact_dedup.add_content_hash``) when that matters.  For dedup of
+honest re-encodes the collision odds are ~2^-128 per pair.
+
+Scale: decode + checksum is stateless row-local ``map_batches`` (payload
+dropped immediately — only 3 u64 + id leave the worker, ~10^5x smaller
+than the audio); the only exchange is ONE bucketed groupby over those slim
+rows with a vectorized first-per-key inside each bucket (same physical
+plan as ``exact_dedup``).  Decontamination broadcasts the eval-side
+checksum set (benchmark-sized by nature) — zero shuffle on the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from intertext_ray.functions.audio import decode_clip, encode_pcm_s16le
+
+_SQL_CODECS = ("pcm_s16le", "wav", "ulaw", "alaw")
+
+
+def pcm_checksum(pcm: np.ndarray) -> tuple[int, int]:
+    """(ck1, ck2) moment checksum of one int16 sample array (pure
+    function, reused by tests and the decontam broadcast side)."""
+    t = (pcm.astype(np.int64) + 32769).astype(np.uint64)
+    w = np.arange(1, len(t) + 1, dtype=np.uint64)
+    ck1 = int((w * t).sum(dtype=np.uint64))
+    ck2 = int((w * w * t).sum(dtype=np.uint64))
+    return ck1, ck2
+
+
+def pcm_checksums(
+    clips: ray.data.Dataset,
+    codecs: tuple[str, ...] = _SQL_CODECS,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Slim content-key rows: (clip_id, n_samples, ck1, ck2).  Decodes and
+    drops the payload inside the batch — nothing heavy leaves the worker."""
+    keep = set(codecs)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        srs = batch["sr_hz"].to_numpy(zero_copy_only=False)
+        cod = batch["codec"].to_pylist()
+        ids = batch["clip_id"].to_pylist()
+        oid, on, o1, o2 = [], [], [], []
+        for i in range(len(batch)):
+            if cod[i] not in keep:
+                continue
+            pcm = decode_clip(blobs[i], int(srs[i]), cod[i])
+            c1, c2 = pcm_checksum(pcm)
+            oid.append(ids[i])
+            on.append(len(pcm))
+            o1.append(c1)
+            o2.append(c2)
+        return pa.table(
+            {
+                "clip_id": pa.array(oid, pa.string()),
+                "n_samples": pa.array(on, pa.int64()),
+                "ck1": pa.array(np.asarray(o1, np.uint64), pa.uint64()),
+                "ck2": pa.array(np.asarray(o2, np.uint64), pa.uint64()),
+            }
+        )
+
+    return clips.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, num_cpus=1
+    )
+
+
+def _group_summary(group: pa.Table, min_size: int) -> pa.Table:
+    """Vectorized per-bucket grouping: sort by (key, clip_id), run masks,
+    emit one row per member of every group with >= min_size members."""
+    n = len(group)
+    empty = pa.table(
+        {
+            "clip_id": pa.array([], pa.string()),
+            "group_id": pa.array([], pa.string()),
+            "group_size": pa.array([], pa.int64()),
+            "n_samples": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    ns = group["n_samples"].to_numpy(zero_copy_only=False)
+    c1 = group["ck1"].to_numpy(zero_copy_only=False)
+    c2 = group["ck2"].to_numpy(zero_copy_only=False)
+    ids = np.asarray(group["clip_id"].to_pylist(), dtype=object)
+    order = np.lexsort((ids, c2, c1, ns))
+    sn, s1, s2, si = ns[order], c1[order], c2[order], ids[order]
+    head = np.ones(n, dtype=bool)
+    head[1:] = (sn[1:] != sn[:-1]) | (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    starts = np.nonzero(head)[0]
+    counts = np.diff(np.concatenate([starts, [n]]))
+    keep_g = counts >= min_size
+    if not keep_g.any():
+        return empty
+    starts, counts = starts[keep_g], counts[keep_g]
+    gid = np.repeat(si[starts], counts)
+    member_idx = np.concatenate(
+        [np.arange(s, s + c) for s, c in zip(starts, counts)]
+    )
+    return pa.table(
+        {
+            "clip_id": pa.array(list(si[member_idx]), pa.string()),
+            "group_id": pa.array(list(gid), pa.string()),
+            "group_size": pa.array(
+                np.repeat(counts, counts).astype(np.int64), pa.int64()
+            ),
+            "n_samples": pa.array(sn[member_idx].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def audio_exact_dup_groups(
+    clips: ray.data.Dataset,
+    num_buckets: int = 32,
+    codecs: tuple[str, ...] = _SQL_CODECS,
+) -> ray.data.Dataset:
+    """(clip_id, group_id, group_size, n_samples) for every clip whose
+    decoded PCM is identical to at least one other clip's.  ``group_id`` is
+    the lexicographically smallest member id (the canonical keeper)."""
+    nb = np.uint64(num_buckets)
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        h = b["ck1"].to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((h % nb).astype(np.int64)))
+
+    return (
+        pcm_checksums(clips, codecs=codecs)
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _group_summary(g.drop_columns(["bucket"]), 2),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def audio_exact_survivor_ids(
+    clips: ray.data.Dataset,
+    num_buckets: int = 32,
+    codecs: tuple[str, ...] = _SQL_CODECS,
+) -> ray.data.Dataset:
+    """(clip_id, n_samples) of the keeper of every decoded-PCM identity
+    group plus all unique clips — the slim id set to semi-join the payload
+    table against (the payload never rides this shuffle; rejoin with the
+    bucketed-join pattern of ``stages/verify.py`` when the full rows are
+    needed downstream)."""
+    nb = np.uint64(num_buckets)
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        h = b["ck1"].to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((h % nb).astype(np.int64)))
+
+    def keepers(group: pa.Table) -> pa.Table:
+        g = _group_summary(group.drop_columns(["bucket"]), 1)
+        mask = pa.compute.equal(g["clip_id"], g["group_id"])
+        return g.filter(mask).select(["clip_id", "n_samples"])
+
+    return (
+        pcm_checksums(clips, codecs=codecs)
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keepers, batch_format="pyarrow")
+    )
+
+
+def audio_decontam(
+    clips: ray.data.Dataset,
+    eval_clips: ray.data.Dataset,
+    codecs: tuple[str, ...] = _SQL_CODECS,
+) -> ray.data.Dataset:
+    """Drop corpus clips whose decoded PCM exactly matches any eval-set
+    clip (the audio analogue of ``ops/decontam.py``): the eval side is
+    benchmark-sized by nature, so its checksum set is collected once and
+    broadcast via ``ray.put`` — the corpus side is a stateless row-local
+    filter, zero shuffles.  Returns surviving (clip_id, n_samples)."""
+    import ray
+
+    eval_keys = set()
+    for b in pcm_checksums(eval_clips, codecs=codecs).iter_batches(
+        batch_format="pyarrow"
+    ):
+        eval_keys.update(
+            zip(
+                b["n_samples"].to_pylist(),
+                b["ck1"].to_pylist(),
+                b["ck2"].to_pylist(),
+            )
+        )
+    ref = ray.put(eval_keys)
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ns = b["n_samples"].to_pylist()
+            c1 = b["ck1"].to_pylist()
+            c2 = b["ck2"].to_pylist()
+            mask = pa.array(
+                [(n, a, b2) not in self.keys for n, a, b2 in zip(ns, c1, c2)]
+            )
+            return b.filter(mask).select(["clip_id", "n_samples"])
+
+    return pcm_checksums(clips, codecs=codecs).map_batches(
+        Filter, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+def plant_pcm_copies(
+    clips: ray.data.Dataset,
+    mod: int = 3,
+    codecs: tuple[str, ...] = _SQL_CODECS,
+    suffix: str = "#pcm",
+) -> ray.data.Dataset:
+    """Fixture helper (used by tests and the driver face): union the input
+    with a raw-``pcm_s16le`` re-container of every clip whose numeric id is
+    divisible by ``mod`` — each planted copy decodes to EXACTLY the
+    original's samples, so it forms a decoded-PCM identity pair with it."""
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    keep = set(codecs)
+    m = np.uint64(mod)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(batch["clip_id"])
+        sel = batch.filter(pa.array(num % m == 0))
+        blobs = sel["bytes"].to_pylist()
+        srs = sel["sr_hz"].to_numpy(zero_copy_only=False)
+        cod = sel["codec"].to_pylist()
+        ids = sel["clip_id"].to_pylist()
+        names = sel.column_names
+        ob, oc, oi = [], [], []
+        rows = []
+        for i in range(len(sel)):
+            if cod[i] not in keep:
+                continue
+            pcm = decode_clip(blobs[i], int(srs[i]), cod[i])
+            ob.append(encode_pcm_s16le(pcm))
+            oc.append("pcm_s16le")
+            oi.append(ids[i] + suffix)
+            rows.append(i)
+        sub = sel.take(np.asarray(rows, np.int64))
+        sub = sub.set_column(
+            names.index("clip_id"), "clip_id", pa.array(oi, pa.string())
+        )
+        sub = sub.set_column(
+            names.index("bytes"), "bytes", pa.array(ob, pa.binary())
+        )
+        sub = sub.set_column(
+            names.index("codec"), "codec", pa.array(oc, pa.string())
+        )
+        return pa.concat_tables([batch, sub]).combine_chunks()
+
+    return clips.map_batches(fn, batch_format="pyarrow", batch_size=64)

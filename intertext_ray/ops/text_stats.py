@@ -802,3 +802,99 @@ def _doc_top_terms_join(
         resolve, batch_format="pyarrow"
     )
     return scored.groupby("dbucket").map_groups(topk, batch_format="pyarrow")
+
+
+def bpe_merge_counts(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    top: int = 50,
+) -> ray.data.Dataset:
+    """First iteration of BPE vocabulary training: corpus-wide adjacent
+    character-pair frequencies inside whitespace words — (pair, n_occ),
+    the top ``top`` rows by (count DESC, pair ASC), a deterministic total
+    order.  The highest row is exactly the first merge a BPE trainer
+    (Sennrich et al. 2016, public algorithm) would perform; re-running
+    after applying a merge yields the next, so this op is the distributed
+    inner loop of tokenizer training.
+
+    Scale shape (same as :func:`top_ngrams`): each batch first collapses
+    to DISTINCT words with occurrence counts (one Arrow hash aggregate),
+    then pair extraction is ``pc.utf8_slice_codeunits`` per character
+    position — vectorized over all distinct words at once, max-word-length
+    kernel calls per batch, no per-row Python.  The groupby-sum exchanges
+    at most |distinct pairs per batch| rows (alphabet², tiny); the final
+    sort+limit runs over distinct pairs only.  Character slicing is
+    code-point based, matching DuckDB ``substr``/``length`` exactly."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        empty = pa.table(
+            {
+                "pair": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            }
+        )
+        if len(texts) == 0:
+            return empty
+        flat, _, _ = _flat_tokens(texts)
+        if len(flat) == 0:
+            return empty
+        wf = pa.table({"w": flat}).group_by("w").aggregate([("w", "count")])
+        w = wf["w"]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        f = pc.cast(wf["w_count"], pa.int64())
+        nch = pc.utf8_length(w)
+        max_len = int(pc.max(nch).as_py() or 0)
+        pieces = []
+        for i in range(max_len - 1):
+            valid = pc.greater(nch, i + 1)  # needs >= i+2 chars
+            pieces.append(
+                pa.table(
+                    {
+                        "pair": pc.utf8_slice_codeunits(
+                            w.filter(valid), start=i, stop=i + 2
+                        ),
+                        "f": f.filter(valid),
+                    }
+                )
+            )
+        if not pieces:
+            return empty
+        agg = (
+            pa.concat_tables(pieces)
+            .group_by("pair")
+            .aggregate([("f", "sum")])
+        )
+        return pa.table(
+            {
+                "pair": agg["pair"],
+                "partial": pc.cast(agg["f_sum"], pa.int64()),
+            }
+        )
+
+    def rename(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(partial)" not in b.column_names:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.string()),
+                    "n_occ": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "pair": b["pair"],
+                "n_occ": pc.cast(b["sum(partial)"], pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .sum("partial")
+        .map_batches(rename, batch_format="pyarrow")
+        .sort(["n_occ", "pair"], descending=[True, False])
+        .limit(top)
+    )

@@ -1,0 +1,124 @@
+"""Exact audio dedup by decoded-PCM identity: checksum kernel properties,
+cross-codec group detection, survivors, decontam, planted-copy helper."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from intertext_ray.functions.audio import encode_clip
+from intertext_ray.ops.audio_exact import (
+    audio_decontam,
+    audio_exact_dup_groups,
+    audio_exact_survivor_ids,
+    pcm_checksum,
+    pcm_checksums,
+    plant_pcm_copies,
+)
+
+
+def _clips_table(rows):
+    """rows: list of (clip_id, pcm int16 array, sr, codec)."""
+    return pa.table(
+        {
+            "clip_id": pa.array([r[0] for r in rows], pa.string()),
+            "bytes": pa.array(
+                [encode_clip(r[1], r[2], r[3]) for r in rows], pa.binary()
+            ),
+            "sr_hz": pa.array([r[2] for r in rows], pa.int32()),
+            "dur_ms": pa.array(
+                [len(r[1]) * 1000 // r[2] for r in rows], pa.int32()
+            ),
+            "codec": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def _rand_pcm(seed, n):
+    rng = np.random.default_rng(seed)
+    return rng.integers(-32768, 32768, n).astype(np.int16)
+
+
+def test_checksum_order_sensitive_and_exact():
+    pcm = _rand_pcm(0, 4000)
+    c = pcm_checksum(pcm)
+    assert c == pcm_checksum(pcm.copy())
+    swapped = pcm.copy()
+    swapped[10], swapped[11] = swapped[11], swapped[10]
+    if swapped[10] != swapped[11]:
+        assert pcm_checksum(swapped) != c
+    # scalar reference with Python big ints (mod 2^64)
+    ck1 = sum((i + 1) * (int(s) + 32769) for i, s in enumerate(pcm)) % 2**64
+    ck2 = (
+        sum((i + 1) ** 2 * (int(s) + 32769) for i, s in enumerate(pcm))
+        % 2**64
+    )
+    assert c == (ck1, ck2)
+
+
+def test_cross_codec_identity_groups(ray_session):
+    pcm_a = _rand_pcm(1, 6000)
+    pcm_b = _rand_pcm(2, 6000)  # same length, different content
+    pcm_c = _rand_pcm(3, 5000)
+    rows = [
+        ("clip_0", pcm_a, 8000, "pcm_s16le"),
+        ("clip_1", pcm_a, 8000, "wav"),  # same samples, other container
+        ("clip_2", pcm_b, 8000, "wav"),
+        ("clip_3", pcm_c, 8000, "pcm_s16le"),
+        ("clip_4", pcm_c, 8000, "ulaw"),  # LOSSY: decodes differently
+    ]
+    ds = ray.data.from_arrow(_clips_table(rows))
+    g = audio_exact_dup_groups(ds, num_buckets=4).to_pandas()
+    assert set(zip(g.clip_id, g.group_id)) == {
+        ("clip_0", "clip_0"),
+        ("clip_1", "clip_0"),
+    }
+    assert (g.group_size == 2).all()
+
+    surv = audio_exact_survivor_ids(ds, num_buckets=4).to_pandas()
+    assert set(surv.clip_id) == {"clip_0", "clip_2", "clip_3", "clip_4"}
+
+
+def test_plant_pcm_copies_and_groups(ray_session):
+    rows = [
+        (f"clip_{i}", _rand_pcm(10 + i, 3000 + 100 * i), 8000, codec)
+        for i, codec in enumerate(["wav", "ulaw", "pcm_s16le", "alaw"])
+    ]
+    ds = ray.data.from_arrow(_clips_table(rows))
+    planted = plant_pcm_copies(ds, mod=3)
+    assert planted.count() == 6  # 4 originals + copies of clip_0, clip_3
+    g = audio_exact_dup_groups(planted, num_buckets=4).to_pandas()
+    got = set(zip(g.clip_id, g.group_id))
+    assert got == {
+        ("clip_0", "clip_0"),
+        ("clip_0#pcm", "clip_0"),
+        ("clip_3", "clip_3"),
+        ("clip_3#pcm", "clip_3"),
+    }
+    # the pcm copy of clip_3 re-encodes the ALAW original's decoded samples
+    # (re-encode of the decoded stream), so group membership is honest
+    assert (g.group_size == 2).all()
+
+
+def test_audio_decontam(ray_session):
+    corpus_rows = [
+        (f"clip_{i}", _rand_pcm(20 + i, 4000), 8000, "pcm_s16le")
+        for i in range(5)
+    ]
+    eval_rows = [
+        ("eval_0", corpus_rows[1][1], 8000, "wav"),  # matches clip_1
+        ("eval_1", _rand_pcm(99, 4000), 8000, "pcm_s16le"),  # matches none
+    ]
+    corpus = ray.data.from_arrow(_clips_table(corpus_rows))
+    ev = ray.data.from_arrow(_clips_table(eval_rows))
+    out = audio_decontam(corpus, ev).to_pandas()
+    assert set(out.clip_id) == {"clip_0", "clip_2", "clip_3", "clip_4"}
+
+
+def test_checksums_skip_unsupported_codecs(ray_session):
+    rows = [("clip_0", _rand_pcm(0, 1000), 8000, "pcm_s16le")]
+    t = _clips_table(rows)
+    t = t.set_column(
+        t.column_names.index("codec"), "codec", pa.array(["flac"])
+    )
+    ds = ray.data.from_arrow(t)
+    assert pcm_checksums(ds).count() == 0
