@@ -1168,6 +1168,48 @@ def _q_audio_decontam(sf_dir: str):
     return audio_decontam(corpus, ev)
 
 
+def _q_audio_invariant(sf_dir: str):
+    """Per-row pipeline invariant report (the input contract's
+    decoded-PCM SNR>=30dB + transcript-equality gate; 30 dB == exact
+    integer power ratio 1000) between the 1/7 clip sample and a derived
+    corpus with planted perturbations (%2 gain-normalized, %5 transcript
+    tweak, %11 one-sample truncation) — the SIXTH driver-checked audio
+    face (twin re-decodes the payload, replays the perturbations in
+    integer SQL and recomputes both energies in HUGEINT)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.fixtures.gen_audio import audio_dup_corpus_for_sf
+    from intertext_ray.ops.audio_invariant import (
+        invariant_report,
+        plant_perturbations,
+    )
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids, read_clips
+
+    cache = audio_dup_corpus_for_sf(sf_dir)
+    clips = read_clips(
+        os.path.join(cache, "clips"),
+        columns=["clip_id", "bytes", "sr_hz", "codec", "transcript"],
+    )
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    a = clips.map_batches(samp, batch_format="pyarrow")
+    return invariant_report(a, plant_perturbations(a), num_buckets=8)
+
+
+def _q_audio_invariant_summary(sf_dir: str):
+    """One-row rollup of the invariant report (lineage-metrics face):
+    totals + violation counts per gate."""
+    from intertext_ray.ops.audio_invariant import invariant_summary
+
+    return invariant_summary(_q_audio_invariant(sf_dir))
+
+
 def _source_formats_cache(sf_dir: str) -> str:
     """One-time deterministic conversion of the documents table into the
     other supported source formats (JSONL / CSV / one-txt-file-per-doc),
@@ -1308,7 +1350,11 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # in-window audio_exact_dups moment-checksum kernel + the in-window
     # decontaminate broadcast anti-join shape; suffix_repeat_spans = the
     # same prefix-doubling suffix-array kernel as in-window
-    # duplicate_spans, with its repeat-run extraction test-pinned; the
+    # duplicate_spans, with its repeat-run extraction test-pinned;
+    # minhash_doc_clusters = the in-window minhash_doc_dedup band/bucket
+    # kernel + the in-window dedup_clusters recursive-CTE components
+    # closure (r2-driver-green when in-window); audio_invariant_summary =
+    # a count/sum rollup of the in-window audio_invariant report; the
     # three reader-path
     # queries rerun in-window kernels through the JSONL/CSV/text-dir
     # sources) and
@@ -1334,7 +1380,6 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_validate": _q_audio_validate,
         # doc-level minhash family (kernel recomputed in SQL)
         "minhash_doc_dedup": _q_minhash_doc,
-        "minhash_doc_clusters": _q_minhash_doc_clusters,
         "source_dup_report": _q_source_dup_report,
         # near-dup families
         "simhash_near_dups": _q_simhash_pairs,
@@ -1363,6 +1408,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": _q_audio_resample,
         "audio_vad_segments": _q_audio_vad,
         "audio_exact_dups": _q_audio_exact_dups,
+        "audio_invariant": _q_audio_invariant,
         "line_dedup": _q_line_dedup,
         # sampling / splits / packing / PII
         "redact_pii": _q_redact_pii,
@@ -1378,6 +1424,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": _q_sessions,
         "asof_click_view": _q_asof,
         # --- position 51+: twins transitively pinned by an in-window twin
+        "minhash_doc_clusters": _q_minhash_doc_clusters,
+        "audio_invariant_summary": _q_audio_invariant_summary,
         "suffix_repeat_spans": _q_suffix_spans,
         "token_quantiles_sketch": _q_token_quantiles_sketch,
         "audio_decontam": _q_audio_decontam,
@@ -1977,6 +2025,95 @@ def _audio_decontam_sql(eval_mod: int = 91) -> str:
     """
 
 
+def _audio_invariant_sql(
+    target_peak: int = 30000,
+    gain_mod: int = 2,
+    transcript_mod: int = 5,
+    trunc_mod: int = 11,
+) -> str:
+    """Twin of ``_q_audio_invariant``: re-decodes side A, derives side B by
+    replaying the planted perturbations in integer SQL (the exact gain
+    formula of ``_audio_gain_sql``, then the one-sample truncation), and
+    recomputes overlap sig/noise energies in HUGEINT.  The 30 dB gate is
+    ``sig >= 1000 * noise`` — hash-exact, no float tolerance."""
+    t, gm, tm, cm = (
+        int(target_peak),
+        int(gain_mod),
+        int(transcript_mod),
+        int(trunc_mod),
+    )
+    return f"""
+        WITH {_audio_decode_ctes()},
+        meta AS (
+          SELECT clip_id, transcript,
+                 CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                     AS nid
+          FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+          WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                % 7 = 0
+            AND codec IN ('pcm_s16le', 'wav', 'ulaw', 'alaw')
+        ),
+        pk AS (
+          SELECT clip_id, max(abs(s)) AS peak, count(*) AS n
+          FROM allsamp GROUP BY clip_id
+        ),
+        bs AS (
+          SELECT a.clip_id, m.nid, pk.n, a.i, a.s AS sa,
+                 CASE WHEN m.nid % {gm} = 0 AND pk.peak > 0 THEN
+                   least(32767, greatest(-32768,
+                     (CAST(a.s AS HUGEINT) * {t} + 32768 * {t} * pk.peak)
+                       // pk.peak - 32768 * {t}))
+                 ELSE a.s END AS sb
+          FROM allsamp a JOIN pk USING (clip_id) JOIN meta m USING (clip_id)
+        ),
+        agg AS (
+          SELECT clip_id,
+                 max(n) AS n_a,
+                 count(*) FILTER (WHERE nid % {cm} <> 0 OR i < n - 1)
+                     AS n_b,
+                 sum(CAST(sa AS HUGEINT) * sa)
+                     FILTER (WHERE nid % {cm} <> 0 OR i < n - 1) AS sig,
+                 sum(CAST(sa - sb AS HUGEINT) * (sa - sb))
+                     FILTER (WHERE nid % {cm} <> 0 OR i < n - 1) AS noise
+          FROM bs GROUP BY clip_id
+        )
+        SELECT m.clip_id,
+               CAST(coalesce(agg.n_a, 0) AS BIGINT) AS n_a,
+               CAST(coalesce(agg.n_b, 0) AS BIGINT) AS n_b,
+               CAST(coalesce(agg.n_a, 0) = coalesce(agg.n_b, 0) AS BIGINT)
+                   AS len_ok,
+               CAST(m.transcript = m.transcript ||
+                    CASE WHEN m.nid % {tm} = 0 THEN '!' ELSE '' END
+                    AS BIGINT) AS transcript_ok,
+               CAST(coalesce(agg.sig, 0) AS BIGINT) AS sig_energy,
+               CAST(coalesce(agg.noise, 0) AS BIGINT) AS noise_energy,
+               CAST(coalesce(agg.n_a, 0) = coalesce(agg.n_b, 0)
+                    AND coalesce(agg.sig, 0)
+                        >= 1000 * coalesce(agg.noise, 0) AS BIGINT)
+                   AS pcm_ok,
+               CAST(coalesce(agg.n_a, 0) = coalesce(agg.n_b, 0)
+                    AND coalesce(agg.sig, 0)
+                        >= 1000 * coalesce(agg.noise, 0)
+                    AND m.transcript = m.transcript ||
+                        CASE WHEN m.nid % {tm} = 0 THEN '!' ELSE '' END
+                    AS BIGINT) AS row_ok
+        FROM meta m LEFT JOIN agg USING (clip_id)
+    """
+
+
+def _audio_invariant_summary_sql() -> str:
+    """Twin of ``_q_audio_invariant_summary``: aggregates over the report
+    twin (CTE-in-subquery)."""
+    return f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(row_ok) AS BIGINT) AS n_ok,
+               CAST(sum(1 - pcm_ok) AS BIGINT) AS n_bad_pcm,
+               CAST(sum(1 - transcript_ok) AS BIGINT) AS n_bad_transcript,
+               CAST(sum(1 - len_ok) AS BIGINT) AS n_bad_len
+        FROM ({_audio_invariant_sql()}) rep
+    """
+
+
 def _bloom_sql(m_bits: int = 1024, k: int = 3) -> str:
     """Twin of ``ops.sketches.bloom_membership`` — recomputes the bloom
     bitmap in SQL: splitmix64 byte-chain per distinct text, k salted bit
@@ -2386,6 +2523,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_vad_segments": _audio_vad_sql(min_len=2),
         "audio_exact_dups": _audio_exact_sql(copies_mod=3),
         "audio_decontam": _audio_decontam_sql(eval_mod=91),
+        "audio_invariant": _audio_invariant_sql(),
+        "audio_invariant_summary": _audio_invariant_summary_sql(),
         "audio_gain": _audio_gain_sql(target_peak=30000),
         "jsonl_token_counts": """
             SELECT doc_id,
