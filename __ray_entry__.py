@@ -682,6 +682,18 @@ def _q_perplexity(sf_dir: str):
     return perplexity_scores(_docs(sf_dir), permille_train=500, salt=0)
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc byte-unigram Shannon entropy in Q20 fixed point — the
+    integer-exact stand-in for the gzip-compression-ratio low-entropy /
+    repetitive-junk filter of web curation pipelines.  Same no-float
+    contract as perplexity_scores: H_q20 = L(n) - (sum c_v*L(c_v)) // n
+    with the shared square-and-shift log2 kernel, so the twin recomputes
+    the identical integers from character counts alone."""
+    from intertext_ray.ops.charlm import char_entropy_scores
+
+    return char_entropy_scores(_docs(sf_dir))
+
+
 def _q_fold_diacritics(sf_dir: str):
     """Driver-pins the diacritic-folding kernel (unidecode-extras table,
     NFKD+strip, Greek/Cyrillic romanization — reference
@@ -1319,51 +1331,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries, so the 50 leading queries all carry SQL twins, ranked so the
-    # window covers every kernel at least once.  Positions 51+ hold
-    # (a) twinned queries whose kernel is transitively pinned by an
-    # in-window twin (window_counts by windows; token_counts by
-    # token_quantiles; simhash_fingerprints by simhash_near_dups;
-    # rolling_fingerprints by containment_search; word_counts by
-    # top_bigrams/cms_word_counts over the same tokenization;
-    # curate_corpus = lang_id + quality_scores + exact_dedup, each
-    # in-window; uniform_sample's and hash_split's splitmix kernel by
-    # stratified_sample; windowed_event_stats = sliding_event_stats at
-    # window == slide (same combiner, replication 1);
-    # simhash_clusters = simhash_near_dups pairs +
-    # the dedup_clusters closure; assign_chunks = the same two-phase
-    # prefix-scan shape as in-window sorted_neighbor_dups' exact global
-    # ranks (and r2-driver-green); sorted_neighbor_multi = the in-window
-    # sorted_neighbor_dups rank-window kernel unioned over bit rotations
-    # of the in-window simhash fingerprint; event_session_assignment = the same
-    # sessionize boundary-cumsum kernel as in-window event_sessions, one
-    # aggregation earlier; sliding_event_stats (r2-driver-green in-window)
-    # generalizes windowed_event_stats; both share the per-bucket combiner
-    # with in-window event_props_stats/event_sessions/asof and stay
-    # check_entry-verified; audio_gain's decode face is in-window twice
-    # (audio_pcm_stats / audio_resample); remove_dup_spans = in-window
-    # duplicate_spans detection + line_dedup's filter+string_agg rejoin;
-    # cosine_text_pairs and fold_diacritics are new twin-ready kernels
-    # validated by check_entry; token_quantiles_sketch's log2-bucket kernel
-    # is pinned by in-window token_quantiles over the same token counts
-    # plus repo-local partition-invariance tests; audio_decontam = the
-    # in-window audio_exact_dups moment-checksum kernel + the in-window
-    # decontaminate broadcast anti-join shape; suffix_repeat_spans = the
-    # same prefix-doubling suffix-array kernel as in-window
-    # duplicate_spans, with its repeat-run extraction test-pinned;
-    # minhash_doc_clusters = the in-window minhash_doc_dedup band/bucket
-    # kernel + the in-window dedup_clusters recursive-CTE components
-    # closure (r2-driver-green when in-window); audio_invariant_summary =
-    # a count/sum rollup of the in-window audio_invariant report; the
-    # three reader-path
-    # queries rerun in-window kernels through the JSONL/CSV/text-dir
-    # sources) and
-    # (b) the non-SQL-expressible queries (approx-by-design ANN/semdedup,
-    # the full difflib matches table — its kernel is driver-pinned via
-    # dedup_match_sample — and the audio/FFT family, pinned by repo-local
-    # brute-force oracles; the audio decode face is driver-checked via
-    # audio_pcm_stats).  tools/check_entry.py checks ALL twinned queries
-    # regardless of position; COVERAGE.md carries the same map.
+    # entries.  Window policy (round 3): between rounds 2 and 3 every
+    # SQL-twinned query earns DIRECT driver evidence exactly once --
+    # the 27 twinned queries at positions 51+ were all driver-green in
+    # round 2 (CORRECTNESS_r02.json) and their kernels are unchanged
+    # since, so the round-3 window spends its 50 slots on
+    #   (i) the flagship dedup chain (north rule, positions 1-12),
+    #   (ii) every query whose kernel CHANGED since the r2 check
+    #        (ngram_jaccard_pairs: vectorized gram extraction;
+    #        lsh_cosine_dup_pairs: id-only shuffle; doc_top_terms:
+    #        bucketed-join fallback; minhash_doc_dedup /
+    #        source_dup_report: candidate-filtered verify shuffle;
+    #        event_props_stats: exact JSON extraction contract), and
+    #   (iii) every twin that has NEVER been driver-checked (new this
+    #        round: dedup_match_sample, pair_clusters, dup_doc_pairs,
+    #        only_focal_candidates, match_scatterplots, clips_pipeline,
+    #        audio_validate, the six driver-checked audio faces
+    #        audio_pcm_stats/resample/vad/exact_dups/invariant(+summary)
+    #        /gain/decontam, line_dedup, remove_dup_spans,
+    #        simhash_clusters, sorted_neighbor_dups(+multi),
+    #        cosine_text_pairs, perplexity_scores, fold_diacritics,
+    #        temperature_resample, uniform_sample, bloom_membership,
+    #        bpe_merge_pairs, and the three reader-path twins).
+    # Transitive pinning still holds as a second line of evidence for
+    # positions 51+ (e.g. window_counts by windows; token_counts by
+    # bpe_token_counts over the same docs; simhash_fingerprints by
+    # simhash_near_dups/simhash_clusters; rolling_fingerprints'
+    # polynomial kernel by in-window content-containment usage in
+    # decontaminate; curate_corpus = lang+quality gates + exact dedup,
+    # each r2-green; token_quantiles_sketch by its partition-invariance
+    # tests + r2 green; minhash_doc_clusters = in-window
+    # minhash_doc_dedup pairs + the in-window dedup_clusters closure).
+    # Non-SQL-expressible queries (approx-by-design ANN/semdedup, the
+    # full difflib matches table -- kernel driver-pinned via in-window
+    # dedup_match_sample -- and the FFT audio family, pinned by
+    # repo-local brute-force oracles) sit last.
+    # tools/check_entry.py checks ALL twinned queries regardless of
+    # position; COVERAGE.md carries the same map.
     return {
         # flagship dedup chain (north rule)
         "windows": _q_windows,
@@ -1378,79 +1382,83 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "match_scatterplots": _q_scatterplots,
         "clips_pipeline": _q_clips_pipeline,
         "audio_validate": _q_audio_validate,
-        # doc-level minhash family (kernel recomputed in SQL)
+        # doc-level minhash family (kernel recomputed in SQL; verify
+        # shuffle changed this round -> re-checked)
         "minhash_doc_dedup": _q_minhash_doc,
         "source_dup_report": _q_source_dup_report,
         # near-dup families
         "simhash_near_dups": _q_simhash_pairs,
         "sorted_neighbor_dups": _q_sorted_neighbor,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "exact_dedup": _q_exact_dedup,
-        "incremental_dedup": _q_incremental_dedup,
         "substring_dup_pairs": _q_substring_pairs,
         "duplicate_spans": _q_duplicate_spans,
         "decontaminate": _q_decontaminate,
-        "containment_search": _q_containment,
+        "line_dedup": _q_line_dedup,
+        "remove_dup_spans": _q_remove_dup_spans,
+        "simhash_clusters": _q_simhash_clusters,
+        "char_entropy_scores": _q_char_entropy,
         # embeddings
         "cosine_dup_pairs": _q_cosine_pairs,
         "lsh_cosine_dup_pairs": _q_lsh_cosine_pairs,
         "ann_topk": _q_ann_topk,
+        "cosine_text_pairs": _q_cosine_text_pairs,
         # text analysis / curation
         "bpe_token_counts": _q_bpe_token_counts,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
-        "quality_scores": _q_quality,
-        "repetition_scores": _q_repetition,
-        "top_bigrams": _q_top_bigrams,
-        "lang_id": _q_lang,
-        "content_fingerprints": _q_fingerprints,
         "doc_top_terms": _q_doc_top_terms,
+        "perplexity_scores": _q_perplexity,
+        "fold_diacritics": _q_fold_diacritics,
+        # driver-checked audio faces (decode recomputed in SQL)
         "audio_pcm_stats": _q_audio_pcm_stats,
         "audio_resample": _q_audio_resample,
         "audio_vad_segments": _q_audio_vad,
         "audio_exact_dups": _q_audio_exact_dups,
         "audio_invariant": _q_audio_invariant,
-        "line_dedup": _q_line_dedup,
-        # sampling / splits / packing / PII
-        "redact_pii": _q_redact_pii,
-        "stratified_sample": _q_stratified_sample,
+        "audio_gain": _q_audio_gain,
+        "audio_decontam": _q_audio_decontam,
+        "audio_invariant_summary": _q_audio_invariant_summary,
+        # sampling / sketches
         "temperature_resample": _q_temperature_resample,
-        "token_quantiles": _q_token_quantiles,
-        # sketches
-        "hll_distinct": _q_hll_distinct,
-        "cms_word_counts": _q_cms_word_counts,
+        "uniform_sample": _q_uniform_sample,
         "bloom_membership": _q_bloom_membership,
         # events
         "event_props_stats": _q_props_stats,
         "event_sessions": _q_sessions,
         "asof_click_view": _q_asof,
-        # --- position 51+: twins transitively pinned by an in-window twin
+        # reader-path twins (JSONL / CSV / text-dir sources)
+        "jsonl_token_counts": _q_jsonl_token_counts,
+        "csv_token_counts": _q_csv_token_counts,
+        "textdir_window_counts": _q_textdir_window_counts,
+        # --- position 51+: all driver-green in round 2 (CORRECTNESS_r02),
+        # kernels unchanged since that check
+        "sorted_neighbor_multi": _q_sorted_neighbor_multi,
+        "exact_dedup": _q_exact_dedup,
+        "incremental_dedup": _q_incremental_dedup,
+        "containment_search": _q_containment,
+        "quality_scores": _q_quality,
+        "repetition_scores": _q_repetition,
+        "top_bigrams": _q_top_bigrams,
+        "lang_id": _q_lang,
+        "content_fingerprints": _q_fingerprints,
+        "redact_pii": _q_redact_pii,
+        "stratified_sample": _q_stratified_sample,
+        "token_quantiles": _q_token_quantiles,
+        "hll_distinct": _q_hll_distinct,
+        "cms_word_counts": _q_cms_word_counts,
         "minhash_doc_clusters": _q_minhash_doc_clusters,
-        "audio_invariant_summary": _q_audio_invariant_summary,
         "suffix_repeat_spans": _q_suffix_spans,
         "token_quantiles_sketch": _q_token_quantiles_sketch,
-        "audio_decontam": _q_audio_decontam,
         "sliding_event_stats": _q_sliding_events,
         "event_session_assignment": _q_event_session_assignment,
         "windowed_event_stats": _q_windowed_events,
         "hash_split": _q_hash_split,
         "assign_chunks": _q_assign_chunks,
-        "sorted_neighbor_multi": _q_sorted_neighbor_multi,
-        "audio_gain": _q_audio_gain,
-        "remove_dup_spans": _q_remove_dup_spans,
-        "cosine_text_pairs": _q_cosine_text_pairs,
-        "fold_diacritics": _q_fold_diacritics,
-        "perplexity_scores": _q_perplexity,
         "curate_corpus": _q_curate_corpus,
-        "uniform_sample": _q_uniform_sample,
         "word_counts": _q_word_counts,
         "window_counts": _q_window_counts,
         "token_counts": _q_token_counts,
         "simhash_fingerprints": _q_simhash,
         "rolling_fingerprints": _q_rolling_fp,
-        "simhash_clusters": _q_simhash_clusters,
-        "jsonl_token_counts": _q_jsonl_token_counts,
-        "csv_token_counts": _q_csv_token_counts,
-        "textdir_window_counts": _q_textdir_window_counts,
         # --- non-SQL-expressible (approx-by-design / difflib / FFT)
         "dedup_matches": _q_matches,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -2890,6 +2898,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "perplexity_scores": _charlm_sql(permille=500),
+        "char_entropy_scores": _char_entropy_sql(),
         # integer-exact BoW cosine: cos2_x1e6 = (dot^2 * 1e6) // (n2a*n2b).
         # Engine groups by splitmix token-chain HASH, SQL by the token
         # string — identical barring a 2^-64 chain collision.
@@ -3700,6 +3709,79 @@ def _remove_spans_sql(k: int = 8) -> str:
     """
 
 
+# Shared Q20 log2 CTE chain (the EXACT integer square-and-shift algorithm
+# of ``charlm.log2_q20``): expects a ``needs(x BIGINT)`` CTE of positive
+# arguments, yields ``lt(x, l)`` with l = e*2^20 + frac.  bit_length via
+# bit-smear + bit_count (no float anywhere).
+_SQL_LOG2_Q20_CTES = """
+        sm1 AS (SELECT x, x | (x >> 1) AS s FROM needs),
+        sm2 AS (SELECT x, s | (s >> 2) AS s FROM sm1),
+        sm3 AS (SELECT x, s | (s >> 4) AS s FROM sm2),
+        sm4 AS (SELECT x, s | (s >> 8) AS s FROM sm3),
+        sm5 AS (SELECT x, s | (s >> 16) AS s FROM sm4),
+        sm6 AS (SELECT x, s | (s >> 32) AS s FROM sm5),
+        y0 AS (
+          SELECT x, bit_count(s) - 1 AS e,
+                 CASE WHEN bit_count(s) - 1 >= 30
+                      THEN x >> (bit_count(s) - 31)
+                      ELSE x << (31 - bit_count(s)) END AS y
+          FROM sm6
+        ),
+        lg(x, e, y, frac, i) AS (
+          SELECT x, e, CAST(y AS BIGINT), CAST(0 AS BIGINT), 0 FROM y0
+          UNION ALL
+          SELECT x, e,
+                 CASE WHEN z >= 2147483648 THEN z >> 1 ELSE z END,
+                 frac * 2 + CASE WHEN z >= 2147483648 THEN 1 ELSE 0 END,
+                 i + 1
+          FROM (SELECT x, e, (y * y) >> 30 AS z, frac, i
+                FROM lg WHERE i < 20) q
+        ),
+        lt AS (SELECT x, e * 1048576 + frac AS l FROM lg WHERE i = 20),
+"""
+
+
+def _char_entropy_sql() -> str:
+    """Fully independent twin of ``ops.charlm.char_entropy_scores``:
+    re-counts characters per doc, re-derives every needed Q20 log2 via
+    the shared integer square-and-shift CTE chain, and recomputes
+    H_q20 = L(n) - (sum c_v*L(c_v)) // n.  ascii() == utf-8 byte on the
+    ASCII testdata (documented divergence beyond it).  The sum term is
+    <= n*L(n), so the integer ``//`` floor matches numpy ``//``."""
+    return f"""
+        WITH RECURSIVE
+        cc AS (
+          SELECT doc_id, ascii(substr(text, CAST(i AS BIGINT), 1)) AS v,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM documents, unnest(generate_series(1, length(text))) u(i)
+          WHERE length(text) >= 1
+          GROUP BY doc_id, v
+        ),
+        nn AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY doc_id
+        ),
+        needs AS (
+          SELECT DISTINCT x FROM (
+            SELECT c AS x FROM cc UNION ALL SELECT n FROM nn
+          ) t
+        ),
+        {_SQL_LOG2_Q20_CTES}
+        tot AS (
+          SELECT cc.doc_id, CAST(sum(cc.c * lt.l) AS BIGINT) AS s
+          FROM cc JOIN lt ON lt.x = cc.c
+          GROUP BY cc.doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_bytes,
+               CAST(COALESCE(ln.l - tot.s // nn.n, 0) AS BIGINT)
+                 AS entropy_q20
+        FROM documents d
+        LEFT JOIN nn USING (doc_id)
+        LEFT JOIN lt ln ON ln.x = nn.n
+        LEFT JOIN tot USING (doc_id)
+    """
+
+
 def _charlm_sql(permille: int = 500) -> str:
     """Fully independent twin of ``ops.charlm.perplexity_scores``:
     re-counts the training bigrams over the splitmix split, re-derives
@@ -3744,30 +3826,7 @@ def _charlm_sql(permille: int = 500) -> str:
             SELECT x FROM den UNION ALL SELECT x FROM num
           ) t
         ),
-        sm1 AS (SELECT x, x | (x >> 1) AS s FROM needs),
-        sm2 AS (SELECT x, s | (s >> 2) AS s FROM sm1),
-        sm3 AS (SELECT x, s | (s >> 4) AS s FROM sm2),
-        sm4 AS (SELECT x, s | (s >> 8) AS s FROM sm3),
-        sm5 AS (SELECT x, s | (s >> 16) AS s FROM sm4),
-        sm6 AS (SELECT x, s | (s >> 32) AS s FROM sm5),
-        y0 AS (
-          SELECT x, bit_count(s) - 1 AS e,
-                 CASE WHEN bit_count(s) - 1 >= 30
-                      THEN x >> (bit_count(s) - 31)
-                      ELSE x << (31 - bit_count(s)) END AS y
-          FROM sm6
-        ),
-        lg(x, e, y, frac, i) AS (
-          SELECT x, e, CAST(y AS BIGINT), CAST(0 AS BIGINT), 0 FROM y0
-          UNION ALL
-          SELECT x, e,
-                 CASE WHEN z >= 2147483648 THEN z >> 1 ELSE z END,
-                 frac * 2 + CASE WHEN z >= 2147483648 THEN 1 ELSE 0 END,
-                 i + 1
-          FROM (SELECT x, e, (y * y) >> 30 AS z, frac, i
-                FROM lg WHERE i < 20) q
-        ),
-        lt AS (SELECT x, e * 1048576 + frac AS l FROM lg WHERE i = 20),
+        {_SQL_LOG2_Q20_CTES}
         pl AS (
           SELECT sp.doc_id, ld.l - ln2.l AS nll
           FROM sp

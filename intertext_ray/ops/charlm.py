@@ -170,3 +170,65 @@ def perplexity_scores(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def char_entropy_scores(
+    docs: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """(doc_id, n_bytes, entropy_q20): per-doc byte-unigram Shannon
+    entropy in Q20 fixed point — the classic low-entropy / repetitive-
+    junk signal (the integer-exact stand-in for the gzip-compression-
+    ratio filter used by web curation pipelines; a doc of one repeated
+    char scores 0, uniform bytes score log2(alphabet)).
+
+    Exactness contract (same as :func:`perplexity_scores` — no floats):
+
+        H_q20 = L(n) - (sum_v c_v * L(c_v)) // n
+
+    with ``L`` = :func:`log2_q20`, ``n`` = byte count, ``c_v`` = count of
+    byte value ``v``.  Both terms are integers, so the DuckDB twin
+    recomputes the identical value from character counts alone.
+
+    Scale shape: one vectorized pass over the batch's flat utf-8 buffer
+    (``bincount`` on ``doc_index*256 + byte``); row-local, no shuffle,
+    no state.  Empty docs score (0, 0).
+    """
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        off_dtype = (
+            np.int64 if pa.types.is_large_string(texts.type) else np.int32
+        )
+        bufs = texts.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+            texts.offset : texts.offset + len(texts) + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        lens = np.diff(offsets)
+        n_docs = len(lens)
+        base = offsets[0]
+        flat = data[base : base + int(offsets[-1] - base)].astype(np.int64)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        cnt = np.bincount(
+            doc_idx * 256 + flat, minlength=n_docs * 256
+        ).reshape(n_docs, 256)
+        l_cnt = np.where(cnt > 0, log2_q20(np.maximum(cnt, 1)), 0)
+        tot = (cnt * l_cnt).sum(axis=1)
+        nz = lens > 0
+        ent = np.zeros(n_docs, np.int64)
+        ent[nz] = log2_q20(lens[nz]) - tot[nz] // lens[nz]
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_bytes": pa.array(lens, pa.int64()),
+                "entropy_q20": pa.array(ent, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -110,3 +110,49 @@ def test_gibberish_scores_higher_than_fluent(scored):
     ]
     assert gib.min() > fluent.max()
     assert gib.mean() > 2 * fluent.mean()
+
+
+def test_char_entropy_scalar_reference_and_properties():
+    """char_entropy_scores == the scalar H_q20 formula per doc; constant
+    docs score exactly 0; entropy approximates Shannon H within the Q20
+    floor error; uniform byte spread scores higher than skewed."""
+    from intertext_ray.ops.charlm import char_entropy_scores, log2_q20
+
+    texts = [
+        "",                      # empty -> (0, 0)
+        "aaaaaaa",               # single symbol -> exactly 0
+        "abababab",              # two symbols, uniform
+        "aaab",                  # two symbols, skewed
+        "abcdefgh",              # 8 symbols uniform -> ~3 bits
+        "the quick brown fox jumps over the lazy dog",
+        "ééx",        # non-ASCII: utf-8 BYTE entropy
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    out = (
+        char_entropy_scores(ds).to_pandas().set_index("doc_id").sort_index()
+    )
+
+    def L(x: int) -> int:
+        return int(log2_q20(np.array([x], dtype=np.int64))[0])
+
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        n = len(b)
+        assert out.loc[i, "n_bytes"] == n
+        if n == 0:
+            assert out.loc[i, "entropy_q20"] == 0
+            continue
+        cnt = Counter(b)
+        expect = L(n) - sum(c * L(c) for c in cnt.values()) // n
+        assert out.loc[i, "entropy_q20"] == expect
+        # Q20 value tracks float Shannon entropy to < 2^-18 relative
+        h = -sum(
+            (c / n) * math.log2(c / n) for c in cnt.values() if c > 0
+        )
+        assert abs(out.loc[i, "entropy_q20"] / 2**20 - h) < 1e-4 + 1e-5 * h
+
+    assert out.loc[1, "entropy_q20"] == 0  # constant doc: exactly zero
+    assert out.loc[2, "entropy_q20"] > out.loc[3, "entropy_q20"]  # skew
+    assert abs(out.loc[4, "entropy_q20"] - 3 * 2**20) <= 1  # 8 uniform
