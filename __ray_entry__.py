@@ -694,6 +694,17 @@ def _q_char_entropy(sf_dir: str):
     return char_entropy_scores(_docs(sf_dir))
 
 
+def _q_blocklist(sf_dir: str):
+    """C4-style lexicon gate: docs containing any blocklisted whitespace
+    token (lowercased, whole-token match) are flagged kept=False.  The
+    lexicon is broadcast once via ray.put; the corpus side is one
+    vectorized row-local pass (zero shuffles).  Twin recomputes the same
+    token split + IN-list aggregation in SQL."""
+    from intertext_ray.ops.curate import blocklist_report
+
+    return blocklist_report(_docs(sf_dir), ["slow", "spark", "vector"])
+
+
 def _q_fold_diacritics(sf_dir: str):
     """Driver-pins the diacritic-folding kernel (unidecode-extras table,
     NFKD+strip, Greek/Cyrillic romanization — reference
@@ -1416,7 +1427,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_invariant": _q_audio_invariant,
         "audio_gain": _q_audio_gain,
         "audio_decontam": _q_audio_decontam,
-        "audio_invariant_summary": _q_audio_invariant_summary,
+        "blocklist_report": _q_blocklist,
         # sampling / sketches
         "temperature_resample": _q_temperature_resample,
         "uniform_sample": _q_uniform_sample,
@@ -1432,6 +1443,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         # --- position 51+: all driver-green in round 2 (CORRECTNESS_r02),
         # kernels unchanged since that check
         "sorted_neighbor_multi": _q_sorted_neighbor_multi,
+        "audio_invariant_summary": _q_audio_invariant_summary,
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "containment_search": _q_containment,
@@ -2896,6 +2908,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    replace(replace(text, 's', 'sh'), 'p', 'ps') AS text
             FROM documents
+        """,
+        "blocklist_report": """
+            WITH toks AS (
+              SELECT doc_id,
+                     lower(unnest(regexp_split_to_array(trim(text), '\\s+')))
+                       AS w
+              FROM documents WHERE trim(text) <> ''
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN w IN ('slow', 'spark', 'vector')
+                              THEN 1 ELSE 0 END) AS n_blocked
+              FROM toks GROUP BY doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(agg.n_blocked, 0) AS BIGINT) AS n_blocked,
+                   COALESCE(agg.n_blocked, 0) = 0 AS kept
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         "perplexity_scores": _charlm_sql(permille=500),
         "char_entropy_scores": _char_entropy_sql(),

@@ -61,3 +61,62 @@ def curate_corpus(
 
     gated = docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
     return exact_dedup(gated, num_buckets=num_buckets).drop_columns(["text"])
+
+
+def blocklist_report(
+    docs: ray.data.Dataset,
+    blocked_words: list[str],
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_blocked, kept) — the C4-style lexicon gate:
+    a doc is dropped (``kept = False``) when ANY whitespace token,
+    lowercased, is in the blocklist (C4 applied the same policy with the
+    "List of Dirty, Naughty, Obscene..." lexicon; the list here is a
+    caller-supplied parameter).
+
+    Scale shape: the lexicon is broadcast once via ``ray.put`` (eval-side
+    data is lexicon-sized by nature, same justification as
+    ``decontam.decontaminate``); the corpus side is one vectorized pass —
+    ``utf8_split_whitespace`` -> ``utf8_lower`` -> ``is_in`` against the
+    broadcast value set -> per-doc bincount.  Row-local, zero shuffles at
+    any corpus size.
+
+    Token contract matches :func:`text_stats.token_counts` /
+    the ``word_counts`` chain (str.split() semantics), and the match is
+    on the WHOLE token ("spark," != "spark") — identical on both engine
+    and twin by construction.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from intertext_ray.ops.text_stats import _flat_tokens
+
+    lex_ref = ray.put(
+        pa.array(sorted({w.lower() for w in blocked_words}), pa.string())
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, dix, n = _flat_tokens(texts)
+        hit = np.asarray(
+            pc.is_in(
+                pc.utf8_lower(flat), value_set=ray.get(lex_ref)
+            ).to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        n_blocked = np.bincount(
+            dix[hit], minlength=len(texts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "n_blocked": pa.array(n_blocked, pa.int64()),
+                "kept": pa.array(n_blocked == 0),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")

@@ -532,3 +532,39 @@ def test_simhash_clusters_min_label(ray_session):
     want = {d: min(m) for r, m in comp.items() for d in m}
     got = dict(zip(clusters.doc_id, clusters.dup_cluster_id))
     assert got == want
+
+
+def test_blocklist_report(ray_session):
+    """C4-style lexicon gate: whole-token lowercased match, counts and
+    kept flag; punctuation-attached tokens do NOT match; empty docs
+    yield (0, 0, True)."""
+    import ray.data as rd
+
+    from intertext_ray.ops.curate import blocklist_report
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "the bad word here"},
+            {"doc_id": 1, "text": "all clean tokens"},
+            {"doc_id": 2, "text": "BAD shouting bad"},
+            {"doc_id": 3, "text": "bad, punctuation attached"},
+            {"doc_id": 4, "text": ""},
+        ]
+    )
+    out = (
+        blocklist_report(docs, ["bad", "evil"])
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_blocked"] == 1 and not out.loc[0, "kept"]
+    assert out.loc[1, "n_blocked"] == 0 and out.loc[1, "kept"]
+    # case-insensitive, both occurrences counted
+    assert out.loc[2, "n_blocked"] == 2 and not out.loc[2, "kept"]
+    # whole-token contract: "bad," is not "bad"
+    assert out.loc[3, "n_blocked"] == 0 and out.loc[3, "kept"]
+    assert (
+        out.loc[4, "n_tokens"] == 0
+        and out.loc[4, "n_blocked"] == 0
+        and out.loc[4, "kept"]
+    )
