@@ -975,6 +975,52 @@ def _audio_dup_clips(sf_dir: str):
     )
 
 
+def _q_audio_query_search(sf_dir: str):
+    """Query-by-example audio containment (Haitsma-Kalker retrieval):
+    hop-aligned, gain-perturbed snippets of two corpus clips searched
+    against the whole corpus via broadcast query fingerprints + a
+    vectorized sliding-window BER scan (rows-only: FFT not
+    SQL-expressible; planted-truth parity pinned in tests)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.functions.audio import decode_clip
+    from intertext_ray.functions.audio_fp import HOP, TARGET_SR
+    from intertext_ray.ops.audio_search import audio_query_search
+    from intertext_ray.pipelines.documents import docs_as_int64
+
+    clips_ds = _audio_dup_clips(sf_dir)
+    head = pa.Table.from_pylist(clips_ds.limit(64).take_all())
+    q_rows, qid = [], 0
+    for i in range(len(head)):
+        sr = head["sr_hz"][i].as_py()
+        if sr % TARGET_SR != 0 or qid >= 2:
+            continue
+        pcm = decode_clip(
+            head["bytes"][i].as_py(), sr, head["codec"][i].as_py()
+        )
+        hop_native = HOP * (sr // TARGET_SR)
+        s0, s1 = 6 * hop_native, (6 + 22) * hop_native
+        if s1 > len(pcm):
+            continue
+        snip = np.clip(
+            pcm[s0:s1].astype(np.float64) * 1.05, -32768, 32767
+        ).astype(np.int16)
+        q_rows.append(
+            {
+                "query_id": qid,
+                "bytes": snip.tobytes(),
+                "sr_hz": sr,
+                "codec": "pcm_s16le",
+            }
+        )
+        qid += 1
+    out = audio_query_search(
+        clips_ds, pa.Table.from_pylist(q_rows), max_ber=0.25
+    )
+    return docs_as_int64(out)
+
+
 def _q_audio_fingerprints(sf_dir: str):
     """Haitsma-Kalker subfingerprints per clip (no SQL twin: FFT is not
     DuckDB-expressible; local tests pin determinism + robustness)."""
@@ -1481,6 +1527,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_stats": _q_audio_stats,
         "audio_segments": _q_audio_segments,
         "audio_transcode": _q_audio_transcode,
+        "audio_query_search": _q_audio_query_search,
         "joint_dup_report": _q_joint_dup_report,
         "image_features_stub": _q_image_features,
     }

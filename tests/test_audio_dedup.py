@@ -301,3 +301,77 @@ def test_audio_pcm_stats_integer_exact():
         assert row.n_clipped == int(np.sum((pcm == 32767) | (pcm == -32768)))
         n_checked += 1
     assert n_checked >= 12
+
+
+def test_audio_query_search_containment():
+    """Query-by-example: a gain-changed, hop-aligned snippet of a corpus
+    clip is found in that clip (and only within its dup cluster) at the
+    right frame offset; a foreign signal gets zero hits."""
+    from intertext_ray.fixtures.gen_audio import base_signal
+    from intertext_ray.functions.audio_fp import HOP, TARGET_SR
+    from intertext_ray.ops.audio_search import audio_query_search
+
+    clips, truth = gen_audio_dup_corpus(30, seed=11)
+    cluster = dict(
+        zip(truth["clip_id"].to_pylist(), truth["cluster_id"].to_pylist())
+    )
+
+    # pick two clips at hop-friendly sample rates
+    q_rows = []
+    expected = {}
+    qid = 0
+    for i in range(len(clips)):
+        sr = clips["sr_hz"][i].as_py()
+        if sr % TARGET_SR != 0 or len(q_rows) >= 2:
+            continue
+        pcm = decode_clip(clips["bytes"][i].as_py(), sr, clips["codec"][i].as_py())
+        hop_native = HOP * (sr // TARGET_SR)
+        start_frames = 6
+        n_frames_q = 20
+        s0 = start_frames * hop_native
+        s1 = s0 + (n_frames_q + 2) * hop_native
+        if s1 > len(pcm):
+            continue
+        snip = np.clip(
+            (pcm[s0:s1].astype(np.float64) * 1.05), -32768, 32767
+        ).astype(np.int16)
+        q_rows.append(
+            {
+                "query_id": qid,
+                "bytes": snip.tobytes(),
+                "sr_hz": sr,
+                "codec": "pcm_s16le",
+            }
+        )
+        expected[qid] = (i, start_frames)
+        qid += 1
+    assert len(q_rows) == 2
+
+    # foreign signal: not contained anywhere
+    foreign = (base_signal(999, 123, 8000, 8000) * 32000).astype(np.int16)
+    q_rows.append(
+        {
+            "query_id": 99,
+            "bytes": foreign.tobytes(),
+            "sr_hz": 8000,
+            "codec": "pcm_s16le",
+        }
+    )
+
+    queries = pa.Table.from_pylist(q_rows)
+    hits = audio_query_search(
+        ray.data.from_arrow(clips), queries, max_ber=0.25
+    ).to_pandas()
+
+    assert (hits["query_id"] != 99).all()
+    for q, (src_idx, start_frames) in expected.items():
+        h = hits[hits.query_id == q]
+        src_cid = clips["clip_id"][src_idx].as_py()
+        assert src_cid in set(h.clip_id), f"query {q} missed its source"
+        # self-hit aligns at the slice offset and is near-exact
+        self_row = h[h.clip_id == src_cid].iloc[0]
+        assert abs(self_row.offset - start_frames) <= 2
+        assert self_row.ber <= 0.12
+        # every other hit is a planted dup of the source
+        for cid in h.clip_id:
+            assert cluster[cid] == cluster[src_cid]
