@@ -382,6 +382,22 @@ def _q_containment(sf_dir: str):
     return containment_search(_docs(sf_dir), passage, k=4, keep_mod=4)
 
 
+def _q_fuzzy_decontam(sf_dir: str):
+    """NEAR-dup decontamination (MinHash vs the eval set): docs from
+    source 'src0' act as the benchmark; each other doc is flagged when
+    its word-3-gram Jaccard vs ANY eval doc >= 0.5.  Eval band keys and
+    gram sets broadcast once; training side one zero-shuffle pass; twin
+    recomputes the full pinned MinHash chain cross-source in SQL."""
+    from intertext_ray.ops.decontam import fuzzy_decontam
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    ev = docs.filter(expr="source == 'src0'")
+    tr = docs.filter(expr="source != 'src0'")
+    return fuzzy_decontam(tr, ev, k=3, min_jaccard=0.5)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs from source 'src0' act as the eval
     suite; every other doc reports its count of distinct shared word
@@ -1484,10 +1500,11 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "asof_click_view": _q_asof,
         # reader-path twins (JSONL / CSV / text-dir sources)
         "jsonl_token_counts": _q_jsonl_token_counts,
-        "csv_token_counts": _q_csv_token_counts,
+        "fuzzy_decontam": _q_fuzzy_decontam,
         "textdir_window_counts": _q_textdir_window_counts,
         # --- position 51+: all driver-green in round 2 (CORRECTNESS_r02),
         # kernels unchanged since that check
+        "csv_token_counts": _q_csv_token_counts,
         "sorted_neighbor_multi": _q_sorted_neighbor_multi,
         "audio_invariant_summary": _q_audio_invariant_summary,
         "exact_dedup": _q_exact_dedup,
@@ -2956,6 +2973,7 @@ def oracle_sql() -> dict[str, str]:
                    replace(replace(text, 's', 'sh'), 'p', 'ps') AS text
             FROM documents
         """,
+        "fuzzy_decontam": _fuzzy_decontam_sql(k=3, pct=50),
         "blocklist_report": """
             WITH toks AS (
               SELECT doc_id,
@@ -3541,6 +3559,43 @@ def _gram_fpr_prefix(k: int) -> str:
           HAVING count(*) = {k}
         ),
         fpr AS (SELECT doc_id, i, {_sql_splitmix(_sql_mod64("s"))} AS f FROM terms)
+    """
+
+
+def _fuzzy_decontam_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50
+) -> str:
+    """Twin of ``ops.decontam.fuzzy_decontam`` with eval = source 'src0':
+    the shared pinned MinHash chain over ALL docs, candidates restricted
+    to (train, eval) cross-source band-key collisions, exact-Jaccard
+    scored with the identical integer gate."""
+    return f"""
+        {_minhash_doc_chain(k, n_perm, band_rows, pct)},
+        xcand AS (
+          SELECT DISTINCT kc.doc_id AS a, ke.doc_id AS e
+          FROM keys kc
+          JOIN keys ke ON kc.key = ke.key
+          JOIN documents da ON da.doc_id = kc.doc_id
+                           AND da.source <> 'src0'
+          JOIN documents de ON de.doc_id = ke.doc_id
+                           AND de.source = 'src0'
+        ),
+        xinter AS (
+          SELECT c.a, c.e, count(*) AS i
+          FROM xcand c
+          JOIN dfp fa ON fa.doc_id = c.a
+          JOIN dfp fb ON fb.doc_id = c.e AND fb.f = fa.f
+          GROUP BY c.a, c.e
+        )
+        SELECT CAST(x.a AS BIGINT) AS doc_id,
+               CAST(x.e AS BIGINT) AS eval_id,
+               CAST(floor(CAST(1000 * x.i AS DOUBLE)
+                          / (sa.n + sb.n - x.i)) AS BIGINT)
+                 AS jaccard_x1000
+        FROM xinter x
+        JOIN sizes sa ON sa.doc_id = x.a
+        JOIN sizes sb ON sb.doc_id = x.e
+        WHERE 100 * x.i >= {pct} * (sa.n + sb.n - x.i)
     """
 
 

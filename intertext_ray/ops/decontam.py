@@ -112,3 +112,160 @@ def decontaminate(
         )
 
     return train_docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_FUZZY_SCHEMA = pa.schema(
+    {
+        "doc_id": pa.int64(),
+        "eval_id": pa.int64(),
+        "jaccard_x1000": pa.int64(),
+    }
+)
+
+
+def fuzzy_decontam(
+    train_docs: ray.data.Dataset,
+    eval_docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 16,
+    band_rows: int = 2,
+    min_jaccard: float = 0.5,
+) -> ray.data.Dataset:
+    """NEAR-duplicate decontamination: training docs whose word-``k``-gram
+    set is >= ``min_jaccard`` Jaccard-similar to ANY benchmark doc — the
+    fuzzy upgrade of :func:`decontaminate` (exact-gram overlap misses a
+    lightly paraphrased eval leak; GPT-3/Llama-style audits use n-gram
+    overlap, corpus-dedup practice uses MinHash — this is that operator
+    against the eval set).
+
+    Returns (doc_id, eval_id, jaccard_x1000) per flagged pair, with the
+    SAME pinned MinHash chain, band fold, and integer score contract as
+    ``minhash_doc.minhash_doc_dedup`` (pct gate ``100*i >= pct*union``) —
+    so the DuckDB twin recomputes the whole thing from the raw tables.
+
+    Scale shape (the decontam broadcast story, one level up): the eval
+    side is benchmark-sized by nature, so its band keys AND its distinct
+    gram sets are collected once on the driver and broadcast via
+    ``ray.put``; the training side is ONE streaming ``map_batches`` pass —
+    band keys per batch doc, ``searchsorted`` membership against the
+    broadcast eval keys, and exact-Jaccard verification against the
+    matched eval gram sets all inside the same task.  Zero corpus
+    shuffles; per-batch verify work is candidate-proportional (LSH
+    thinning), output is flagged-pair-proportional.
+    """
+    from intertext_ray.ops.minhash_doc import (
+        doc_band_rows_batch,
+        doc_minhash_seeds,
+    )
+
+    if n_perm % band_rows:
+        raise ValueError("n_perm must be a multiple of band_rows")
+    seeds = doc_minhash_seeds(n_perm)
+    pct = int(min_jaccard * 100)
+
+    # ---- eval side (driver; benchmark-sized) ----
+    ev_keys: list[np.ndarray] = []
+    ev_key_ids: list[np.ndarray] = []
+    ev_gram_parts: list[tuple[np.ndarray, np.ndarray]] = []
+    for b in eval_docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        br = doc_band_rows_batch(b, text_col, k, seeds, band_rows, 1)
+        ev_keys.append(br["band_key"].to_numpy(zero_copy_only=False))
+        ev_key_ids.append(br["doc_id"].to_numpy(zero_copy_only=False))
+        g = gram_positions_batch(b, text_col, k)
+        ev_gram_parts.append(
+            (
+                g["doc_id"].to_numpy(zero_copy_only=False),
+                g["f"].to_numpy(zero_copy_only=False),
+            )
+        )
+    if ev_keys:
+        keys = np.concatenate(ev_keys)
+        kid = np.concatenate(ev_key_ids)
+        order = np.argsort(keys, kind="stable")
+        keys, kid = keys[order], kid[order]
+    else:
+        keys = np.empty(0, np.uint64)
+        kid = np.empty(0, np.int64)
+    # distinct sorted gram array per eval doc
+    if ev_gram_parts:
+        gd = np.concatenate([p[0] for p in ev_gram_parts])
+        gf = np.concatenate([p[1] for p in ev_gram_parts])
+        o = np.lexsort((gf, gd))
+        gd, gf = gd[o], gf[o]
+        keep = np.ones(len(gd), dtype=bool)
+        keep[1:] = (gd[1:] != gd[:-1]) | (gf[1:] != gf[:-1])
+        gd, gf = gd[keep], gf[keep]
+        new = np.ones(len(gd), dtype=bool)
+        new[1:] = gd[1:] != gd[:-1]
+        starts = np.nonzero(new)[0]
+        bounds = np.concatenate([starts, [len(gd)]])
+        ev_grams = {
+            int(gd[starts[j]]): gf[bounds[j] : bounds[j + 1]]
+            for j in range(len(starts))
+        }
+    else:
+        ev_grams = {}
+    state = ray.put((keys, kid, ev_grams))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ekeys, ekid, egrams = ray.get(state)
+        br = doc_band_rows_batch(batch, text_col, k, seeds, band_rows, 1)
+        ck = br["band_key"].to_numpy(zero_copy_only=False)
+        cd = br["doc_id"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(ekeys, ck, side="left")
+        hi = np.searchsorted(ekeys, ck, side="right")
+        m = hi > lo
+        if not m.any():
+            return _FUZZY_SCHEMA.empty_table()
+        # expand matching runs -> candidate (train doc, eval doc) pairs
+        reps = (hi - lo)[m]
+        c_doc = np.repeat(cd[m], reps)
+        idx = np.concatenate([np.arange(a, b) for a, b in zip(lo[m], hi[m])])
+        e_doc = ekid[idx]
+        cand = np.unique(
+            np.stack([c_doc, e_doc.astype(np.int64)], axis=1), axis=0
+        )
+        # distinct sorted grams per train doc in this batch
+        g = gram_positions_batch(batch, text_col, k)
+        td = g["doc_id"].to_numpy(zero_copy_only=False)
+        tf = g["f"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((tf, td))
+        td, tf = td[o], tf[o]
+        keep = np.ones(len(td), dtype=bool)
+        keep[1:] = (td[1:] != td[:-1]) | (tf[1:] != tf[:-1])
+        td, tf = td[keep], tf[keep]
+        new = np.ones(len(td), dtype=bool)
+        new[1:] = td[1:] != td[:-1]
+        starts = np.nonzero(new)[0]
+        bounds = np.concatenate([starts, [len(td)]])
+        tgrams = {
+            int(td[starts[j]]): tf[bounds[j] : bounds[j + 1]]
+            for j in range(len(starts))
+        }
+        out_d, out_e, out_j = [], [], []
+        for a, e in cand:
+            fa = tgrams.get(int(a))
+            fb = egrams.get(int(e))
+            if fa is None or fb is None:
+                continue
+            inter = int(
+                (fb[np.searchsorted(fb, fa, side="left") % len(fb)] == fa).sum()
+            ) if len(fb) else 0
+            union = len(fa) + len(fb) - inter
+            if union > 0 and 100 * inter >= pct * union:
+                out_d.append(int(a))
+                out_e.append(int(e))
+                out_j.append(1000 * inter // union)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "eval_id": pa.array(out_e, pa.int64()),
+                "jaccard_x1000": pa.array(out_j, pa.int64()),
+            },
+            schema=_FUZZY_SCHEMA,
+        )
+
+    return train_docs.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -213,3 +213,65 @@ def test_source_dup_report_matches_pairwise_truth(ray_session):
         n, d = want[row["source"]]
         assert (row["n_docs"], row["n_dup_docs"]) == (n, d)
         assert row["dup_rate_x1000"] == int(np.floor(1000.0 * d / n))
+
+
+def test_fuzzy_decontam_planted(ray_session):
+    """Planted paraphrased eval leaks are flagged with the exact integer
+    jaccard; unrelated docs are not; scores match a brute-force gram-set
+    reference computed straight from the texts."""
+    import numpy as np
+    import ray.data as rd
+
+    from intertext_ray.ops.decontam import fuzzy_decontam
+    from intertext_ray.ops.substring import gram_positions_batch
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+
+    def sent(n):
+        return " ".join(rng.choice(vocab, n))
+
+    ev_texts = [sent(30) for _ in range(4)]
+    # train 0/1: light paraphrases of eval 0/2 (drop + swap a few words)
+    t0 = ev_texts[0].split()
+    t0[5], t0[17] = "zzz", "qqq"
+    t1 = ev_texts[2].split()[2:]
+    train_texts = [" ".join(t0), " ".join(t1)] + [sent(30) for _ in range(6)]
+
+    ev = rd.from_items(
+        [{"doc_id": 100 + i, "text": t} for i, t in enumerate(ev_texts)]
+    )
+    tr = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(train_texts)]
+    )
+    out = fuzzy_decontam(tr, ev, k=3, min_jaccard=0.4).to_pandas()
+
+    def grams(text):
+        t = pa.table({"doc_id": [0], "text": [text]})
+        return set(
+            gram_positions_batch(t, "text", 3)["f"].to_numpy(
+                zero_copy_only=False
+            )
+        )
+
+    # brute-force truth over all (train, eval) pairs
+    want = {}
+    for i, tt in enumerate(train_texts):
+        for j, et in enumerate(ev_texts):
+            a, b = grams(tt), grams(et)
+            inter = len(a & b)
+            union = len(a | b)
+            if union and 100 * inter >= 40 * union:
+                want[(i, 100 + j)] = 1000 * inter // union
+
+    got = {
+        (int(r.doc_id), int(r.eval_id)): int(r.jaccard_x1000)
+        for r in out.itertuples()
+    }
+    # LSH may only MISS brute-force pairs (never invent); planted leaks
+    # are near-identical (j >> 0.4) so they MUST be found
+    assert set(got) <= set(want)
+    assert (0, 100) in got and (1, 102) in got
+    for p, v in got.items():
+        assert want[p] == v
