@@ -280,6 +280,36 @@ def run_bench() -> dict:
     audio_dup_pairs(aclips, num_buckets=32).count()
     queries["audio_dedup"] = round(time.time() - t0, 3)
 
+    # ---- model-based curation + search (charlm, entropy, blocklist,
+    # fuzzy decontam, audio query-by-example) ----
+    from intertext_ray.ops.charlm import char_entropy_scores, perplexity_scores
+    from intertext_ray.ops.curate import blocklist_report
+    from intertext_ray.ops.decontam import fuzzy_decontam
+
+    t0 = time.time()
+    perplexity_scores(read_documents(SF_DIR)).count()
+    char_entropy_scores(read_documents(SF_DIR)).count()
+    blocklist_report(
+        read_documents(SF_DIR), ["slow", "spark", "vector"]
+    ).count()
+    docs_src = _read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    fuzzy_decontam(
+        docs_src.filter(expr="source != 'src0'"),
+        docs_src.filter(expr="source == 'src0'"),
+        k=3,
+        min_jaccard=0.5,
+    ).count()
+    queries["curation_ops"] = round(time.time() - t0, 3)
+
+    from intertext_ray.ops.audio_search import audio_query_search
+
+    t0 = time.time()
+    _q = __import__("__ray_entry__")
+    _q._q_audio_query_search(SF_DIR).count()
+    queries["audio_search"] = round(time.time() - t0, 3)
+
     # ---- IVF ANN (scale path) ----
     from intertext_ray.ops.embeddings import ann_topk_ivf
 
