@@ -1037,6 +1037,19 @@ def _q_audio_query_search(sf_dir: str):
     return docs_as_int64(out)
 
 
+def _q_audio_common_spans(sf_dir: str):
+    """Shared-audio-span detection (ExactSubstr for audio): maximal
+    windowed-BER matching runs between clip pairs over the planted-dup
+    corpus (rows-only: FFT not SQL-expressible; planted splice parity
+    pinned in tests)."""
+    from intertext_ray.ops.audio_spans import audio_common_spans
+    from intertext_ray.pipelines.documents import docs_as_int64
+
+    return docs_as_int64(
+        audio_common_spans(_audio_dup_clips(sf_dir), num_buckets=16)
+    )
+
+
 def _q_audio_fingerprints(sf_dir: str):
     """Haitsma-Kalker subfingerprints per clip (no SQL twin: FFT is not
     DuckDB-expressible; local tests pin determinism + robustness)."""
@@ -1545,6 +1558,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_segments": _q_audio_segments,
         "audio_transcode": _q_audio_transcode,
         "audio_query_search": _q_audio_query_search,
+        "audio_common_spans": _q_audio_common_spans,
         "joint_dup_report": _q_joint_dup_report,
         "image_features_stub": _q_image_features,
     }

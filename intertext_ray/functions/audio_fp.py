@@ -134,3 +134,57 @@ def bruteforce_dup_pairs(
             if best is not None:
                 out[(a, b)] = best
     return out
+
+
+def matching_spans(
+    fa: np.ndarray,
+    fb: np.ndarray,
+    offset: int,
+    win: int = 8,
+    max_ber: float = 0.2,
+    min_len: int = 12,
+) -> list[tuple[int, int, int, float]]:
+    """Maximal aligned sub-runs where the WINDOWED bit-error-rate stays
+    <= ``max_ber`` — the audio analogue of an ExactSubstr duplicated
+    span (two clips sharing only a jingle/intro match here even though
+    their global BER is ~0.5).  Alignment ``fa[i] ~ fb[i - offset]``,
+    same convention as :func:`ber_at_offset`.
+
+    Returns [(a_start, b_start, n_frames, span_ber)] with n_frames >=
+    ``min_len``; every length-``win`` window inside a span has BER <=
+    ``max_ber``.  Vectorized: one XOR/popcount pass + prefix sums.
+    """
+    a_lo = max(0, offset)
+    b_lo = a_lo - offset
+    n = min(len(fa) - a_lo, len(fb) - b_lo)
+    if n < max(win, min_len):
+        return []
+    x = np.bitwise_xor(
+        fa[a_lo : a_lo + n].astype(np.uint32),
+        fb[b_lo : b_lo + n].astype(np.uint32),
+    )
+    errs = _POPCOUNT16[x & 0xFFFF].astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(errs)])
+    wsum = csum[win:] - csum[:-win]
+    ok = wsum <= max_ber * 16.0 * win
+    if not ok.any():
+        return []
+    # runs of consecutive ok window positions [i..j] cover frames [i, j+win)
+    d = np.diff(ok.astype(np.int8))
+    starts = np.nonzero(np.concatenate([[ok[0]], d == 1]))[0]
+    ends = np.nonzero(np.concatenate([d == -1, [ok[-1]]]))[0]
+    out: list[tuple[int, int, int, float]] = []
+    for i, j in zip(starts, ends):
+        length = int(j + win - i)
+        if length < min_len:
+            continue
+        span_err = int(csum[j + win] - csum[i])
+        out.append(
+            (
+                int(a_lo + i),
+                int(b_lo + i),
+                length,
+                span_err / (16.0 * length),
+            )
+        )
+    return out

@@ -239,21 +239,12 @@ _PAIR_SCHEMA = pa.schema(
 )
 
 
-def verify_audio_pairs(
-    candidates: ray.data.Dataset,
-    fps: ray.data.Dataset,
-    max_ber: float = 0.25,
-    min_overlap: int = 6,
-    num_buckets: int = 64,
-) -> ray.data.Dataset:
-    """Bucketed two-phase hash join + BER verification (the audio analog of
-    `stages/verify.verify_hash_join`): phase 1 co-locates each candidate
-    side with its clip's fingerprint sequence by clip-hash bucket; phase 2
-    co-locates the two resolved sides by pair-hash bucket and scores the
-    alignment.  Keeps the best (lowest-BER, then smallest |offset|)
-    qualifying alignment per (clip_a, clip_b)."""
-    nb = _U64(num_buckets)
-
+def _join_helpers(nb: np.uint64):
+    """The bucketed two-phase hash-join plumbing shared by
+    ``verify_audio_pairs`` and ``verify_audio_spans``: tag fingerprint
+    rows and candidate requests into clip-hash buckets, resolve each
+    request side to its clip's fingerprint list (vectorized searchsorted
+    + zero-copy Arrow take), then re-bucket resolved rows by pair hash."""
     def tag_fps(t: pa.Table) -> pa.Table:
         doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(_U64)
         return pa.table(
@@ -333,6 +324,26 @@ def verify_audio_pairs(
             "bucket",
             pa.array((splitmix64(splitmix64(a) ^ b) % nb).astype(np.int64)),
         )
+
+    return tag_fps, tag_requests, resolve, pair_bucket
+
+
+def verify_audio_pairs(
+    candidates: ray.data.Dataset,
+    fps: ray.data.Dataset,
+    max_ber: float = 0.25,
+    min_overlap: int = 6,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Bucketed two-phase hash join + BER verification (the audio analog of
+    `stages/verify.verify_hash_join`): phase 1 co-locates each candidate
+    side with its clip's fingerprint sequence by clip-hash bucket; phase 2
+    co-locates the two resolved sides by pair-hash bucket and scores the
+    alignment.  Keeps the best (lowest-BER, then smallest |offset|)
+    qualifying alignment per (clip_a, clip_b)."""
+    nb = _U64(num_buckets)
+
+    tag_fps, tag_requests, resolve, pair_bucket = _join_helpers(nb)
 
     def score(gtab: pa.Table) -> pa.Table:
         """Pair the two resolved sides (vectorized run detection over the

@@ -375,3 +375,82 @@ def test_audio_query_search_containment():
         # every other hit is a planted dup of the source
         for cid in h.clip_id:
             assert cluster[cid] == cluster[src_cid]
+
+
+def test_audio_common_spans_partial_overlap():
+    """Two unrelated clips sharing only a spliced-in segment are linked
+    by a span at the planted frame positions; an unrelated clip yields
+    nothing; identical clips yield a near-full-length span."""
+    from intertext_ray.fixtures.gen_audio import base_signal
+    from intertext_ray.functions.audio_fp import HOP
+    from intertext_ray.ops.audio_spans import audio_common_spans
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    sr = 8000
+    n = sr * 4  # 4 s clips
+    seg = base_signal(77, 1000, sr, sr * 16 // 10)  # 1.6 s shared bed
+    sigs = {
+        "c0": base_signal(77, 0, sr, n),
+        "c1": base_signal(77, 1, sr, n),
+        "c2": base_signal(77, 2, sr, n),
+    }
+    # splice the shared segment at hop-aligned positions: frame 20 in c0,
+    # frame 60 in c1
+    pa_f, pb_f = 20, 60
+    sigs["c0"][pa_f * HOP : pa_f * HOP + len(seg)] = seg
+    sigs["c1"][pb_f * HOP : pb_f * HOP + len(seg)] = seg
+    pcm = {
+        k: np.clip(v * 32000, -32768, 32767).astype(np.int16)
+        for k, v in sigs.items()
+    }
+    pcm["c3"] = pcm["c2"].copy()  # identical pair control
+
+    tbl = pa.table(
+        {
+            "clip_id": list(pcm),
+            "bytes": [p.tobytes() for p in pcm.values()],
+            "sr_hz": [sr] * len(pcm),
+            "codec": ["pcm_s16le"] * len(pcm),
+        }
+    )
+    doc_of = dict(
+        zip(pcm, (int(d) for d in doc_ids_for_clip_ids(tbl["clip_id"])))
+    )
+    spans = audio_common_spans(
+        ray.data.from_arrow(tbl), max_ber=0.2, min_len=12
+    ).to_pandas()
+
+    seg_frames = len(seg) // HOP  # ~50
+
+    def pairs_of(df):
+        return {tuple(sorted((int(a), int(b)))) for a, b in zip(df.clip_a, df.clip_b)}
+
+    got_pairs = pairs_of(spans)
+    key01 = tuple(sorted((doc_of["c0"], doc_of["c1"])))
+    key23 = tuple(sorted((doc_of["c2"], doc_of["c3"])))
+    assert key01 in got_pairs
+    assert key23 in got_pairs
+    # nothing links the unrelated signal c2/c3 to c0/c1
+    for cid in ("c0", "c1"):
+        for other in ("c2", "c3"):
+            assert tuple(sorted((doc_of[cid], doc_of[other]))) not in got_pairs
+
+    s01 = spans[
+        (spans.clip_a.isin([doc_of["c0"], doc_of["c1"]]))
+        & (spans.clip_b.isin([doc_of["c0"], doc_of["c1"]]))
+    ]
+    # the planted span: starts within a window of the splice points,
+    # length within a window of the segment length
+    best = s01.loc[s01.n_frames.idxmax()]
+    starts = sorted([int(best.a_start), int(best.b_start)])
+    want = sorted([pa_f, pb_f])
+    assert abs(starts[0] - want[0]) <= 8 and abs(starts[1] - want[1]) <= 8
+    assert abs(int(best.n_frames) - seg_frames) <= 16
+    assert best.ber <= 0.2
+
+    s23 = spans[
+        (spans.clip_a.isin([doc_of["c2"], doc_of["c3"]]))
+        & (spans.clip_b.isin([doc_of["c2"], doc_of["c3"]]))
+    ]
+    n_total = len(pcm["c2"]) // HOP
+    assert s23.n_frames.max() >= n_total - 16  # near-full overlap
