@@ -1050,6 +1050,49 @@ def _q_audio_common_spans(sf_dir: str):
     )
 
 
+def _q_audio_incremental(sf_dir: str):
+    """Incremental audio ingest dedup: the planted-dup corpus split 4:1
+    into an indexed old corpus and a new wave by doc-id splitmix; the
+    wave dedupes against the persistent fingerprint/shingle index with
+    zero old-side re-decode (rows-only: FFT; wave == full-chain
+    equality pinned in tests/test_audio_incremental.py)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.audio_incremental import (
+        build_audio_index,
+        incremental_audio_dup_pairs,
+    )
+    from intertext_ray.pipelines.documents import docs_as_int64
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def split(new_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            d = doc_ids_for_clip_ids(t["clip_id"]).astype(np.uint64)
+            m = (splitmix64(d ^ np.uint64(0xA0D10)) % np.uint64(5)) == 0
+            if not new_side:
+                m = ~m
+            return t.filter(pa.array(m))
+
+        return fn
+
+    old = clips.map_batches(split(False), batch_format="pyarrow")
+    wave = clips.map_batches(split(True), batch_format="pyarrow")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/itx_aidx_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_audio_index(old, idx, num_buckets=16)
+    return docs_as_int64(
+        incremental_audio_dup_pairs(wave, idx, num_buckets=16)
+    )
+
+
 def _q_audio_fingerprints(sf_dir: str):
     """Haitsma-Kalker subfingerprints per clip (no SQL twin: FFT is not
     DuckDB-expressible; local tests pin determinism + robustness)."""
@@ -1559,6 +1602,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_transcode": _q_audio_transcode,
         "audio_query_search": _q_audio_query_search,
         "audio_common_spans": _q_audio_common_spans,
+        "audio_incremental": _q_audio_incremental,
         "joint_dup_report": _q_joint_dup_report,
         "image_features_stub": _q_image_features,
     }
