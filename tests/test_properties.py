@@ -220,3 +220,53 @@ def test_break_into_lines_round_trip(ray_session, texts, npl):
         assert g.replace("\n", " ") == " ".join(t.split())
         for ln in g.split("\n"):
             assert ln == "" or len(ln.split()) <= npl
+
+
+@given(
+    na=st.integers(40, 120),
+    nb=st.integers(40, 120),
+    plant=st.integers(20, 39),
+    pa_=st.integers(0, 60),
+    pb_=st.integers(0, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_matching_spans_properties(na, nb, plant, pa_, pb_, seed):
+    """matching_spans invariants on arbitrary fingerprint streams with a
+    planted identical run: (1) every reported span satisfies the span-BER
+    bound and lies inside both streams; (2) a planted run of length L is
+    recovered at the planted alignment with length within one window of
+    L; (3) the reported BER equals the popcount recomputed from the raw
+    arrays."""
+    from intertext_ray.functions.audio_fp import (
+        _POPCOUNT16,
+        matching_spans,
+    )
+
+    rng = np.random.default_rng(seed)
+    fa = rng.integers(0, 1 << 16, na).astype(np.uint32)
+    fb = rng.integers(0, 1 << 16, nb).astype(np.uint32)
+    pa_ = min(pa_, na - plant)
+    pb_ = min(pb_, nb - plant)
+    fa[pa_ : pa_ + plant] = fb[pb_ : pb_ + plant]
+    off = pa_ - pb_
+    win, max_ber, min_len = 8, 0.1, 12
+    spans = matching_spans(fa, fb, off, win=win, max_ber=max_ber, min_len=min_len)
+    covered = False
+    for a0, b0, length, ber in spans:
+        assert b0 == a0 - off
+        assert 0 <= a0 and a0 + length <= na
+        assert 0 <= b0 and b0 + length <= nb
+        assert length >= min_len
+        x = np.bitwise_xor(fa[a0 : a0 + length], fb[b0 : b0 + length])
+        errs = int(_POPCOUNT16[x].sum(dtype=np.int64))
+        assert abs(ber - errs / (16.0 * length)) < 1e-12
+        # spans are windowed-clean: every full window under the bound
+        if a0 <= pa_ and a0 + length >= pa_ + plant - win:
+            covered = True
+    # the planted run must be recovered (allowing boundary slop of one
+    # window on each side)
+    assert any(
+        a0 <= pa_ + win and a0 + length >= pa_ + plant - win
+        for a0, _, length, _ in spans
+    ), (spans, pa_, plant)
