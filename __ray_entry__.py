@@ -1093,6 +1093,23 @@ def _q_audio_incremental(sf_dir: str):
     )
 
 
+def _q_remove_audio_spans(sf_dir: str):
+    """Shared-span REMOVAL (the audio ExactSubstr rewrite): cut every
+    detected shared span from the higher-id clip, pass untouched clips
+    through byte-identical; returns the rewrite report without payloads
+    (rows-only: FFT; re-detection-silence pinned in tests)."""
+    from intertext_ray.ops.audio_spans import (
+        audio_common_spans,
+        remove_audio_spans,
+    )
+    from intertext_ray.pipelines.documents import docs_as_int64
+
+    clips = _audio_dup_clips(sf_dir)
+    spans = audio_common_spans(clips, num_buckets=16)
+    out = remove_audio_spans(clips, spans).drop_columns(["bytes"])
+    return docs_as_int64(out)
+
+
 def _q_audio_fingerprints(sf_dir: str):
     """Haitsma-Kalker subfingerprints per clip (no SQL twin: FFT is not
     DuckDB-expressible; local tests pin determinism + robustness)."""
@@ -1603,6 +1620,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_query_search": _q_audio_query_search,
         "audio_common_spans": _q_audio_common_spans,
         "audio_incremental": _q_audio_incremental,
+        "remove_audio_spans": _q_remove_audio_spans,
         "joint_dup_report": _q_joint_dup_report,
         "image_features_stub": _q_image_features,
     }

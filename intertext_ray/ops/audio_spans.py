@@ -31,6 +31,7 @@ from intertext_ray.ops.audio_dedup import (
     audio_candidates,
     audio_fingerprints,
 )
+from intertext_ray.sources.clips import doc_ids_for_clip_ids
 
 _U64 = np.uint64
 
@@ -159,4 +160,141 @@ def audio_common_spans(
         max_ber=max_ber,
         min_len=min_len,
         num_buckets=num_buckets,
+    )
+
+
+_CLEAN_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("doc_id", pa.uint64()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("codec", pa.string()),
+        ("n_frames_removed", pa.int64()),
+        ("n_samples", pa.int64()),
+    ]
+)
+
+
+def merge_frame_intervals(iv: np.ndarray) -> np.ndarray:
+    """Merge overlapping/touching (start, end) frame intervals — sorted
+    2-col int64 array in, disjoint sorted intervals out."""
+    if len(iv) == 0:
+        return iv.reshape(0, 2)
+    iv = iv[np.lexsort((iv[:, 1], iv[:, 0]))]
+    out = [iv[0].copy()]
+    for s, e in iv[1:]:
+        if s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append(np.array([s, e]))
+    return np.array(out, dtype=np.int64)
+
+
+def remove_audio_spans(
+    clips: ray.data.Dataset,
+    spans: ray.data.Dataset,
+    num_cpus: float = 1,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Cut every shared span from the HIGHER-id clip of each span pair
+    (keep-first policy — content survives on the lower id) and rewrite
+    the cut clips as canonical pcm_s16le; untouched clips pass through
+    byte-identical.  The audio analogue of
+    ``substring.remove_duplicate_spans``.
+
+    Scale shape: the span graph is dup-content-proportional (the
+    ``source_dup_report`` broadcast justification), so the merged
+    per-clip cut lists are built on the driver and ``ray.put`` once; the
+    corpus side is one streaming pass in which ONLY flagged clips decode
+    and re-encode — pass-through rows never touch their payload.  If the
+    span graph ever outgrew the driver, the doc-hash bucketed co-group
+    of (clips x spans) is the fallback (the `invariant_report` shape).
+
+    Frame -> native-sample mapping: analysis frame f covers samples
+    [f*HOP*sr/8000, (f+1)*HOP*sr/8000) of the ORIGINAL rate (the
+    fingerprint grid is defined on the 8 kHz resample); cuts land on
+    those boundaries.
+    """
+    from intertext_ray.functions.audio import decode_clip
+    from intertext_ray.functions.audio_fp import HOP, TARGET_SR
+
+    cut_lists: dict[int, list[tuple[int, int]]] = {}
+    for b in spans.select_columns(
+        ["clip_b", "a_start", "b_start", "n_frames"]
+    ).iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        cb = b["clip_b"].to_numpy(zero_copy_only=False)
+        b0 = b["b_start"].to_numpy(zero_copy_only=False)
+        nf = b["n_frames"].to_numpy(zero_copy_only=False)
+        for i in range(len(cb)):
+            cut_lists.setdefault(int(cb[i]), []).append(
+                (int(b0[i]), int(b0[i] + nf[i]))
+            )
+    cut_map = {
+        d: merge_frame_intervals(np.array(v, dtype=np.int64).reshape(-1, 2))
+        for d, v in cut_lists.items()
+    }
+    ref = ray.put(cut_map)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(ref)
+        docs = doc_ids_for_clip_ids(batch["clip_id"])
+        blobs = batch["bytes"].to_pylist()
+        srs = batch["sr_hz"].to_numpy(zero_copy_only=False)
+        codecs = batch["codec"].to_pylist()
+        cids = batch["clip_id"].to_pylist()
+        out = {k: [] for k in (
+            "clip_id", "doc_id", "bytes", "sr_hz", "codec",
+            "n_frames_removed", "n_samples",
+        )}
+        for i in range(len(batch)):
+            d = int(docs[i])
+            sr = int(srs[i])
+            iv = cmap.get(d)
+            if iv is None or len(iv) == 0:
+                out["clip_id"].append(cids[i])
+                out["doc_id"].append(d)
+                out["bytes"].append(blobs[i])
+                out["sr_hz"].append(sr)
+                out["codec"].append(codecs[i])
+                out["n_frames_removed"].append(0)
+                out["n_samples"].append(-1)  # payload untouched, not decoded
+                continue
+            pcm = decode_clip(blobs[i], sr, codecs[i])
+            keep = np.ones(len(pcm), dtype=bool)
+            removed = 0
+            for f0, f1 in iv:
+                s0 = f0 * HOP * sr // TARGET_SR
+                s1 = f1 * HOP * sr // TARGET_SR
+                keep[s0 : min(s1, len(pcm))] = False
+                removed += int(f1 - f0)
+            y = pcm[keep]
+            out["clip_id"].append(cids[i])
+            out["doc_id"].append(d)
+            out["bytes"].append(y.astype("<i2").tobytes())
+            out["sr_hz"].append(sr)
+            out["codec"].append("pcm_s16le")
+            out["n_frames_removed"].append(removed)
+            out["n_samples"].append(int(len(y)))
+        return pa.table(
+            {
+                "clip_id": pa.array(out["clip_id"], pa.string()),
+                "doc_id": pa.array(out["doc_id"], pa.uint64()),
+                "bytes": pa.array(out["bytes"], pa.binary()),
+                "sr_hz": pa.array(out["sr_hz"], pa.int32()),
+                "codec": pa.array(out["codec"], pa.string()),
+                "n_frames_removed": pa.array(
+                    out["n_frames_removed"], pa.int64()
+                ),
+                "n_samples": pa.array(out["n_samples"], pa.int64()),
+            },
+            schema=_CLEAN_SCHEMA,
+        )
+
+    return clips.map_batches(
+        rewrite,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=num_cpus,
+        zero_copy_batch=True,
     )

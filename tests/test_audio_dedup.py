@@ -454,3 +454,73 @@ def test_audio_common_spans_partial_overlap():
     ]
     n_total = len(pcm["c2"]) // HOP
     assert s23.n_frames.max() >= n_total - 16  # near-full overlap
+
+
+def test_remove_audio_spans_rewrite():
+    """Cutting the shared spans from the higher-id clip removes the
+    planted segment (re-detection finds nothing between the pair);
+    untouched clips pass through byte-identical; the cut clip loses
+    ~the segment's samples."""
+    from intertext_ray.fixtures.gen_audio import base_signal
+    from intertext_ray.functions.audio_fp import HOP
+    from intertext_ray.ops.audio_spans import (
+        audio_common_spans,
+        remove_audio_spans,
+    )
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    sr = 8000
+    n = sr * 4
+    seg = base_signal(78, 1000, sr, sr * 16 // 10)
+    s0 = base_signal(78, 0, sr, n)
+    s1 = base_signal(78, 1, sr, n)
+    s0[20 * HOP : 20 * HOP + len(seg)] = seg
+    s1[60 * HOP : 60 * HOP + len(seg)] = seg
+    s2 = base_signal(78, 2, sr, n)
+    pcm = {
+        k: np.clip(v * 32000, -32768, 32767).astype(np.int16)
+        for k, v in {"r0": s0, "r1": s1, "r2": s2}.items()
+    }
+    tbl = pa.table(
+        {
+            "clip_id": list(pcm),
+            "bytes": [p.tobytes() for p in pcm.values()],
+            "sr_hz": [sr] * 3,
+            "codec": ["pcm_s16le"] * 3,
+        }
+    )
+    doc_of = dict(
+        zip(pcm, (int(d) for d in doc_ids_for_clip_ids(tbl["clip_id"])))
+    )
+    spans = audio_common_spans(ray.data.from_arrow(tbl), num_buckets=8)
+    cleaned = remove_audio_spans(
+        ray.data.from_arrow(tbl), spans
+    ).to_pandas().set_index("clip_id")
+
+    hi = max(("r0", "r1"), key=lambda k: doc_of[k])
+    lo = min(("r0", "r1"), key=lambda k: doc_of[k])
+    # untouched clips byte-identical
+    assert bytes(cleaned.loc[lo, "bytes"]) == pcm[lo].tobytes()
+    assert bytes(cleaned.loc["r2", "bytes"]) == pcm["r2"].tobytes()
+    assert cleaned.loc[lo, "n_frames_removed"] == 0
+    # the cut clip lost about the segment's samples
+    cut = cleaned.loc[hi]
+    assert cut["n_frames_removed"] >= 40
+    n_lost = len(pcm[hi]) - cut["n_samples"]
+    assert abs(n_lost - len(seg)) <= 20 * HOP  # boundary slop
+    # re-detection over the cleaned corpus: the pair is gone
+    tbl2 = pa.table(
+        {
+            "clip_id": list(cleaned.index),
+            "bytes": [bytes(b) for b in cleaned["bytes"]],
+            "sr_hz": [sr] * 3,
+            "codec": list(cleaned["codec"]),
+        }
+    )
+    spans2 = audio_common_spans(
+        ray.data.from_arrow(tbl2), num_buckets=8
+    ).to_pandas()
+    pair = {doc_of["r0"], doc_of["r1"]}
+    if len(spans2):
+        for a, b in zip(spans2["clip_a"], spans2["clip_b"]):
+            assert {int(a), int(b)} != pair
