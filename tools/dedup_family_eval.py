@@ -147,6 +147,95 @@ def evaluate(tbl: pa.Table, truth: dict) -> dict:
     return out
 
 
+def evaluate_audio(seed: int = 9) -> dict:
+    """Audio-family sensitivity on the planted gen_audio corpus: recall
+    vs planted cluster pairs + pair precision, per family at repo
+    defaults.  (audio_exact requires BIT-identical decoded PCM, so on a
+    perturbed-dup corpus its recall is honestly ~0 — reported as the
+    cautionary row; the fingerprint families are the perturbation-robust
+    operating points.)"""
+    import ray.data as rd
+
+    from intertext_ray.fixtures.gen_audio import gen_audio_dup_corpus
+    from intertext_ray.ops.audio_dedup import audio_dup_pairs
+    from intertext_ray.ops.audio_exact import audio_exact_dup_groups
+    from intertext_ray.ops.audio_spans import audio_common_spans
+
+    clips, truth = gen_audio_dup_corpus(120, seed=seed)
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    doc = doc_ids_for_clip_ids(clips["clip_id"])
+    cl = truth["cluster_id"].to_numpy()
+    by_cluster: dict = {}
+    for i, c in enumerate(cl):
+        if int(c) >= 0:  # -1 = background singleton
+            by_cluster.setdefault(int(c), []).append(int(doc[i]))
+    tset = set()
+    for ids in by_cluster.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                tset.add((ids[x], ids[y]))
+
+    ds = lambda: rd.from_arrow(clips)  # noqa: E731
+    fams = {}
+    p = audio_dup_pairs(ds(), num_buckets=8).to_pandas()
+    fams["audio_fp (ber<=0.25)"] = _canon(zip(p.clip_a, p.clip_b))
+    p = audio_common_spans(ds(), num_buckets=8).to_pandas()
+    fams["audio_spans (win-ber<=0.2)"] = (
+        _canon(zip(p.clip_a, p.clip_b)) if len(p) else set()
+    )
+    g = audio_exact_dup_groups(ds()).to_pandas()
+    pairs = set()
+    if len(g):
+        g["doc"] = [
+            int(d) for d in doc_ids_for_clip_ids(pa.array(g["clip_id"]))
+        ]
+        for _, grp in g.groupby("group_id"):
+            ids = sorted(grp["doc"])
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    pairs.add((ids[x], ids[y]))
+    fams["audio_exact (bit-identical)"] = pairs
+
+    def closure(pairs: set) -> set:
+        par: dict = {}
+
+        def find(x):
+            while par.setdefault(x, x) != x:
+                par[x] = par[par[x]]
+                x = par[x]
+            return x
+
+        for a, b in pairs:
+            par[find(a)] = find(b)
+        comp: dict = {}
+        for x in par:
+            comp.setdefault(find(x), []).append(x)
+        out = set()
+        for ids in comp.values():
+            ids = sorted(ids)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    out.add((ids[x], ids[y]))
+        return out
+
+    out = {}
+    for name, got in fams.items():
+        tp = len(got & tset)
+        tclo = closure(got)
+        out[name] = {
+            "recall": round(tp / len(tset), 3) if tset else None,
+            "recall_transitive": (
+                round(len(tclo & tset) / len(tset), 3) if tset else None
+            ),
+            "precision": round(tp / len(got), 3) if got else None,
+            "spurious_pairs": len(got) - tp,
+        }
+    out["n_truth_pairs"] = len(tset)
+    return out
+
+
 def main() -> None:
     import ray
 
@@ -158,6 +247,9 @@ def main() -> None:
 
     quiet_ray_data_noise()
     DataContext.get_current().enable_progress_bars = False
+    if "--audio" in sys.argv:
+        print(json.dumps({"audio_families": evaluate_audio()}))
+        return
     tbl, truth = build_corpus()
     print(
         json.dumps(
