@@ -47,11 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     # Ray-side knobs
     p.add_argument(
         "--mode",
-        choices=["text", "audio", "joint", "preprocess"],
+        choices=["text", "audio", "spans", "joint", "preprocess"],
         default="text",
         help="text: reference transcript dedup (default); audio: "
         "audio-payload fingerprint dedup; joint: both chains + per-clip "
-        "dup class (both/text_only/audio_only/unique); preprocess: "
+        "dup class (both/text_only/audio_only/unique); spans: shared-audio-"
+        "span detect + cut (windowed-BER ExactSubstr rewrite); preprocess: "
         "payload rewrite (peak normalize + resample to --target-hz), all "
         "non-audio columns passed through",
     )
@@ -155,6 +156,41 @@ def main(argv: list[str] | None = None) -> int:
                     "target_peak": args.target_peak or None,
                     "resampler": args.resampler,
                     "output": out_dir,
+                }
+            )
+        )
+        return 0
+
+    if args.mode == "spans":
+        if not args.clips:
+            print("error: --mode spans requires --clips", file=sys.stderr)
+            return 2
+        import pyarrow.parquet as pq
+
+        from intertext_ray.ops.audio_spans import (
+            audio_common_spans,
+            remove_audio_spans,
+        )
+
+        os.makedirs(args.output, exist_ok=True)
+        clips = read_clips(args.clips)
+        spans = audio_common_spans(
+            clips,
+            g=args.audio_shingle,
+            num_buckets=args.num_buckets,
+        ).materialize()
+        spans.write_parquet(os.path.join(args.output, "audio_spans"))
+        cleaned = remove_audio_spans(clips, spans).materialize()
+        cleaned.write_parquet(os.path.join(args.output, "clips_despanned"))
+        n_cut = cleaned.filter(expr="n_frames_removed > 0").count()
+        print(
+            json.dumps(
+                {
+                    "mode": "spans",
+                    "span_rows": spans.count(),
+                    "clips": cleaned.count(),
+                    "clips_cut": n_cut,
+                    "output": args.output,
                 }
             )
         )

@@ -83,3 +83,40 @@ def test_cli_preprocess_mode(ray_session, tmp_path, capsys):
         f"read_parquet('{out}/clips_preprocessed/*.parquet')"
     ).fetchone()[0]
     assert n_tr == summary["clips_out"]
+
+
+def test_cli_spans_mode(ray_session, tmp_path, capsys):
+    """--mode spans detects shared audio spans over the planted-dup
+    corpus and writes the despanned clip table (dup clips lose frames;
+    pass-through clips keep their payload byte-identical)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from intertext_ray.cli import main
+    from intertext_ray.fixtures.gen_audio import gen_audio_dup_corpus
+
+    clips, truth = gen_audio_dup_corpus(24, seed=5)
+    corpus = str(tmp_path / "aclips")
+    import os
+
+    os.makedirs(corpus, exist_ok=True)
+    pq.write_table(clips, f"{corpus}/part0.parquet")
+    out = str(tmp_path / "spans_out")
+    rc = main(
+        [
+            "--clips", corpus,
+            "--output", out,
+            "--mode", "spans",
+            "--num-buckets", "4",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "spans"
+    assert summary["clips"] == 24
+    assert summary["span_rows"] > 0 and summary["clips_cut"] > 0
+    n = duckdb.sql(
+        f"SELECT count(*), sum(CASE WHEN n_frames_removed > 0 THEN 1 "
+        f"ELSE 0 END) FROM read_parquet('{out}/clips_despanned/*.parquet')"
+    ).fetchone()
+    assert n[0] == 24 and n[1] == summary["clips_cut"]
