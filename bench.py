@@ -310,6 +310,17 @@ def run_bench() -> dict:
     _q._q_audio_query_search(SF_DIR).count()
     queries["audio_search"] = round(time.time() - t0, 3)
 
+    # ---- shared-audio-span detection (windowed-BER ExactSubstr) ----
+    from intertext_ray.ops.audio_spans import audio_common_spans
+
+    t0 = time.time()
+    aclips2 = _read_clips(
+        _os.path.join(cache, "clips"),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )
+    audio_common_spans(aclips2, num_buckets=32).count()
+    queries["audio_spans"] = round(time.time() - t0, 3)
+
     # ---- IVF ANN (scale path) ----
     from intertext_ray.ops.embeddings import ann_topk_ivf
 
