@@ -721,6 +721,15 @@ def _q_blocklist(sf_dir: str):
     return blocklist_report(_docs(sf_dir), ["slow", "spark", "vector"])
 
 
+def _q_minhash_doc_survivors(sf_dir: str):
+    """Purge face of the doc-level MinHash chain: min-id member survives
+    per dup cluster, non-clustered docs pass through; twin = documents
+    EXCEPT the non-keeper members of the raw-table cluster closure."""
+    from intertext_ray.ops.minhash_doc import minhash_doc_survivors
+
+    return minhash_doc_survivors(_docs(sf_dir))
+
+
 def _q_fold_diacritics(sf_dir: str):
     """Driver-pins the diacritic-folding kernel (unidecode-extras table,
     NFKD+strip, Greek/Cyrillic romanization — reference
@@ -1594,6 +1603,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "cms_word_counts": _q_cms_word_counts,
         "minhash_doc_clusters": _q_minhash_doc_clusters,
+        "minhash_doc_survivors": _q_minhash_doc_survivors,
         "suffix_repeat_spans": _q_suffix_spans,
         "token_quantiles_sketch": _q_token_quantiles_sketch,
         "sliding_event_stats": _q_sliding_events,
@@ -3050,6 +3060,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fuzzy_decontam": _fuzzy_decontam_sql(k=3, pct=50),
+        "minhash_doc_survivors": _minhash_doc_survivors_sql(),
         "blocklist_report": """
             WITH toks AS (
               SELECT doc_id,
@@ -3672,6 +3683,35 @@ def _fuzzy_decontam_sql(
         JOIN sizes sa ON sa.doc_id = x.a
         JOIN sizes sb ON sb.doc_id = x.e
         WHERE 100 * x.i >= {pct} * (sa.n + sb.n - x.i)
+    """
+
+
+def _minhash_doc_survivors_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50
+) -> str:
+    """Twin of ``ops.minhash_doc.minhash_doc_survivors``: the raw-table
+    cluster closure, then documents minus the non-keeper members."""
+    return f"""
+        {_minhash_doc_chain(k, n_perm, band_rows, pct)},
+        edges AS (
+          SELECT doc_a AS uu, doc_b AS vv FROM mpairs
+          UNION SELECT doc_b, doc_a FROM mpairs
+        ),
+        cnodes AS (SELECT DISTINCT uu AS node FROM edges),
+        ccx(node, label) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT e3.vv, ccx.label FROM ccx JOIN edges e3 ON e3.uu = ccx.node
+          WHERE ccx.label < e3.vv
+        ),
+        lab AS (
+          SELECT node, min(label) AS label FROM ccx GROUP BY node
+        ),
+        dropped AS (SELECT node FROM lab WHERE node <> label)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+        FROM documents d
+        LEFT JOIN dropped dr ON dr.node = d.doc_id
+        WHERE dr.node IS NULL
     """
 
 

@@ -599,3 +599,34 @@ def source_dup_report(
             "dup_rate_x1000": pa.array(rate, pa.int64()),
         }
     )
+
+
+def minhash_doc_survivors(
+    docs: ray.data.Dataset,
+    **kwargs,
+) -> ray.data.Dataset:
+    """(doc_id) of every doc that SURVIVES doc-level MinHash dedup: in
+    each dup cluster only the min-id member is kept; docs in no cluster
+    pass through — the purge face of :func:`minhash_doc_clusters` (the
+    C4/RefinedWeb "drop the duplicates" step).
+
+    Scale shape: the drop set (cluster members minus keepers) is
+    pair-graph-sized — the `source_dup_report` broadcast justification —
+    `ray.put` once, corpus side a row-local `searchsorted` filter, zero
+    shuffles beyond the dedup chain itself."""
+    cl = minhash_doc_clusters(docs, **kwargs)
+    d = cl["doc_id"].to_numpy(zero_copy_only=False)
+    lab = cl["dup_cluster_id"].to_numpy(zero_copy_only=False)
+    drop = np.sort(d[d != lab]).astype(np.int64)
+    ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dr = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(dr, ids)
+        dropped = (pos < len(dr)) & (dr[np.minimum(pos, len(dr) - 1)] == ids)
+        return pa.table(
+            {"doc_id": pa.array(ids[~dropped], pa.int64())}
+        )
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -275,3 +275,30 @@ def test_fuzzy_decontam_planted(ray_session):
     assert (0, 100) in got and (1, 102) in got
     for p, v in got.items():
         assert want[p] == v
+
+
+def test_minhash_doc_survivors(ray_session):
+    """Survivors = corpus minus non-keeper cluster members, keeper = min
+    id per cluster; independent union-find reference."""
+    import ray.data as rd
+
+    from intertext_ray.ops.minhash_doc import (
+        minhash_doc_clusters,
+        minhash_doc_survivors,
+    )
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "a b c d e f g h"},
+            {"doc_id": 1, "text": "a b c d e f g h"},
+            {"doc_id": 2, "text": "a b c d e f g x"},
+            {"doc_id": 3, "text": "p q r s t u v w"},
+            {"doc_id": 4, "text": "z z z y y y x x"},
+        ]
+    )
+    cl = minhash_doc_clusters(docs).to_pandas()
+    drop = set(cl.doc_id[cl.doc_id != cl.dup_cluster_id])
+    got = set(minhash_doc_survivors(docs).to_pandas().doc_id)
+    assert got == {0, 1, 2, 3, 4} - drop
+    assert 0 in got and 3 in got and 4 in got  # keepers / singletons
+    assert 1 not in got  # exact dup of 0 must drop
