@@ -730,6 +730,15 @@ def _q_minhash_doc_survivors(sf_dir: str):
     return minhash_doc_survivors(_docs(sf_dir))
 
 
+def _q_perplexity_filter(sf_dir: str):
+    """CCNet-style perplexity gate: keep the lowest-perplexity 90% of
+    the corpus under the char-bigram LM; exact integer threshold
+    T = min{v : count(<=v) >= ceil(0.9 n)}, ties kept."""
+    from intertext_ray.ops.charlm import perplexity_quantile_filter
+
+    return perplexity_quantile_filter(_docs(sf_dir), keep_permille=900)
+
+
 def _q_fold_diacritics(sf_dir: str):
     """Driver-pins the diacritic-folding kernel (unidecode-extras table,
     NFKD+strip, Greek/Cyrillic romanization — reference
@@ -1604,6 +1613,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "cms_word_counts": _q_cms_word_counts,
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "minhash_doc_survivors": _q_minhash_doc_survivors,
+        "perplexity_filter": _q_perplexity_filter,
         "suffix_repeat_spans": _q_suffix_spans,
         "token_quantiles_sketch": _q_token_quantiles_sketch,
         "sliding_event_stats": _q_sliding_events,
@@ -3061,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fuzzy_decontam": _fuzzy_decontam_sql(k=3, pct=50),
         "minhash_doc_survivors": _minhash_doc_survivors_sql(),
+        "perplexity_filter": _perplexity_filter_sql(keep_permille=900),
         "blocklist_report": """
             WITH toks AS (
               SELECT doc_id,
@@ -3683,6 +3694,29 @@ def _fuzzy_decontam_sql(
         JOIN sizes sa ON sa.doc_id = x.a
         JOIN sizes sb ON sb.doc_id = x.e
         WHERE 100 * x.i >= {pct} * (sa.n + sb.n - x.i)
+    """
+
+
+def _perplexity_filter_sql(keep_permille: int = 900) -> str:
+    """Twin of ``ops.charlm.perplexity_quantile_filter``: the full charlm
+    twin as a subquery, then the identical ceil-threshold + ties-kept
+    gate via a cumulative count window."""
+    return f"""
+        WITH scores AS (SELECT * FROM ({_charlm_sql(permille=500)})),
+        nn2 AS (SELECT count(*) AS n FROM scores),
+        r2 AS (
+          SELECT s.avg_nll2_q20,
+                 count(*) OVER (ORDER BY s.avg_nll2_q20) AS cum
+          FROM scores s
+        ),
+        tt AS (
+          SELECT min(avg_nll2_q20) AS t
+          FROM r2, nn2
+          WHERE cum >= (nn2.n * {keep_permille} + 999) // 1000
+        )
+        SELECT s.doc_id, s.avg_nll2_q20
+        FROM scores s, tt
+        WHERE s.avg_nll2_q20 <= tt.t
     """
 
 

@@ -232,3 +232,58 @@ def char_entropy_scores(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def perplexity_quantile_filter(
+    docs: ray.data.Dataset,
+    keep_permille: int = 900,
+    text_col: str = "text",
+    permille_train: int = 500,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """(doc_id, avg_nll2_q20) of the docs KEPT by the CCNet-style
+    perplexity gate: score every doc with the char-bigram LM, keep the
+    lowest-perplexity ``keep_permille``/1000 of the corpus (ties at the
+    threshold all kept — deterministic on both engine and twin).
+
+    Threshold contract (exact integers end to end):
+    ``T = min{v : count(score <= v) >= ceil(n * keep_permille / 1000)}``,
+    keep ``score <= T``.
+
+    Scale shape: scoring is the zero-shuffle charlm pass; the threshold
+    needs one ``groupby(value).count()`` whose cardinality is the number
+    of DISTINCT scores (corpus-bounded — same documented caveat and
+    sketch upgrade path as ``sampling.exact_int_quantiles``); the final
+    gate is a row-local filter against the broadcast threshold.
+    """
+    scores = perplexity_scores(
+        docs, text_col, permille_train, salt
+    ).materialize()
+    n = scores.count()
+    if n == 0:
+        return scores.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "avg_nll2_q20": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    need = (n * keep_permille + 999) // 1000
+    hist = scores.groupby("avg_nll2_q20").count().to_pandas()
+    hist = hist.sort_values("avg_nll2_q20")
+    cum = hist["count()"].cumsum()
+    t = int(hist["avg_nll2_q20"].to_numpy()[(cum >= need).argmax()])
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.less_equal(b["avg_nll2_q20"], pa.scalar(t, pa.int64()))
+        kept = b.filter(m)
+        return pa.table(
+            {
+                "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+                "avg_nll2_q20": pc.cast(kept["avg_nll2_q20"], pa.int64()),
+            }
+        )
+
+    return scores.map_batches(keep, batch_format="pyarrow")

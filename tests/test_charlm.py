@@ -156,3 +156,33 @@ def test_char_entropy_scalar_reference_and_properties():
     assert out.loc[1, "entropy_q20"] == 0  # constant doc: exactly zero
     assert out.loc[2, "entropy_q20"] > out.loc[3, "entropy_q20"]  # skew
     assert abs(out.loc[4, "entropy_q20"] - 3 * 2**20) <= 1  # 8 uniform
+
+
+def test_perplexity_quantile_filter():
+    """The gate keeps exactly the lowest ceil(n*p/1000) scores plus
+    threshold ties, and every kept score <= every dropped score."""
+    from intertext_ray.ops.charlm import (
+        perplexity_quantile_filter,
+        perplexity_scores,
+    )
+
+    rng = np.random.default_rng(4)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran"]
+    texts = [
+        " ".join(rng.choice(vocab, 12)) for _ in range(40)
+    ] + ["zqxj" * 8, "wvkp" * 8]  # gibberish tail must drop at p<=954
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    all_scores = (
+        perplexity_scores(ds).to_pandas().set_index("doc_id")["avg_nll2_q20"]
+    )
+    kept = perplexity_quantile_filter(ds, keep_permille=900).to_pandas()
+    n = len(texts)
+    need = (n * 900 + 999) // 1000
+    vals = np.sort(all_scores.to_numpy())
+    t = vals[need - 1]
+    want = set(all_scores.index[all_scores <= t])
+    assert set(kept.doc_id) == want
+    assert len(kept) >= need
+    assert 40 not in set(kept.doc_id) and 41 not in set(kept.doc_id)
