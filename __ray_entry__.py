@@ -1530,8 +1530,13 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # full difflib matches table -- kernel driver-pinned via in-window
     # dedup_match_sample -- and the FFT audio family, pinned by
     # repo-local brute-force oracles) sit last.
-    # tools/check_entry.py checks ALL twinned queries regardless of
-    # position; COVERAGE.md carries the same map.
+    # Twins added after the window froze: char_entropy_scores /
+    # blocklist_report / fuzzy_decontam swapped IN (displacing
+    # sorted_neighbor_multi, audio_invariant_summary, csv_token_counts —
+    # each strongly pinned by in-window parents); minhash_doc_survivors
+    # and perplexity_filter sit at 51+ as pure compositions of in-window
+    # kernels.  tools/check_entry.py checks ALL twinned queries
+    # regardless of position; COVERAGE.md carries the same map.
     return {
         # flagship dedup chain (north rule)
         "windows": _q_windows,

@@ -77,6 +77,17 @@ def build_audio_index(
 ) -> str:
     """Materialize the corpus's shingle-key and fingerprint artifacts
     (decode runs exactly once per corpus version)."""
+    import json
+
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    meta = {"g": g, "num_buckets": num_buckets, "fp_buckets": fp_buckets}
+    if os.path.exists(meta_path):
+        old = json.load(open(meta_path))
+        if old != meta:
+            raise ValueError(
+                f"audio index {index_dir} was built with {old}; appending "
+                f"with {meta} would corrupt it — rebuild or match the knobs"
+            )
     fps = audio_fingerprints(clips).materialize()
     _shingle_rows(fps, g, num_buckets).write_parquet(
         os.path.join(index_dir, "shingles"), partition_cols=["sbucket"]
@@ -98,6 +109,8 @@ def build_audio_index(
     fps.map_batches(add_fbucket, batch_format="pyarrow").write_parquet(
         os.path.join(index_dir, "fps"), partition_cols=["fbucket"]
     )
+    os.makedirs(index_dir, exist_ok=True)
+    json.dump(meta, open(meta_path, "w"))
     return index_dir
 
 
@@ -131,6 +144,17 @@ def incremental_audio_dup_pairs(
     old-vs-old is the previous waves' settled result and is never
     recomputed.  ``num_buckets``/``fp_buckets``/``g`` must equal the
     index's build-time values."""
+    import json
+
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        want = {"g": g, "num_buckets": num_buckets, "fp_buckets": fp_buckets}
+        if meta != want:
+            raise ValueError(
+                f"audio index {index_dir} built with {meta}, wave called "
+                f"with {want} — knobs must match the index"
+            )
     new_fps = audio_fingerprints(new_clips).materialize()
     shingles = _shingle_rows(new_fps, g, num_buckets)
 

@@ -123,3 +123,20 @@ def test_incremental_audio_wave(ray_session, tmp_path):
         for a, b in zip(inc2.clip_a, inc2.clip_b)
     }
     assert tuple(sorted((w2_id, id_of["w1_pair_a"]))) in got2
+
+
+def test_index_meta_guard(ray_session, tmp_path):
+    """A wave with mismatched knobs is rejected instead of silently
+    producing wrong candidates against a differently-bucketed index."""
+    import pytest
+
+    clips, _ = gen_audio_dup_corpus(8, seed=3)
+    clips = clips.select(["clip_id", "bytes", "sr_hz", "codec"])
+    idx = str(tmp_path / "guard")
+    build_audio_index(ray.data.from_arrow(clips), idx, num_buckets=16)
+    with pytest.raises(ValueError, match="knobs must match"):
+        incremental_audio_dup_pairs(
+            ray.data.from_arrow(clips), idx, num_buckets=8
+        )
+    with pytest.raises(ValueError, match="rebuild or match"):
+        build_audio_index(ray.data.from_arrow(clips), idx, num_buckets=8)
