@@ -292,6 +292,19 @@ def _q_curate_corpus(sf_dir: str):
     )
 
 
+def _q_ann_topk_pq(sf_dir: str):
+    """IVFADC product-quantization ANN (approx by design — k-means not
+    SQL; near-dup retrieval recall pinned in tests)."""
+    from intertext_ray.ops.embeddings import ann_topk_pq
+
+    emb = _read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann_topk_pq(
+        emb, query_ids=[0, 1, 2, 3, 4, 5, 6, 7], k=10, m=8, n_centroids=32
+    )
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup: k-means cells + within-cell greedy cosine dedup
     (approximate by design — k-means is not SQL-expressible, so this is a
@@ -1635,6 +1648,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         # --- non-SQL-expressible (approx-by-design / difflib / FFT)
         "dedup_matches": _q_matches,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_topk_pq": _q_ann_topk_pq,
         "semantic_dedup": _q_semantic_dedup,
         "audio_fingerprints": _q_audio_fingerprints,
         "audio_dup_pairs": _q_audio_dup_pairs,

@@ -689,3 +689,168 @@ def semantic_dedup(
         )
 
     return assigned.groupby("cell").map_groups(dedup_cell, batch_format="pyarrow")
+
+
+def train_pq_codebooks(
+    embeddings: ray.data.Dataset,
+    m: int = 8,
+    n_centroids: int = 32,
+    sample_rows: int = 4096,
+    iters: int = 12,
+    seed: int = 0x90_1234,
+    id_col: str = "vec_id",
+    coarse: np.ndarray | None = None,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    L2-normalized vector into ``m`` contiguous subspaces and k-means each
+    independently over the same seeded-uniform bounded sample as
+    :func:`train_ivf_centroids` (layout/partition-invariant, no head-of-
+    corpus bias).  With ``coarse`` centroids given, codebooks are trained
+    on the RESIDUAL x - c(x) (the IVFADC construction — residual energy
+    is the within-cell offset, far smaller than the vector itself, so the
+    same code budget quantizes much finer).  Returns float64
+    (m, n_centroids, dim//m)."""
+    total = embeddings.count()
+    rate = min(1.0, (2.0 * sample_rows) / max(total, 1))
+    thresh = np.uint64(min(int(rate * float(2**64 - 1)), 2**64 - 1))
+    salt = splitmix64(np.uint64(seed ^ 0xC3C3_3C3C))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ salt)
+        keep = h <= thresh
+        kept = batch.select([id_col, "embedding"]).filter(pa.array(keep))
+        return kept.append_column("_h", pa.array(h[keep], pa.uint64()))
+
+    sample = embeddings.map_batches(pick, batch_format="pyarrow").to_pandas()
+    sample = sample.sort_values(["_h", id_col]).head(sample_rows)
+    mat = _normalize(np.vstack(sample["embedding"].to_numpy()))
+    if coarse is not None:
+        mat = mat - coarse[np.argmax(mat @ coarse.T, axis=1)]
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(int(splitmix64(np.uint64(seed))))
+    kc = min(n_centroids, len(mat))
+    books = np.empty((m, kc, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=kc, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(kc):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = sub[msk].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: per subspace, index of the nearest codeword
+    (L2) for each L2-normalized input row."""
+    n, dim = mat.shape
+    m, kc, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def ann_topk_pq(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 32,
+    n_cells: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 0x90_1234,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate cosine top-k via IVFADC (Jégou et al. 2011): a coarse
+    quantizer (the IVF centroids) plus product-quantized RESIDUALS with
+    asymmetric distance computation — score(q, x) ≈ <q, c(x)> +
+    Σ_j table_q[j, code_j(x)], i.e. one cell lookup + m table lookups
+    instead of a dim-length dot product; at scale (codes materialized)
+    ~dim*8 bytes -> m + 1 bytes per vector of memory.
+
+    Scale shape: codebooks train on the bounded seeded sample; the scan
+    is one streaming ``map_batches`` with per-batch partial top-k (the
+    `ann_topk` merge contract); queries and codebooks broadcast once.
+    Returns (query_id, vec_id, rank, ip_x1000) — approximate scores,
+    recall pinned in tests (rows-only: k-means not SQL-expressible)."""
+    coarse = train_ivf_centroids(
+        embeddings, n_cells=n_cells, sample_rows=sample_rows,
+        seed=seed ^ 0x777, id_col=id_col,
+    )
+    books = train_pq_codebooks(
+        embeddings, m, n_centroids, sample_rows, seed=seed, id_col=id_col,
+        coarse=coarse,
+    )
+    qarr = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, qarr)))
+
+    qtbl = embeddings.map_batches(pick, batch_format="pyarrow").to_pandas()
+    qtbl = qtbl.sort_values(id_col)
+    qmat = _normalize(np.vstack(qtbl["embedding"].to_numpy()))
+    mm, kc, dsub = books.shape
+    # ADC tables: table[q][j][c] = <q_sub_j, codeword_c>; coarse table
+    # ct[q][cell] = <q, centroid_cell>
+    tables = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qmat), mm, dsub), books)
+    ctab = qmat @ coarse.T
+    state = ray.put(
+        {
+            "qids": qtbl[id_col].to_numpy(),
+            "tables": tables,
+            "books": books,
+            "coarse": coarse,
+            "ctab": ctab,
+        }
+    )
+    jj = np.arange(mm)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        st = ray.get(state)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(np.vstack(batch["embedding"].to_pandas().to_numpy()))
+        cell = np.argmax(mat @ st["coarse"].T, axis=1)
+        codes = pq_encode(mat - st["coarse"][cell], st["books"])
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(st["qids"]):
+            s = st["ctab"][qi][cell] + st["tables"][qi][jj, codes].sum(axis=1)
+            top = np.argsort(-s, kind="stable")[:k]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "ip": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(
+        scan, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["ip", "vec_id"], ascending=[False, True]).head(k)
+        for rank, r in enumerate(grp.itertuples()):
+            out.append((int(qid), int(r.vec_id), rank, int(np.floor(1000.0 * r.ip + 1e-6))))
+    return pa.table(
+        {
+            "query_id": pa.array([o[0] for o in out], pa.int64()),
+            "vec_id": pa.array([o[1] for o in out], pa.int64()),
+            "rank": pa.array([o[2] for o in out], pa.int64()),
+            "ip_x1000": pa.array([o[3] for o in out], pa.int64()),
+        }
+    )

@@ -195,3 +195,45 @@ def test_lsh_cosine_subset_and_recall(emb_ds):
         hipairs = set(zip(hi.a, hi.b))
         recall = len(hipairs & lpairs) / len(hipairs)
         assert recall >= 0.9, recall
+
+
+def test_pq_near_dup_retrieval_and_determinism(ray_session):
+    """IVFADC product quantization serves the engine's retrieval need:
+    planted near-dup copies (jitter << cloud noise) of a query vector
+    rank at the top under ADC scoring.  Top-10 of ISOTROPIC noise is
+    intentionally not asserted — ranking within a unit-noise cloud is
+    quantization-resolution-free information no PQ code can retain (the
+    IVF path re-scores probed cells exactly and covers that case)."""
+    from intertext_ray.ops.embeddings import ann_topk_pq
+
+    rng = np.random.default_rng(11)
+    n_base, dim, n_copies = 150, 32, 3
+    bases = rng.standard_normal((n_base, dim)) * 3.0
+    vecs = [bases]
+    for c in range(n_copies):
+        vecs.append(bases + rng.standard_normal((n_base, dim)) * 0.05)
+    mat = np.vstack(vecs)  # copy j of base i has id i + (j+1)*n_base
+    import pyarrow as pa
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+                "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+    )
+    qids = [0, 17, 63, 99, 142]
+    out = ann_topk_pq(
+        ds, qids, k=n_copies + 1, m=8, n_centroids=64
+    ).to_pandas()
+    recalls = []
+    for q in qids:
+        want = {q + (j + 1) * n_base for j in range(n_copies)} | {q}
+        got = set(out[out.query_id == q].vec_id)
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.9, recalls
+    again = ann_topk_pq(
+        ds, qids, k=n_copies + 1, m=8, n_centroids=64
+    ).to_pandas()
+    assert again.equals(out)
