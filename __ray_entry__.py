@@ -305,6 +305,20 @@ def _q_ann_topk_pq(sf_dir: str):
     )
 
 
+def _q_pq_codes(sf_dir: str):
+    """Materialized IVFADC index artifact: 1 cell byte + m code bytes per
+    vector (rows-only: k-means not SQL; parity with the on-the-fly
+    encoder pinned in tests)."""
+    from intertext_ray.ops.embeddings import pq_codes
+
+    emb = _read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_codes(emb, m=8, n_centroids=32, n_cells=16).drop_columns(
+        ["codes"]
+    ).groupby("cell").count()
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup: k-means cells + within-cell greedy cosine dedup
     (approximate by design — k-means is not SQL-expressible, so this is a
@@ -1649,6 +1663,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_matches": _q_matches,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_pq": _q_ann_topk_pq,
+        "pq_cell_histogram": _q_pq_codes,
         "semantic_dedup": _q_semantic_dedup,
         "audio_fingerprints": _q_audio_fingerprints,
         "audio_dup_pairs": _q_audio_dup_pairs,

@@ -854,3 +854,53 @@ def ann_topk_pq(
             "ip_x1000": pa.array([o[3] for o in out], pa.int64()),
         }
     )
+
+
+def pq_codes(
+    embeddings: ray.data.Dataset,
+    m: int = 8,
+    n_centroids: int = 32,
+    n_cells: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 0x90_1234,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """(vec_id, cell, codes:list<uint8>) — the MATERIALIZED IVFADC index
+    artifact: each vector compressed to 1 coarse-cell byte + ``m`` code
+    bytes (vs dim*8 raw), the form a 100 TB embedding store would keep
+    resident for repeated ANN scans (`ann_topk_pq` encodes on the fly;
+    at scale you write THIS table once and scan it instead).
+
+    One streaming pass; codebooks broadcast once.  Deterministic from
+    ``seed`` (layout-invariant training sample)."""
+    coarse = train_ivf_centroids(
+        embeddings, n_cells=n_cells, sample_rows=sample_rows,
+        seed=seed ^ 0x777, id_col=id_col,
+    )
+    books = train_pq_codebooks(
+        embeddings, m, n_centroids, sample_rows, seed=seed, id_col=id_col,
+        coarse=coarse,
+    )
+    state = ray.put({"coarse": coarse, "books": books})
+
+    def encode(batch: pa.Table) -> pa.Table:
+        st = ray.get(state)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_embedding_matrix(batch))
+        cell = np.argmax(mat @ st["coarse"].T, axis=1)
+        codes = pq_encode(mat - st["coarse"][cell], st["books"])
+        n, mm = codes.shape
+        offs = np.arange(0, (n + 1) * mm, mm, dtype=np.int32)
+        codes_col = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.array(codes.ravel(), pa.uint8()),
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(cell.astype(np.int64), pa.int64()),
+                "codes": codes_col,
+            }
+        )
+
+    return embeddings.map_batches(encode, batch_format="pyarrow")

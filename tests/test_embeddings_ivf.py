@@ -237,3 +237,39 @@ def test_pq_near_dup_retrieval_and_determinism(ray_session):
         ds, qids, k=n_copies + 1, m=8, n_centroids=64
     ).to_pandas()
     assert again.equals(out)
+
+
+def test_pq_codes_artifact(emb_ds):
+    """The materialized code table: one row per vector, m uint8 codes,
+    cell in range, and codes agree with the on-the-fly encoding used by
+    ann_topk_pq (same seed -> same codebooks)."""
+    from intertext_ray.ops.embeddings import (
+        _embedding_matrix,
+        _normalize,
+        pq_codes,
+        pq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    import pyarrow as pa
+
+    out = pq_codes(emb_ds, m=8, n_centroids=32, n_cells=12).to_pandas()
+    assert len(out) == 600
+    assert out["cell"].between(0, 11).all()
+    assert all(len(c) == 8 for c in out["codes"])
+    # independent re-derivation
+    coarse = train_ivf_centroids(emb_ds, n_cells=12, seed=0x90_1234 ^ 0x777)
+    books = train_pq_codebooks(
+        emb_ds, 8, 32, 4096, seed=0x90_1234, coarse=coarse
+    )
+    tbl = pa.Table.from_pandas(emb_ds.to_pandas())
+    mat = _normalize(_embedding_matrix(tbl))
+    ids = tbl["vec_id"].to_numpy()
+    cell = np.argmax(mat @ coarse.T, axis=1)
+    codes = pq_encode(mat - coarse[cell], books)
+    got = out.set_index("vec_id")
+    assert (got.loc[ids, "cell"].to_numpy() == cell).all()
+    assert all(
+        list(got.loc[i, "codes"]) == list(codes[j])
+        for j, i in enumerate(ids[:50])
+    )
