@@ -1155,6 +1155,25 @@ def _q_remove_audio_spans(sf_dir: str):
     return docs_as_int64(out)
 
 
+def _q_audio_payload_report(sf_dir: str):
+    """Decode-free payload integrity gate (NINTH driver-checked audio
+    face): expected sample count from byte length per codec, declared
+    dur_ms consistency at 1 ms floor slop; zero payload reads (Arrow
+    offsets only).  Twin replicates the arithmetic over octet_length."""
+    from intertext_ray.ops.audio_stats import audio_payload_report
+    from intertext_ray.sources.clips import read_clips
+    import os
+
+    from intertext_ray.fixtures.gen_audio import audio_dup_corpus_for_sf
+
+    cache = audio_dup_corpus_for_sf(sf_dir)
+    clips = read_clips(
+        os.path.join(cache, "clips"),
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"],
+    )
+    return audio_payload_report(clips)
+
+
 def _q_audio_fingerprints(sf_dir: str):
     """Haitsma-Kalker subfingerprints per clip (no SQL twin: FFT is not
     DuckDB-expressible; local tests pin determinism + robustness)."""
@@ -1611,7 +1630,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_exact_dups": _q_audio_exact_dups,
         "audio_invariant": _q_audio_invariant,
         "audio_gain": _q_audio_gain,
-        "audio_decontam": _q_audio_decontam,
+        "audio_payload_report": _q_audio_payload_report,
         "blocklist_report": _q_blocklist,
         # sampling / sketches
         "temperature_resample": _q_temperature_resample,
@@ -1630,6 +1649,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "csv_token_counts": _q_csv_token_counts,
         "sorted_neighbor_multi": _q_sorted_neighbor_multi,
         "audio_invariant_summary": _q_audio_invariant_summary,
+        "audio_decontam": _q_audio_decontam,
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "containment_search": _q_containment,
@@ -3106,6 +3126,41 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_decontam": _fuzzy_decontam_sql(k=3, pct=50),
         "minhash_doc_survivors": _minhash_doc_survivors_sql(),
         "perplexity_filter": _perplexity_filter_sql(keep_permille=900),
+        "audio_payload_report": f"""
+            SELECT CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                     AS doc_id,
+                   codec,
+                   CAST(octet_length(bytes) AS BIGINT) AS payload_bytes,
+                   CAST(CASE codec
+                        WHEN 'pcm_s16le' THEN octet_length(bytes) // 2
+                        WHEN 'ulaw' THEN octet_length(bytes)
+                        WHEN 'alaw' THEN octet_length(bytes)
+                        WHEN 'wav' THEN
+                          greatest(octet_length(bytes) - 44, 0) // 2
+                        ELSE -1 END AS BIGINT) AS n_samples_est,
+                   CAST(CASE codec
+                        WHEN 'pcm_s16le' THEN
+                          (octet_length(bytes) // 2) * 1000 // sr_hz
+                        WHEN 'ulaw' THEN octet_length(bytes) * 1000 // sr_hz
+                        WHEN 'alaw' THEN octet_length(bytes) * 1000 // sr_hz
+                        WHEN 'wav' THEN
+                          (greatest(octet_length(bytes) - 44, 0) // 2)
+                            * 1000 // sr_hz
+                        ELSE -1 END AS BIGINT) AS dur_ms_est,
+                   CAST(dur_ms AS BIGINT) AS dur_ms,
+                   codec IN ('pcm_s16le', 'ulaw', 'alaw', 'wav')
+                     AS est_known,
+                   codec IN ('pcm_s16le', 'ulaw', 'alaw', 'wav') AND
+                   abs(CASE codec
+                        WHEN 'pcm_s16le' THEN
+                          (octet_length(bytes) // 2) * 1000 // sr_hz
+                        WHEN 'ulaw' THEN octet_length(bytes) * 1000 // sr_hz
+                        WHEN 'alaw' THEN octet_length(bytes) * 1000 // sr_hz
+                        ELSE (greatest(octet_length(bytes) - 44, 0) // 2)
+                               * 1000 // sr_hz
+                        END - dur_ms) <= 1 AS dur_consistent
+            FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+        """,
         "blocklist_report": """
             WITH toks AS (
               SELECT doc_id,

@@ -166,3 +166,60 @@ def audio_pcm_stats(
         )
 
     return clips.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def audio_payload_report(
+    clips: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """(doc_id, codec, payload_bytes, n_samples_est, dur_ms_est,
+    dur_ms, est_known, dur_consistent) — the DECODE-FREE integrity gate:
+    at 10^12-clip scale the first corruption sweep must not touch sample
+    data, so this derives the expected sample count from byte length
+    alone (pcm_s16le: len/2; G.711 u/A-law: len; canonical 44-byte-header
+    WAV: (len-44)/2 — the container this repo's encoder writes) and
+    flags rows whose declared ``dur_ms`` disagrees by more than the 1 ms
+    floor slop.  Codecs whose frame structure needs a real parse (flac,
+    opus stubs) report ``est_known = false``.
+
+    Zero payload reads: ``binary_length`` touches the Arrow offsets
+    buffer only.  Row-local, no shuffle.  The DuckDB twin replicates the
+    identical arithmetic over ``octet_length``.
+    """
+    import pyarrow.compute as pc
+
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    def report(batch: pa.Table) -> pa.Table:
+        doc = doc_ids_for_clip_ids(batch["clip_id"])
+        blen = pc.binary_length(batch["bytes"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        codec = np.asarray(batch["codec"].to_pylist())
+        sr = batch["sr_hz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = batch["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        est = np.full(len(blen), -1, dtype=np.int64)
+        est[codec == "pcm_s16le"] = blen[codec == "pcm_s16le"] // 2
+        for c in ("ulaw", "alaw"):
+            est[codec == c] = blen[codec == c]
+        wav = codec == "wav"
+        est[wav] = np.maximum(blen[wav] - 44, 0) // 2
+        known = est >= 0
+        dur_est = np.where(known, est * 1000 // np.maximum(sr, 1), -1)
+        ok = known & (np.abs(dur_est - dur) <= 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(doc, dtype=np.uint64).astype(np.int64),
+                    pa.int64(),
+                ),
+                "codec": pa.array(codec.tolist(), pa.string()),
+                "payload_bytes": pa.array(blen, pa.int64()),
+                "n_samples_est": pa.array(est, pa.int64()),
+                "dur_ms_est": pa.array(dur_est, pa.int64()),
+                "dur_ms": pa.array(dur, pa.int64()),
+                "est_known": pa.array(known),
+                "dur_consistent": pa.array(ok),
+            }
+        )
+
+    return clips.map_batches(report, batch_format="pyarrow")

@@ -524,3 +524,44 @@ def test_remove_audio_spans_rewrite():
     if len(spans2):
         for a, b in zip(spans2["clip_a"], spans2["clip_b"]):
             assert {int(a), int(b)} != pair
+
+
+def test_audio_payload_report_decode_free():
+    """Byte-length-derived sample counts match real decode for every
+    estimable codec; a corrupted (truncated) payload flags
+    dur_consistent=False; unknown codecs report est_known=False."""
+    from intertext_ray.ops.audio_stats import audio_payload_report
+
+    clips, _ = gen_audio_dup_corpus(20, seed=13)
+    # corrupt one clip: chop 20% of the payload, keep declared dur_ms
+    import pyarrow as pa
+
+    rows = clips.to_pylist()
+    rows[3]["bytes"] = rows[3]["bytes"][: len(rows[3]["bytes"]) * 8 // 10]
+    rows.append(
+        {
+            "clip_id": "clip_900",
+            "bytes": b"\x00" * 100,
+            "sr_hz": 8000,
+            "dur_ms": 10,
+            "codec": "opus",
+            "transcript": "",
+        }
+    )
+    tbl = pa.Table.from_pylist(rows)
+    out = (
+        audio_payload_report(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for r in rows[:20]:
+        d = int(r["clip_id"].split("_")[-1])
+        pcm = decode_clip(r["bytes"], r["sr_hz"], r["codec"])
+        assert out.loc[d, "n_samples_est"] == len(pcm)
+    bad = int(rows[3]["clip_id"].split("_")[-1])
+    assert not out.loc[bad, "dur_consistent"]
+    ok_rows = out.drop(index=[bad, 900])
+    assert ok_rows["dur_consistent"].all()
+    assert not out.loc[900, "est_known"]
+    assert out.loc[900, "n_samples_est"] == -1
