@@ -425,6 +425,19 @@ def _q_fuzzy_decontam(sf_dir: str):
     return fuzzy_decontam(tr, ev, k=3, min_jaccard=0.5)
 
 
+def _q_fuzzy_decontam_survivors(sf_dir: str):
+    """Purge face of near-dup decontamination: training docs minus
+    everything flagged vs the source-'src0' benchmark."""
+    from intertext_ray.ops.decontam import fuzzy_decontam_survivors
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    ev = docs.filter(expr="source == 'src0'")
+    tr = docs.filter(expr="source != 'src0'")
+    return fuzzy_decontam_survivors(tr, ev, k=3, min_jaccard=0.5)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs from source 'src0' act as the eval
     suite; every other doc reports its count of distinct shared word
@@ -1650,6 +1663,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighbor_multi": _q_sorted_neighbor_multi,
         "audio_invariant_summary": _q_audio_invariant_summary,
         "audio_decontam": _q_audio_decontam,
+        "fuzzy_decontam_survivors": _q_fuzzy_decontam_survivors,
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "containment_search": _q_containment,
@@ -3124,6 +3138,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fuzzy_decontam": _fuzzy_decontam_sql(k=3, pct=50),
+        "fuzzy_decontam_survivors": _fuzzy_decontam_survivors_sql(k=3, pct=50),
         "minhash_doc_survivors": _minhash_doc_survivors_sql(),
         "perplexity_filter": _perplexity_filter_sql(keep_permille=900),
         "audio_payload_report": f"""
@@ -3806,6 +3821,23 @@ def _perplexity_filter_sql(keep_permille: int = 900) -> str:
         SELECT s.doc_id, s.avg_nll2_q20
         FROM scores s, tt
         WHERE s.avg_nll2_q20 <= tt.t
+    """
+
+
+def _fuzzy_decontam_survivors_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50
+) -> str:
+    """Twin of ``ops.decontam.fuzzy_decontam_survivors``: the full
+    cross-source chain as a subquery, then training docs EXCEPT the
+    flagged set."""
+    return f"""
+        WITH flagged AS (
+          SELECT DISTINCT doc_id FROM ({_fuzzy_decontam_sql(k, n_perm, band_rows, pct)})
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+        FROM documents d
+        LEFT JOIN flagged fl ON fl.doc_id = d.doc_id
+        WHERE d.source <> 'src0' AND fl.doc_id IS NULL
     """
 
 

@@ -269,3 +269,37 @@ def fuzzy_decontam(
     return train_docs.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def fuzzy_decontam_survivors(
+    train_docs: ray.data.Dataset,
+    eval_docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 16,
+    band_rows: int = 2,
+    min_jaccard: float = 0.5,
+) -> ray.data.Dataset:
+    """(doc_id) of the training docs that SURVIVE near-dup
+    decontamination — the purge face of :func:`fuzzy_decontam` (drop
+    every doc flagged against ANY benchmark doc).  Flagged set is
+    pair-proportional: broadcast once, corpus filtered row-locally."""
+    flagged = fuzzy_decontam(
+        train_docs, eval_docs, text_col, k, n_perm, band_rows, min_jaccard
+    )
+    ids: set[int] = set()
+    for b in flagged.select_columns(["doc_id"]).iter_batches(
+        batch_size=1 << 18, batch_format="pyarrow"
+    ):
+        ids.update(b["doc_id"].to_numpy(zero_copy_only=False).tolist())
+    drop = np.array(sorted(ids), dtype=np.int64)
+    ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dr = ray.get(ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(dr, d)
+        hit = (pos < len(dr)) & (dr[np.minimum(pos, len(dr) - 1)] == d)
+        return pa.table({"doc_id": pa.array(d[~hit], pa.int64())})
+
+    return train_docs.map_batches(keep, batch_format="pyarrow")

@@ -302,3 +302,40 @@ def test_minhash_doc_survivors(ray_session):
     assert got == {0, 1, 2, 3, 4} - drop
     assert 0 in got and 3 in got and 4 in got  # keepers / singletons
     assert 1 not in got  # exact dup of 0 must drop
+
+
+def test_fuzzy_decontam_survivors(ray_session):
+    """Survivors = training docs minus every doc flagged vs any eval
+    doc; composes with the planted-leak fixture."""
+    import numpy as np
+    import ray.data as rd
+
+    from intertext_ray.ops.decontam import (
+        fuzzy_decontam,
+        fuzzy_decontam_survivors,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    ev_texts = [" ".join(rng.choice(vocab, 30)) for _ in range(3)]
+    leak = ev_texts[1].split()
+    leak[4] = "zz"
+    train_texts = [" ".join(leak)] + [
+        " ".join(rng.choice(vocab, 30)) for _ in range(5)
+    ]
+    ev = rd.from_items(
+        [{"doc_id": 100 + i, "text": t} for i, t in enumerate(ev_texts)]
+    )
+    tr = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(train_texts)]
+    )
+    flagged = set(
+        fuzzy_decontam(tr, ev, k=3, min_jaccard=0.4).to_pandas().doc_id
+    )
+    surv = set(
+        fuzzy_decontam_survivors(tr, ev, k=3, min_jaccard=0.4)
+        .to_pandas()
+        .doc_id
+    )
+    assert 0 in flagged
+    assert surv == set(range(6)) - flagged
