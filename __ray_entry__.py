@@ -781,12 +781,17 @@ def _q_perplexity_filter(sf_dir: str):
 
 def _q_fold_diacritics(sf_dir: str):
     """Driver-pins the diacritic-folding kernel (unidecode-extras table,
-    NFKD+strip, Greek/Cyrillic romanization — reference
-    intertext.py:1143-1144): inject known accented chars into the raw
-    text (a->á e->έ o->ø c->ç s->ш p->ψ — all vectorized), fold with the
-    REAL kernel.  Net effect on the original ASCII is s->sh, p->ps, so
-    the twin is exact replace() — value-hash equality certifies every
-    hop (extras table, decomposition, romanization) byte-for-byte."""
+    CJK/Arabic romanization, NFKD+strip, Greek/Cyrillic romanization —
+    reference intertext.py:1143-1144): inject known chars from EVERY
+    covered script family into the raw text (a->á e->έ o->ø c->ç s->ш
+    p->ψ t->ث d->ذ k->か r->ル h->한 z->中 m->م b->ب — all vectorized),
+    fold with the REAL kernel.  Each injected char is a pure function of
+    one raw ASCII char, so the net effect is a simultaneous per-char map
+    (s->sh p->ps t->th d->dh k->ka r->ru h->han z->zhong; a e o c m b are
+    identity) that the twin replicates with an ordered replace() chain
+    (an output never contains a pattern replaced later) — value-hash
+    equality certifies every hop (extras table, Arabic/kana/hanzi tables,
+    algorithmic Hangul, decomposition, romanization) byte-for-byte."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -797,7 +802,10 @@ def _q_fold_diacritics(sf_dir: str):
     def fn(b: pa.Table) -> pa.Table:
         t = b["text"]
         for src, dst in [("a", "á"), ("e", "έ"), ("o", "ø"),
-                         ("c", "ç"), ("s", "ш"), ("p", "ψ")]:
+                         ("c", "ç"), ("s", "ш"), ("p", "ψ"),
+                         ("t", "ث"), ("d", "ذ"), ("k", "か"),
+                         ("r", "ル"), ("h", "한"), ("z", "中"),
+                         ("m", "م"), ("b", "ب")]:
             t = pc.replace_substring(t, pattern=src, replacement=dst)
         folded = pa.array(
             [strip_diacritics(x) for x in t.to_pylist()], pa.string()
@@ -850,7 +858,9 @@ def _q_matches(sf_dir: str):
 def _q_match_sample(sf_dir: str):
     """Driver-checkable pinning of the difflib verify link (reference F1,
     ``intertext.py:1261-1263``): the verified matches restricted to a
-    deterministic splitmix64 sample (1/2048) of the candidate keyspace.
+    deterministic splitmix64 sample (1/64) of the candidate keyspace
+    (widened from 1/2048 in round 4 to shrink the rows-only surface of
+    the full ``dedup_matches`` table ~32x).
     The SQL twin re-runs verification end-to-end over the SAME candidate
     sample — window texts recomputed from raw ``documents``, the junk-window
     gate, and the Ratcliff/Obershelp ratio itself via a recursive
@@ -873,7 +883,7 @@ def _q_match_sample(sf_dir: str):
         u = (da << np.uint64(32)) | wa
         v = (db << np.uint64(32)) | wb
         key = splitmix64(u * c_mix + v)
-        return t.filter(pa.array((key % np.uint64(2048)) == np.uint64(0)))
+        return t.filter(pa.array((key % np.uint64(64)) == np.uint64(0)))
 
     return _i64(res.matches.map_batches(samp, batch_format="pyarrow"))
 
@@ -1143,7 +1153,9 @@ def _q_audio_incremental(sf_dir: str):
     old = clips.map_batches(split(False), batch_format="pyarrow")
     wave = clips.map_batches(split(True), batch_format="pyarrow")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/itx_aidx_{tag}"
+    # pid component: two concurrent driver/check runs on the same sf tier
+    # must not share (and rmtree) one index mid-build
+    idx = f"/tmp/itx_aidx_{tag}_{os.getpid()}"
     shutil.rmtree(idx, ignore_errors=True)
     build_audio_index(old, idx, num_buckets=16)
     return docs_as_int64(
@@ -2410,7 +2422,7 @@ def _bloom_sql(m_bits: int = 1024, k: int = 3) -> str:
 
 def _match_sample_sql() -> str:
     """Twin of ``_q_match_sample``: re-verifies the SAME deterministic
-    1/2048 sample of the candidate keyspace entirely in SQL.
+    1/64 sample of the candidate keyspace entirely in SQL.
 
     The difflib kernel (``SequenceMatcher(None, a, b, autojunk=False)
     .ratio()``, reference ``intertext.py:1261-1263``) is recomputed exactly:
@@ -2451,7 +2463,7 @@ def _match_sample_sql() -> str:
         mx AS (SELECT doc_a, doc_b, win_a, win_b, {mix0} AS m0 FROM ckey),
         samp AS (
           SELECT doc_a, doc_b, win_a, win_b FROM mx
-          WHERE ({_sql_splitmix('m0')}) % 2048 = 0
+          WHERE ({_sql_splitmix('m0')}) % 64 = 0
         ),
         wsrc AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
@@ -3129,12 +3141,19 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_pairs": _substring_pairs_sql(k=8),
         "duplicate_spans": _dup_spans_sql(k=8),
         "remove_dup_spans": _remove_spans_sql(k=8),
-        # fold_diacritics: engine injects accented chars then folds with
-        # the real unidecode-extras/NFKD/romanization kernel; the net
-        # effect on the raw ASCII is s->sh, p->ps (see _q_fold_diacritics)
+        # fold_diacritics: engine injects chars from every covered script
+        # family then folds with the real kernel; the net per-char map on
+        # the raw ASCII (see _q_fold_diacritics) is replicated as an
+        # ordered replace chain — h first (its output 'han' contains no
+        # later pattern), then s/t/d/z (outputs contain 'h', already
+        # replaced), then p (output contains 's', already replaced), then
+        # k/r (outputs contain only unmapped chars)
         "fold_diacritics": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   replace(replace(text, 's', 'sh'), 'p', 'ps') AS text
+                   replace(replace(replace(replace(replace(replace(replace(
+                     replace(text, 'h', 'han'),
+                     's', 'sh'), 't', 'th'), 'd', 'dh'), 'z', 'zhong'),
+                     'p', 'ps'), 'k', 'ka'), 'r', 'ru') AS text
             FROM documents
         """,
         "fuzzy_decontam": _fuzzy_decontam_sql(k=3, pct=50),
@@ -3178,10 +3197,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "blocklist_report": """
             WITH toks AS (
-              SELECT doc_id,
-                     lower(unnest(regexp_split_to_array(trim(text), '\\s+')))
-                       AS w
-              FROM documents WHERE trim(text) <> ''
+              -- empty-token filter (not trim): str.split() drops empties
+              -- from leading/trailing whitespace of ANY class (tabs,
+              -- newlines), while trim() strips spaces only
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       lower(unnest(regexp_split_to_array(text, '\\s+')))
+                         AS w
+                FROM documents
+              ) WHERE w <> ''
             ),
             agg AS (
               SELECT doc_id, count(*) AS n_tokens,

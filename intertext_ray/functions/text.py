@@ -37,7 +37,8 @@ _UNIDECODE_EXTRAS = str.maketrans(
 # ``unidecode``: outputs follow the standard romanizations and agree with
 # unidecode on the common range, but byte-parity is only *guaranteed* for
 # the Latin table above (unidecode itself is not importable here to pin
-# against).  Scripts without a table (CJK, Arabic, ...) still pass through.
+# against).  CJK + Arabic are handled by ``functions/translit.py``
+# (applied before NFKD); only hanzi outside its pinned subset pass through.
 _ROMANIZE = str.maketrans(
     {
         # Greek (lowercase / uppercase)
@@ -71,13 +72,20 @@ def strip_diacritics(text: str) -> str:
     """Diacritic folding (reference uses ``unidecode``,
     ``intertext/intertext.py:1143-1144``; unidecode is not in this
     environment, so we pin an explicit table for the non-decomposable Latin
-    characters — matching unidecode's outputs — followed by NFKD +
-    combining-mark strip, then Greek/Cyrillic romanization via the
-    standard tables in ``_ROMANIZE``.  Remaining divergence: scripts
-    without a table (CJK, Arabic, ...) pass through, and Greek/Cyrillic
-    parity with unidecode is standard-romanization-close but not pinned
-    byte-exact; only matters when ``strip_diacritics=True``)."""
+    characters — matching unidecode's outputs — then romanize CJK/Arabic
+    (``functions/translit.py``: full Arabic block, full kana, algorithmic
+    Hangul, a pinned high-frequency hanzi subset — BEFORE NFKD, which
+    would otherwise split voiced kana / Hangul syllables), followed by
+    NFKD + combining-mark strip, then Greek/Cyrillic romanization via the
+    standard tables in ``_ROMANIZE``.  Remaining divergence: hanzi outside
+    the pinned subset pass through, and the non-Latin romanizations are
+    standard-table-close to unidecode but not pinned byte-exact (see
+    translit.py's header for the documented choices); only matters when
+    ``strip_diacritics=True``)."""
+    from intertext_ray.functions.translit import romanize_cjk_arabic
+
     text = text.translate(_UNIDECODE_EXTRAS)
+    text = romanize_cjk_arabic(text)
     folded = "".join(
         c for c in unicodedata.normalize("NFKD", text) if not unicodedata.combining(c)
     )

@@ -88,6 +88,14 @@ def build_audio_index(
                 f"audio index {index_dir} was built with {old}; appending "
                 f"with {meta} would corrupt it — rebuild or match the knobs"
             )
+    elif os.path.isdir(os.path.join(index_dir, "shingles")):
+        # artifacts without the meta commit marker = an interrupted build;
+        # appending to (or knob-guessing over) partial parquet would read
+        # silently wrong, so force a rebuild
+        raise ValueError(
+            f"audio index {index_dir} has artifacts but no index_meta.json "
+            "(interrupted build) — delete the directory and rebuild"
+        )
     fps = audio_fingerprints(clips).materialize()
     _shingle_rows(fps, g, num_buckets).write_parquet(
         os.path.join(index_dir, "shingles"), partition_cols=["sbucket"]
@@ -110,7 +118,13 @@ def build_audio_index(
         os.path.join(index_dir, "fps"), partition_cols=["fbucket"]
     )
     os.makedirs(index_dir, exist_ok=True)
-    json.dump(meta, open(meta_path, "w"))
+    # the meta file is the index's COMMIT MARKER: written atomically
+    # (temp + rename) AFTER every parquet artifact, so readers that demand
+    # it can never see a half-built index as an empty-but-valid one
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
     return index_dir
 
 
@@ -147,14 +161,21 @@ def incremental_audio_dup_pairs(
     import json
 
     meta_path = os.path.join(index_dir, "index_meta.json")
-    if os.path.exists(meta_path):
-        meta = json.load(open(meta_path))
-        want = {"g": g, "num_buckets": num_buckets, "fp_buckets": fp_buckets}
-        if meta != want:
-            raise ValueError(
-                f"audio index {index_dir} built with {meta}, wave called "
-                f"with {want} — knobs must match the index"
-            )
+    if not os.path.exists(meta_path):
+        # the meta file is written LAST (build_audio_index's commit
+        # marker); its absence means no index or an interrupted build —
+        # proceeding would silently dedup against nothing / partial data
+        raise FileNotFoundError(
+            f"audio index {index_dir} has no index_meta.json — build the "
+            "index (or rebuild after an interrupted build) first"
+        )
+    meta = json.load(open(meta_path))
+    want = {"g": g, "num_buckets": num_buckets, "fp_buckets": fp_buckets}
+    if meta != want:
+        raise ValueError(
+            f"audio index {index_dir} built with {meta}, wave called "
+            f"with {want} — knobs must match the index"
+        )
     new_fps = audio_fingerprints(new_clips).materialize()
     shingles = _shingle_rows(new_fps, g, num_buckets)
 

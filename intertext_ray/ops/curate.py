@@ -83,8 +83,12 @@ def blocklist_report(
 
     Token contract matches :func:`text_stats.token_counts` /
     the ``word_counts`` chain (str.split() semantics), and the match is
-    on the WHOLE token ("spark," != "spark") — identical on both engine
-    and twin by construction.
+    on the WHOLE token ("spark," != "spark").  The DuckDB twin mirrors
+    str.split() by regexp-splitting on ``\\s+`` and dropping empty
+    tokens; as elsewhere in the repo the whitespace *class* is the
+    ASCII/Unicode set Arrow's ``utf8_split_whitespace`` recognizes —
+    exotic Unicode spaces outside both engines' common set are the
+    documented caveat, not a contract guarantee.
     """
     import numpy as np
     import pyarrow.compute as pc

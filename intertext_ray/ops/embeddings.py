@@ -16,8 +16,6 @@ bucket-pair matmuls get too big.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pyarrow as pa
 import ray
@@ -78,6 +76,53 @@ class CosineTopK:
         )
 
 
+def _merge_topk(
+    partials: ray.data.Dataset, k: int, score_col: str, out_col: str
+) -> pa.Table:
+    """Merge per-batch top-k partials into the exact global per-query top-k
+    as a DATASET stage: one ``groupby(query_id)`` exchange + per-group
+    vectorized sort-and-head, so the driver receives exactly
+    ``n_queries x k`` rows — never the ``n_blocks x n_queries x k`` partial
+    set (a 10^5-block scan with a 10^3-query batch would otherwise put
+    ~10^9 rows on the driver).  Deterministic tie-break by vec_id."""
+
+    def topk(group: pa.Table) -> pa.Table:
+        s = group[score_col].to_numpy(zero_copy_only=False)
+        v = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = group["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, -s))[:k]
+        # +1e-6 before floor: a query's cosine with itself computes as
+        # 0.999...9 or 1.000...1 depending on float op order (normalized
+        # matmul here vs dot/|a||b| in the SQL twin) — the epsilon makes
+        # floor(1000*score) stable on both sides of such boundaries
+        scaled = np.floor(1000.0 * s[order] + 1e-6).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(q[order], pa.int64()),
+                "vec_id": pa.array(v[order], pa.int64()),
+                "rank": pa.array(
+                    np.arange(len(order), dtype=np.int64), pa.int64()
+                ),
+                out_col: pa.array(scaled, pa.int64()),
+            }
+        )
+
+    merged = (
+        partials.groupby("query_id")
+        .map_groups(topk, batch_format="pyarrow")
+        .to_pandas()  # exactly n_queries x k rows by construction
+        .sort_values(["query_id", "rank"])
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(merged["query_id"].to_numpy(), pa.int64()),
+            "vec_id": pa.array(merged["vec_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(merged["rank"].to_numpy(), pa.int64()),
+            out_col: pa.array(merged[out_col].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def ann_topk(
     embeddings: ray.data.Dataset,
     query_ids: list[int],
@@ -107,27 +152,8 @@ def ann_topk(
         batch_size=4096,
         concurrency=(1, 8),
         num_cpus=1,
-    ).to_pandas()
-    # merge per-batch top-k on the driver (small: n_queries * k * n_batches)
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        grp = grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        for rank, r in enumerate(grp.itertuples()):
-            # +1e-6 before floor: a query's cosine with itself computes as
-            # 0.999...9 or 1.000...1 depending on float op order (normalized
-            # matmul here vs dot/|a||b| in the SQL twin) — the epsilon makes
-            # floor(1000*cos) stable on both sides of such boundaries
-            out.append(
-                (int(qid), int(r.vec_id), rank, math.floor(1000.0 * r.cos + 1e-6))
-            )
-    return pa.table(
-        {
-            "query_id": pa.array([o[0] for o in out], pa.int64()),
-            "vec_id": pa.array([o[1] for o in out], pa.int64()),
-            "rank": pa.array([o[2] for o in out], pa.int64()),
-            "cos_x1000": pa.array([o[3] for o in out], pa.int64()),
-        }
     )
+    return _merge_topk(partials, k, "cos", "cos_x1000")
 
 
 @ray.remote
@@ -392,33 +418,20 @@ def _score_pairs_cogroup(
     )
 
 
-def lsh_cosine_dup_pairs(
-    embeddings: ray.data.Dataset,
-    threshold: float = 0.9,
-    n_planes: int = 16,
-    n_tables: int = 4,
-    seed: int = 0xE5B,
-    id_col: str = "vec_id",
-) -> ray.data.Dataset:
-    """Scale path: random-hyperplane LSH — each vector lands in ``n_tables``
-    sign-buckets; only same-bucket pairs are exactly scored.  Approximate
-    (recall < 1 by design) but shuffle-shaped like the MinHash path:
-    explode -> bucket groupby -> pair emission -> bucketed pair dedup ->
-    co-grouped vector resolution + exact scoring.
-
-    The LSH exchange ships (bucket_key, vec_id) ONLY — at 768-dim float64
-    a vector is ~6 KB, so replicating it ``n_tables``x through the shuffle
-    (the round-2 shape) multiplies exchange volume by orders of magnitude;
-    instead the full vectors travel exactly once, into the id-hash-bucketed
-    verify join (the `audio_dedup.verify_audio_pairs` pattern), and each
-    DISTINCT candidate pair is scored once (the old path scored every
-    duplicate then deduped)."""
-    # deterministic planes from the pinned seed family
+def _lsh_sign_planes(
+    embeddings: ray.data.Dataset, n_planes: int, n_tables: int, seed: int
+):
+    """Deterministic random hyperplanes from the pinned seed family,
+    broadcast once (``ray.put``)."""
     first = embeddings.take(1)
     dim = len(first[0]["embedding"])
     rng = np.random.default_rng(int(splitmix64(np.uint64(seed))))
-    planes = rng.standard_normal((n_tables, n_planes, dim))
-    planes_ref = ray.put(planes)
+    return ray.put(rng.standard_normal((n_tables, n_planes, dim)))
+
+
+def _lsh_explode(planes_ref, id_col: str):
+    """(vec_id, embedding) batch -> one (bucket_key, vec_id) row per table;
+    the exchange ships ids ONLY (vectors travel once, in the verify join)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
@@ -440,9 +453,50 @@ def lsh_cosine_dup_pairs(
             }
         )
 
+    return explode
+
+
+def lsh_cosine_dup_pairs(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 0xE5B,
+    id_col: str = "vec_id",
+    bucket_docs_cap: int = 4096,
+) -> ray.data.Dataset:
+    """Scale path: random-hyperplane LSH — each vector lands in ``n_tables``
+    sign-buckets; only same-bucket pairs are exactly scored.  Approximate
+    (recall < 1 by design) but shuffle-shaped like the MinHash path:
+    explode -> bucket groupby -> pair emission -> bucketed pair dedup ->
+    co-grouped vector resolution + exact scoring.
+
+    The LSH exchange ships (bucket_key, vec_id) ONLY — at 768-dim float64
+    a vector is ~6 KB, so replicating it ``n_tables``x through the shuffle
+    (the round-2 shape) multiplies exchange volume by orders of magnitude;
+    instead the full vectors travel exactly once, into the id-hash-bucketed
+    verify join (the `audio_dedup.verify_audio_pairs` pattern), and each
+    DISTINCT candidate pair is scored once (the old path scored every
+    duplicate then deduped).
+
+    Hot-bucket cap (the `stages/candidates.py` ``band_docs_cap`` pattern):
+    a sign-bucket with more than ``bucket_docs_cap`` distinct ids emits NO
+    pairs — with only ``2^n_planes`` buckets per table, average occupancy
+    grows linearly with corpus size, so one degenerate bucket (near-zero /
+    boilerplate embeddings all hashing to the same signs) would otherwise
+    emit O(n^2) pairs inside a single ``map_groups`` task.  Dropped pair
+    mass is measured by :func:`lsh_cosine_bucket_metrics` (same one-pass
+    shape as ``stages.candidates.band_metrics``).  At corpus scale, size
+    ``n_planes`` with ``log2(corpus / target_occupancy)`` — e.g. 10^9
+    vectors at ~1k expected ids per bucket needs n_planes ≈ 20 — so the
+    cap is the skew backstop, not the operating point; recall lost to
+    extra planes is bought back by raising ``n_tables`` (OR-construction).
+    ``bucket_docs_cap=0`` disables the cap."""
+    planes_ref = _lsh_sign_planes(embeddings, n_planes, n_tables, seed)
+
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
+        if len(ids) < 2 or (bucket_docs_cap and len(ids) > bucket_docs_cap):
             return _CAND_PAIR_SCHEMA.empty_table()
         ia, ib = np.triu_indices(len(ids), k=1)
         return pa.table(
@@ -454,12 +508,58 @@ def lsh_cosine_dup_pairs(
         )
 
     cand = (
-        embeddings.map_batches(explode, batch_format="pyarrow")
+        embeddings.map_batches(_lsh_explode(planes_ref, id_col), batch_format="pyarrow")
         .groupby("bucket_key")
         .map_groups(emit_pairs, batch_format="pyarrow")
     )
     cand = _dedup_id_pairs_bucketed(cand)
     return _score_pairs_cogroup(cand, embeddings, threshold, id_col)
+
+
+def lsh_cosine_bucket_metrics(
+    embeddings: ray.data.Dataset,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 0xE5B,
+    id_col: str = "vec_id",
+    cap: int = 4096,
+) -> dict:
+    """Sign-bucket occupancy metrics for manifests: bucket count, max
+    occupancy, candidate-pair mass, and the mass ``bucket_docs_cap=cap``
+    drops.  One extra streaming pass (distinct-ids-per-bucket groupby);
+    run when metrics are requested, mirroring ``candidates.band_metrics``."""
+    planes_ref = _lsh_sign_planes(embeddings, n_planes, n_tables, seed)
+
+    def bucket_size(group: pa.Table) -> pa.Table:
+        n = len(np.unique(group["vec_id"].to_numpy(zero_copy_only=False)))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    sizes = (
+        embeddings.map_batches(_lsh_explode(planes_ref, id_col), batch_format="pyarrow")
+        .groupby("bucket_key")
+        .map_groups(bucket_size, batch_format="pyarrow")
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = n * (n - 1) // 2
+        dropped = pairs[n > cap].sum() if cap else 0
+        return pa.table(
+            {
+                "buckets": pa.array([len(n)], pa.int64()),
+                "max_bucket": pa.array([int(n.max()) if len(n) else 0], pa.int64()),
+                "pair_mass": pa.array([int(pairs.sum())], pa.int64()),
+                "dropped_pair_mass": pa.array([int(dropped)], pa.int64()),
+            }
+        )
+
+    parts = sizes.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return {
+        "buckets": int(parts["buckets"].sum()),
+        "max_bucket": int(parts["max_bucket"].max()) if len(parts) else 0,
+        "pair_mass": int(parts["pair_mass"].sum()),
+        "dropped_pair_mass": int(parts["dropped_pair_mass"].sum()),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -618,26 +718,10 @@ def ann_topk_ivf(
             }
         )
 
-    partials = (
-        assigned.map_batches(keep_cells, batch_format="pyarrow")
-        .map_batches(score, batch_format="pyarrow", batch_size=4096)
-        .to_pandas()
-    )
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        grp = grp.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        for rank, r in enumerate(grp.itertuples()):
-            out.append(
-                (int(qid), int(r.vec_id), rank, math.floor(1000.0 * r.cos + 1e-6))
-            )
-    return pa.table(
-        {
-            "query_id": pa.array([o[0] for o in out], pa.int64()),
-            "vec_id": pa.array([o[1] for o in out], pa.int64()),
-            "rank": pa.array([o[2] for o in out], pa.int64()),
-            "cos_x1000": pa.array([o[3] for o in out], pa.int64()),
-        }
-    )
+    partials = assigned.map_batches(
+        keep_cells, batch_format="pyarrow"
+    ).map_batches(score, batch_format="pyarrow", batch_size=4096)
+    return _merge_topk(partials, k, "cos", "cos_x1000")
 
 
 def semantic_dedup(
@@ -840,20 +924,8 @@ def ann_topk_pq(
 
     partials = embeddings.map_batches(
         scan, batch_format="pyarrow", batch_size=4096
-    ).to_pandas()
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        grp = grp.sort_values(["ip", "vec_id"], ascending=[False, True]).head(k)
-        for rank, r in enumerate(grp.itertuples()):
-            out.append((int(qid), int(r.vec_id), rank, int(np.floor(1000.0 * r.ip + 1e-6))))
-    return pa.table(
-        {
-            "query_id": pa.array([o[0] for o in out], pa.int64()),
-            "vec_id": pa.array([o[1] for o in out], pa.int64()),
-            "rank": pa.array([o[2] for o in out], pa.int64()),
-            "ip_x1000": pa.array([o[3] for o in out], pa.int64()),
-        }
     )
+    return _merge_topk(partials, k, "ip", "ip_x1000")
 
 
 def pq_codes(

@@ -414,11 +414,21 @@ def bloom_build(
     # many blocks the corpus has
     from ray.data.aggregate import AggregateFn
 
+    # accumulators stay two's-complement int64: a Python-int accumulator
+    # >= 2^63 fails Arrow int64 conversion and silently degrades the
+    # aggregate's blocks to pickled python objects — re-signing after every
+    # OR keeps the value Arrow-native at identical bit pattern
+    def _to_i64(u: int) -> int:
+        u &= 0xFFFFFFFFFFFFFFFF
+        return u - (1 << 64) if u >= (1 << 63) else u
+
     or_agg = AggregateFn(
         init=lambda k: 0,
-        merge=lambda a, b: a | b,
-        accumulate_block=lambda a, blk: a
-        | int(np.bitwise_or.reduce(np.asarray(blk["bits"], dtype=np.uint64))),
+        merge=lambda a, b: _to_i64(a | b),
+        accumulate_block=lambda a, blk: _to_i64(
+            a
+            | int(np.bitwise_or.reduce(np.asarray(blk["bits"], dtype=np.uint64)))
+        ),
         name="bits",
     )
     rows = (

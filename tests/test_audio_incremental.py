@@ -140,3 +140,25 @@ def test_index_meta_guard(ray_session, tmp_path):
         )
     with pytest.raises(ValueError, match="rebuild or match"):
         build_audio_index(ray.data.from_arrow(clips), idx, num_buckets=8)
+
+
+def test_interrupted_index_refused(ray_session, tmp_path):
+    """index_meta.json is the commit marker (written atomically LAST): an
+    index directory holding artifacts without it — an interrupted build —
+    is refused by both the wave reader and a re-build, never read as an
+    empty-but-valid index."""
+    import os
+
+    import pytest
+
+    clips, _ = gen_audio_dup_corpus(8, seed=5)
+    clips = clips.select(["clip_id", "bytes", "sr_hz", "codec"])
+    idx = str(tmp_path / "broken")
+    build_audio_index(ray.data.from_arrow(clips), idx, num_buckets=16)
+    os.remove(os.path.join(idx, "index_meta.json"))  # simulate interruption
+    with pytest.raises(FileNotFoundError, match="index_meta.json"):
+        incremental_audio_dup_pairs(
+            ray.data.from_arrow(clips), idx, num_buckets=16
+        )
+    with pytest.raises(ValueError, match="interrupted build"):
+        build_audio_index(ray.data.from_arrow(clips), idx, num_buckets=16)

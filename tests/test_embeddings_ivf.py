@@ -273,3 +273,83 @@ def test_pq_codes_artifact(emb_ds):
         list(got.loc[i, "codes"]) == list(codes[j])
         for j, i in enumerate(ids[:50])
     )
+
+
+def test_lsh_cosine_hot_bucket_cap(ray_session):
+    """A degenerate sign-bucket (identical vectors all hashing to the same
+    signs) must not blow up one map_groups task: with the cap, the hot
+    bucket emits NOTHING (bounded emission) and the metrics pass reports
+    the dropped pair mass; small buckets are untouched."""
+    import pyarrow as pa
+
+    from intertext_ray.ops.embeddings import (
+        lsh_cosine_bucket_metrics,
+        lsh_cosine_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_hot = 16, 60
+    hot = np.tile(rng.standard_normal(dim), (n_hot, 1))  # one degenerate bucket
+    # two planted near-dup pairs far from the hot direction
+    a = rng.standard_normal(dim)
+    b = rng.standard_normal(dim)
+    vecs = np.vstack([hot, a, a * 1.001, b, b * 0.999])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+
+    capped = lsh_cosine_dup_pairs(
+        ds, threshold=0.99, bucket_docs_cap=16
+    ).to_pandas()
+    hot_ids = set(range(n_hot))
+    # bounded emission: zero pairs out of the degenerate bucket...
+    assert not any(
+        r.a in hot_ids and r.b in hot_ids for r in capped.itertuples()
+    )
+    # ...while the small planted buckets still verify
+    got_pairs = {(r.a, r.b) for r in capped.itertuples()}
+    assert (n_hot, n_hot + 1) in got_pairs
+    assert (n_hot + 2, n_hot + 3) in got_pairs
+
+    uncapped = lsh_cosine_dup_pairs(
+        ds, threshold=0.99, bucket_docs_cap=0
+    ).to_pandas()
+    assert len(uncapped) >= n_hot * (n_hot - 1) // 2  # hot pairs all present
+
+    m = lsh_cosine_bucket_metrics(ds, cap=16)
+    # every table collapses the identical vectors into one bucket of 60
+    assert m["max_bucket"] == n_hot
+    assert m["dropped_pair_mass"] >= n_hot * (n_hot - 1) // 2
+    m0 = lsh_cosine_bucket_metrics(ds, cap=0)
+    assert m0["dropped_pair_mass"] == 0
+
+
+def test_merge_topk_many_queries(ray_session):
+    """The distributed top-k merge: >=10^3 queries resolve in one
+    groupby(query_id) stage — the driver sees exactly n_queries x k rows —
+    and every query ranks itself first at cos_x1000 == 1000."""
+    import pyarrow as pa
+
+    from intertext_ray.ops.embeddings import ann_topk
+
+    rng = np.random.default_rng(23)
+    n, dim, k = 1200, 16, 5
+    vecs = rng.standard_normal((n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(16)
+    qids = list(range(n))  # every vector is a query
+    out = ann_topk(ds, qids, k=k).to_pandas()
+    assert len(out) == n * k
+    self_rows = out[out["rank"] == 0]
+    assert len(self_rows) == n
+    assert (self_rows["query_id"].to_numpy() == self_rows["vec_id"].to_numpy()).all()
+    assert (self_rows["cos_x1000"].to_numpy() == 1000).all()

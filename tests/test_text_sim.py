@@ -98,5 +98,28 @@ def test_strip_diacritics_romanizes_greek_cyrillic():
     assert sd("ещё") == "eshche"  # ё NFKD-decomposes to е + combining
     # accented Greek folds to the base letter first, then romanizes
     assert sd("ά έ ή") == "a e e"
-    # untabled scripts pass through
-    assert sd("日本語") == "日本語"
+    # hanzi in the pinned subset romanize; outside it they pass through
+    assert sd("日本語") == "riben語"
+
+
+def test_strip_diacritics_cjk_arabic():
+    """Round-4 extension (functions/translit.py): Arabic, kana, Hangul
+    (algorithmic — full syllable coverage), and the pinned hanzi subset
+    all romanize; hanzi outside the subset is the only pass-through."""
+    from intertext_ray.functions.text import strip_diacritics as sd
+
+    # Arabic consonants, digraphs, digits; harakat stripped by NFKD
+    assert sd("ثم") == "thm"
+    assert sd("شخص") == "shkhs"
+    assert sd("١٢٣ ۴۵") == "123 45"
+    # kana (per-char Hepburn, voiced forms direct — NFKD would split them)
+    assert sd("かたかな") == "katakana"
+    assert sd("ガンダム") == "gandamu"
+    assert sd("にほんご") == "nihongo"
+    # Hangul: algorithmic jamo decomposition covers every syllable
+    assert sd("한국어") == "hangugeo"
+    assert sd("서울 대학교") == "seoul daehaggyo"
+    # hanzi pinned subset
+    assert sd("中国 学生") == "zhongguo xuesheng"
+    # mixed-script strings fold script-by-script
+    assert sd("café Москва 한국 中") == "cafe Moskva hangug zhong"
