@@ -1566,50 +1566,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries.  Window policy (round 3): between rounds 2 and 3 every
-    # SQL-twinned query earns DIRECT driver evidence exactly once --
-    # the 27 twinned queries at positions 51+ were all driver-green in
-    # round 2 (CORRECTNESS_r02.json) and their kernels are unchanged
-    # since, so the round-3 window spends its 50 slots on
-    #   (i) the flagship dedup chain (north rule, positions 1-12),
-    #   (ii) every query whose kernel CHANGED since the r2 check
-    #        (ngram_jaccard_pairs: vectorized gram extraction;
-    #        lsh_cosine_dup_pairs: id-only shuffle; doc_top_terms:
-    #        bucketed-join fallback; minhash_doc_dedup /
-    #        source_dup_report: candidate-filtered verify shuffle;
-    #        event_props_stats: exact JSON extraction contract), and
-    #   (iii) every twin that has NEVER been driver-checked (new this
-    #        round: dedup_match_sample, pair_clusters, dup_doc_pairs,
-    #        only_focal_candidates, match_scatterplots, clips_pipeline,
-    #        audio_validate, the six driver-checked audio faces
-    #        audio_pcm_stats/resample/vad/exact_dups/invariant(+summary)
-    #        /gain/decontam, line_dedup, remove_dup_spans,
-    #        simhash_clusters, sorted_neighbor_dups(+multi),
-    #        cosine_text_pairs, perplexity_scores, fold_diacritics,
-    #        temperature_resample, uniform_sample, bloom_membership,
-    #        bpe_merge_pairs, and the three reader-path twins).
-    # Transitive pinning still holds as a second line of evidence for
-    # positions 51+ (e.g. window_counts by windows; token_counts by
-    # bpe_token_counts over the same docs; simhash_fingerprints by
-    # simhash_near_dups/simhash_clusters; rolling_fingerprints'
-    # polynomial kernel by in-window content-containment usage in
-    # decontaminate; curate_corpus = lang+quality gates + exact dedup,
-    # each r2-green; token_quantiles_sketch by its partition-invariance
-    # tests + r2 green; minhash_doc_clusters = in-window
-    # minhash_doc_dedup pairs + the in-window dedup_clusters closure).
+    # entries.  Window policy (round 4 -- the closing rotation): after this
+    # round EVERY SQL twin in the repo has had a direct green driver row
+    # at least once.  The 50 slots:
+    #   (i)  positions 1-7: the seven twins that have NEVER had a direct
+    #        driver row (sweep-verified only; VERDICT r3 "What's missing"
+    #        #1): csv_token_counts, sorted_neighbor_multi,
+    #        audio_invariant_summary, audio_decontam,
+    #        fuzzy_decontam_survivors, minhash_doc_survivors,
+    #        perplexity_filter;
+    #   (ii) positions 8-19: the flagship dedup chain (north rule) --
+    #        in-window every round, every link;
+    #   (iii) positions 20-24: every query whose kernel or twin CHANGED
+    #        this round (lsh_cosine_dup_pairs: hot-bucket cap; ann_topk:
+    #        distributed top-k merge; bloom_membership: int64 aggregate;
+    #        fold_diacritics: CJK/Arabic tables + extended injection twin;
+    #        blocklist_report: whitespace-class twin fix);
+    #   (iv) positions 25-50: twenty-six of the twenty-seven remaining
+    #        twins, all last direct-checked in round 2
+    #        (CORRECTNESS_r02.json) with kernels unchanged since.
+    # The one r2-green twin left at 51+ is window_counts -- a bare count
+    # over the SAME windows table whose full contents are hash-checked
+    # in-window at position 8 (the strongest transitive pin in the repo).
+    # Also rotated out (all direct-green in round 3, kernels unchanged
+    # since CORRECTNESS_r03.json): the r3 re-check set -- minhash_doc_dedup,
+    # source_dup_report, simhash_near_dups/clusters, sorted_neighbor_dups,
+    # ngram_jaccard_pairs, substring_dup_pairs, duplicate_spans,
+    # decontaminate, line_dedup, remove_dup_spans, char_entropy_scores,
+    # cosine_dup_pairs, cosine_text_pairs, bpe_token_counts,
+    # bpe_merge_pairs, doc_top_terms, perplexity_scores, the seven audio
+    # faces, temperature_resample, uniform_sample, the three event twins,
+    # and the three reader-path twins.
     # Non-SQL-expressible queries (approx-by-design ANN/semdedup, the
-    # full difflib matches table -- kernel driver-pinned via in-window
-    # dedup_match_sample -- and the FFT audio family, pinned by
+    # full difflib matches table -- kernel driver-pinned via the in-window
+    # 1/64 dedup_match_sample -- and the FFT audio family, pinned by
     # repo-local brute-force oracles) sit last.
-    # Twins added after the window froze: char_entropy_scores /
-    # blocklist_report / fuzzy_decontam swapped IN (displacing
-    # sorted_neighbor_multi, audio_invariant_summary, csv_token_counts —
-    # each strongly pinned by in-window parents); minhash_doc_survivors
-    # and perplexity_filter sit at 51+ as pure compositions of in-window
-    # kernels.  tools/check_entry.py checks ALL twinned queries
-    # regardless of position; COVERAGE.md carries the same map.
+    # tools/check_entry.py checks ALL twinned queries regardless of
+    # position; COVERAGE.md carries the same map.
     return {
-        # flagship dedup chain (north rule)
+        # (i) the seven never-driver-checked twins
+        "csv_token_counts": _q_csv_token_counts,
+        "sorted_neighbor_multi": _q_sorted_neighbor_multi,
+        "audio_invariant_summary": _q_audio_invariant_summary,
+        "audio_decontam": _q_audio_decontam,
+        "fuzzy_decontam_survivors": _q_fuzzy_decontam_survivors,
+        "minhash_doc_survivors": _q_minhash_doc_survivors,
+        "perplexity_filter": _q_perplexity_filter,
+        # (ii) flagship dedup chain (north rule)
         "windows": _q_windows,
         "lsh_candidates": _q_lsh_candidates,
         "dedup_match_sample": _q_match_sample,
@@ -1622,60 +1625,13 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "match_scatterplots": _q_scatterplots,
         "clips_pipeline": _q_clips_pipeline,
         "audio_validate": _q_audio_validate,
-        # doc-level minhash family (kernel recomputed in SQL; verify
-        # shuffle changed this round -> re-checked)
-        "minhash_doc_dedup": _q_minhash_doc,
-        "source_dup_report": _q_source_dup_report,
-        # near-dup families
-        "simhash_near_dups": _q_simhash_pairs,
-        "sorted_neighbor_dups": _q_sorted_neighbor,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "substring_dup_pairs": _q_substring_pairs,
-        "duplicate_spans": _q_duplicate_spans,
-        "decontaminate": _q_decontaminate,
-        "line_dedup": _q_line_dedup,
-        "remove_dup_spans": _q_remove_dup_spans,
-        "simhash_clusters": _q_simhash_clusters,
-        "char_entropy_scores": _q_char_entropy,
-        # embeddings
-        "cosine_dup_pairs": _q_cosine_pairs,
+        # (iii) kernel/twin changed this round -> re-checked
         "lsh_cosine_dup_pairs": _q_lsh_cosine_pairs,
         "ann_topk": _q_ann_topk,
-        "cosine_text_pairs": _q_cosine_text_pairs,
-        # text analysis / curation
-        "bpe_token_counts": _q_bpe_token_counts,
-        "bpe_merge_pairs": _q_bpe_merge_pairs,
-        "doc_top_terms": _q_doc_top_terms,
-        "perplexity_scores": _q_perplexity,
-        "fold_diacritics": _q_fold_diacritics,
-        # driver-checked audio faces (decode recomputed in SQL)
-        "audio_pcm_stats": _q_audio_pcm_stats,
-        "audio_resample": _q_audio_resample,
-        "audio_vad_segments": _q_audio_vad,
-        "audio_exact_dups": _q_audio_exact_dups,
-        "audio_invariant": _q_audio_invariant,
-        "audio_gain": _q_audio_gain,
-        "audio_payload_report": _q_audio_payload_report,
-        "blocklist_report": _q_blocklist,
-        # sampling / sketches
-        "temperature_resample": _q_temperature_resample,
-        "uniform_sample": _q_uniform_sample,
         "bloom_membership": _q_bloom_membership,
-        # events
-        "event_props_stats": _q_props_stats,
-        "event_sessions": _q_sessions,
-        "asof_click_view": _q_asof,
-        # reader-path twins (JSONL / CSV / text-dir sources)
-        "jsonl_token_counts": _q_jsonl_token_counts,
-        "fuzzy_decontam": _q_fuzzy_decontam,
-        "textdir_window_counts": _q_textdir_window_counts,
-        # --- position 51+: all driver-green in round 2 (CORRECTNESS_r02),
-        # kernels unchanged since that check
-        "csv_token_counts": _q_csv_token_counts,
-        "sorted_neighbor_multi": _q_sorted_neighbor_multi,
-        "audio_invariant_summary": _q_audio_invariant_summary,
-        "audio_decontam": _q_audio_decontam,
-        "fuzzy_decontam_survivors": _q_fuzzy_decontam_survivors,
+        "fold_diacritics": _q_fold_diacritics,
+        "blocklist_report": _q_blocklist,
+        # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "containment_search": _q_containment,
@@ -1690,8 +1646,6 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "cms_word_counts": _q_cms_word_counts,
         "minhash_doc_clusters": _q_minhash_doc_clusters,
-        "minhash_doc_survivors": _q_minhash_doc_survivors,
-        "perplexity_filter": _q_perplexity_filter,
         "suffix_repeat_spans": _q_suffix_spans,
         "token_quantiles_sketch": _q_token_quantiles_sketch,
         "sliding_event_stats": _q_sliding_events,
@@ -1701,10 +1655,45 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "assign_chunks": _q_assign_chunks,
         "curate_corpus": _q_curate_corpus,
         "word_counts": _q_word_counts,
-        "window_counts": _q_window_counts,
         "token_counts": _q_token_counts,
         "simhash_fingerprints": _q_simhash,
         "rolling_fingerprints": _q_rolling_fp,
+        # --- position 51+: direct-green in round 3 (CORRECTNESS_r03),
+        # kernels unchanged since that check
+        "minhash_doc_dedup": _q_minhash_doc,
+        "source_dup_report": _q_source_dup_report,
+        "simhash_near_dups": _q_simhash_pairs,
+        "sorted_neighbor_dups": _q_sorted_neighbor,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "substring_dup_pairs": _q_substring_pairs,
+        "duplicate_spans": _q_duplicate_spans,
+        "decontaminate": _q_decontaminate,
+        "line_dedup": _q_line_dedup,
+        "remove_dup_spans": _q_remove_dup_spans,
+        "simhash_clusters": _q_simhash_clusters,
+        "char_entropy_scores": _q_char_entropy,
+        "cosine_dup_pairs": _q_cosine_pairs,
+        "cosine_text_pairs": _q_cosine_text_pairs,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "bpe_merge_pairs": _q_bpe_merge_pairs,
+        "doc_top_terms": _q_doc_top_terms,
+        "perplexity_scores": _q_perplexity,
+        "audio_pcm_stats": _q_audio_pcm_stats,
+        "audio_resample": _q_audio_resample,
+        "audio_vad_segments": _q_audio_vad,
+        "audio_exact_dups": _q_audio_exact_dups,
+        "audio_invariant": _q_audio_invariant,
+        "audio_gain": _q_audio_gain,
+        "audio_payload_report": _q_audio_payload_report,
+        "temperature_resample": _q_temperature_resample,
+        "uniform_sample": _q_uniform_sample,
+        "event_props_stats": _q_props_stats,
+        "event_sessions": _q_sessions,
+        "asof_click_view": _q_asof,
+        "jsonl_token_counts": _q_jsonl_token_counts,
+        "fuzzy_decontam": _q_fuzzy_decontam,
+        "textdir_window_counts": _q_textdir_window_counts,
+        "window_counts": _q_window_counts,
         # --- non-SQL-expressible (approx-by-design / difflib / FFT)
         "dedup_matches": _q_matches,
         "ann_topk_ivf": _q_ann_topk_ivf,
