@@ -859,8 +859,16 @@ def _q_match_sample(sf_dir: str):
     """Driver-checkable pinning of the difflib verify link (reference F1,
     ``intertext.py:1261-1263``): the verified matches restricted to a
     deterministic splitmix64 sample (1/64) of the candidate keyspace
-    (widened from 1/2048 in round 4 to shrink the rows-only surface of
-    the full ``dedup_matches`` table ~32x).
+    (widened 32x from 1/2048 in round 4 to shrink the rows-only surface
+    of the full ``dedup_matches`` table).  Densifying is nearly FREE on
+    the oracle side — measured twin wall cost at sf0.01 on 32 cores is
+    essentially flat in the sample density (1/2048 ≈ 229 s, 1/1024 ≈
+    202 s, 1/256 ≈ 252 s, 1/64 ≈ 270 s): DuckDB re-evaluates the inlined
+    equal-char-run CTE chain on every iteration of the Ratcliff/Obershelp
+    region recursion, so the per-iteration re-evaluation dominates and the
+    round-3 driver already tolerated the same flat cost at 1/2048.
+    (``AS MATERIALIZED`` on the runs CTE cuts it to ~30 s but returns
+    wrong results under DuckDB's recursive+LATERAL path — rejected.)
     The SQL twin re-runs verification end-to-end over the SAME candidate
     sample — window texts recomputed from raw ``documents``, the junk-window
     gate, and the Ratcliff/Obershelp ratio itself via a recursive
@@ -1247,9 +1255,11 @@ def _q_joint_dup_report(sf_dir: str):
 
 
 def _q_audio_segments(sf_dir: str):
-    """Silence-based clip segmentation (no SQL twin: decode not
-    DuckDB-expressible; local tests pin spans + byte-exact payloads).
-    Metadata columns only — the segment payload stays in the op."""
+    """Silence-based clip segmentation over the FULL corpus (rows-only:
+    the SQL decode cost is bounded instead by the ``audio_segment_sample``
+    face, which hash-checks the same kernel over the standard 1/7 sample;
+    local tests pin spans + byte-exact payloads).  Metadata columns only —
+    the segment payload stays in the op."""
     from intertext_ray.ops.audio_segment import segment_clips
     from intertext_ray.pipelines.documents import docs_as_int64
 
@@ -1361,6 +1371,40 @@ def _q_audio_vad(sf_dir: str):
     return vad_segments(
         clips.map_batches(samp, batch_format="pyarrow"), min_len=2
     )
+
+
+def _q_audio_segment_sample(sf_dir: str):
+    """Silence-based clip segmentation (``ops/audio_segment.segment_clips``,
+    the audio windowizer) over the standard 1/7 SQL-decodable clip sample —
+    the driver-checkable face of ``audio_segments`` (the 1/7 sample bounds
+    the hex-pair SQL decode cost, same as every audio face; the full-corpus
+    query stays rows-only).  The twin re-decodes the
+    payload bytes in SQL, re-runs the 20 ms frame-RMS voicing gate, the
+    >gap-frame island split, the trailing-partial-frame snap, and the
+    min-length drop — hash-exact on every emitted metadata column.  Float
+    contract: the dB gate ``20*log10(rms + 1e-12) >= -40`` is evaluated as
+    the algebraically identical ``rms + 1e-12 >= 1e-2`` on both sides;
+    per-frame squared terms are exact in float64 (int16 samples over a
+    power-of-two scale), so engine/SQL decisions can differ only for a
+    frame RMS within ~1e-15 relative of the threshold — unobserved, and
+    astronomically unlikely, on the continuous-modulation fixture."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_segment import segment_clips
+    from intertext_ray.pipelines.documents import docs_as_int64
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    segs = segment_clips(
+        clips.map_batches(samp, batch_format="pyarrow"), with_payload=False
+    )
+    return docs_as_int64(segs)
 
 
 def _q_audio_exact_dups(sf_dir: str):
@@ -1582,12 +1626,16 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     #        distributed top-k merge; bloom_membership: int64 aggregate;
     #        fold_diacritics: CJK/Arabic tables + extended injection twin;
     #        blocklist_report: whitespace-class twin fix);
-    #   (iv) positions 25-50: twenty-six of the twenty-seven remaining
+    #   (iii-b) position 25: audio_segment_sample -- a twin ADDED this
+    #        round (segmentation face; SQL re-decode + frame-RMS gate +
+    #        island merge), taking its first direct row;
+    #   (iv) positions 26-50: twenty-five of the twenty-seven remaining
     #        twins, all last direct-checked in round 2
     #        (CORRECTNESS_r02.json) with kernels unchanged since.
-    # The one r2-green twin left at 51+ is window_counts -- a bare count
+    # The two r2-green twins left at 51+: window_counts -- a bare count
     # over the SAME windows table whose full contents are hash-checked
-    # in-window at position 8 (the strongest transitive pin in the repo).
+    # in-window at position 8 (the strongest transitive pin in the repo) --
+    # and rolling_fingerprints, which yielded its slot to the new twin.
     # Also rotated out (all direct-green in round 3, kernels unchanged
     # since CORRECTNESS_r03.json): the r3 re-check set -- minhash_doc_dedup,
     # source_dup_report, simhash_near_dups/clusters, sorted_neighbor_dups,
@@ -1631,6 +1679,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": _q_bloom_membership,
         "fold_diacritics": _q_fold_diacritics,
         "blocklist_report": _q_blocklist,
+        # (iii-b) NEW twin this round -> needs its first direct row
+        "audio_segment_sample": _q_audio_segment_sample,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -1657,8 +1707,11 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "word_counts": _q_word_counts,
         "token_counts": _q_token_counts,
         "simhash_fingerprints": _q_simhash,
+        # --- position 51+: rolling_fingerprints is direct-green in round
+        # 2 with its kernel unchanged since; it yields its slot to the
+        # NEW audio_segment_sample twin above
         "rolling_fingerprints": _q_rolling_fp,
-        # --- position 51+: direct-green in round 3 (CORRECTNESS_r03),
+        # --- direct-green in round 3 (CORRECTNESS_r03),
         # kernels unchanged since that check
         "minhash_doc_dedup": _q_minhash_doc,
         "source_dup_report": _q_source_dup_report,
@@ -2211,6 +2264,104 @@ def _audio_vad_sql(
                CAST(n_frames AS BIGINT) AS n_frames,
                CAST(energy AS BIGINT) AS energy
         FROM seg
+    """
+
+
+def _audio_segment_sql(min_seg_ms: int = 100) -> str:
+    """Twin of ``_q_audio_segment_sample``: re-runs
+    ``ops/audio_segment.segment_spans`` over the SQL-decoded samples.
+
+    Kernel replay, step for step:
+
+    - 20 ms frames (``flen = sr // 50`` — every fixture rate is divisible
+      by 50), COMPLETE frames only (``i < n_frames * flen``), matching the
+      engine's reshape-truncation;
+    - voicing gate: the engine's ``20*log10(rms + 1e-12) >= -40`` dBFS is
+      evaluated as the algebraically identical ``rms + 1e-12 >= 1e-2``
+      with ``rms = sqrt(sum(s*s)/flen)/32768`` — per-frame squared terms
+      are exact in float64 on both sides (int16 over a power-of-two
+      scale), so decisions agree unless a frame RMS sits within ~1e-15
+      relative of the threshold;
+    - island split where the voiced-frame gap exceeds ``gap_frames`` —
+      ``round(min_gap_ms*sr/1000/flen)`` = exactly 10 at every fixture
+      rate (200 ms / 20 ms), hardcoded below with this derivation;
+    - trailing-partial snap: a span ending at the last FULL frame extends
+      to ``n`` (the engine keeps the tail as voiced context);
+    - min-length drop: ``(send - sstart) * 1000 >= min_seg_ms * sr``;
+    - ``start_ms``/``end_ms`` floor-divide sample indices, ``dur_ms`` is
+      their difference (NOT independently floored — engine contract).
+    """
+    ms = int(min_seg_ms)
+    return f"""
+        WITH {_audio_decode_ctes()},
+        meta AS (
+          SELECT clip_id, CAST(sr_hz AS BIGINT) AS sr,
+                 CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                     AS doc_id
+          FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+          WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) % 7 = 0
+            AND codec IN ('pcm_s16le', 'wav', 'ulaw', 'alaw')
+        ),
+        par AS (
+          SELECT m.clip_id, m.sr, m.doc_id,
+                 greatest(1, m.sr // 50) AS flen, count(*) AS n
+          FROM meta m JOIN allsamp a USING (clip_id)
+          GROUP BY m.clip_id, m.sr, m.doc_id
+        ),
+        fr AS (
+          SELECT a.clip_id, a.i // p.flen AS frame, p.flen, a.s
+          FROM allsamp a JOIN par p USING (clip_id)
+          WHERE a.i < (p.n // p.flen) * p.flen
+        ),
+        fe AS (
+          SELECT clip_id, frame,
+                 sum(CAST(s AS HUGEINT) * s) AS e2, min(flen) AS flen
+          FROM fr GROUP BY clip_id, frame
+        ),
+        act AS (
+          SELECT clip_id, frame FROM fe
+          WHERE sqrt(CAST(e2 AS DOUBLE) / flen) / 32768.0 + 1e-12 >= 1e-2
+        ),
+        mark AS (
+          SELECT clip_id, frame,
+                 CASE WHEN frame - lag(frame) OVER (
+                        PARTITION BY clip_id ORDER BY frame) > 10
+                      THEN 1 ELSE 0 END AS brk
+          FROM act
+        ),
+        isl AS (
+          SELECT clip_id, frame,
+                 sum(brk) OVER (PARTITION BY clip_id ORDER BY frame
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM mark
+        ),
+        spans AS (
+          SELECT clip_id, min(frame) AS fs, max(frame) + 1 AS fe_
+          FROM isl GROUP BY clip_id, grp
+        ),
+        sampspan AS (
+          SELECT s.clip_id, p.doc_id, p.sr,
+                 s.fs * p.flen AS sstart,
+                 CASE WHEN s.fe_ = p.n // p.flen THEN p.n
+                      ELSE s.fe_ * p.flen END AS send
+          FROM spans s JOIN par p USING (clip_id)
+        ),
+        kept AS (
+          SELECT * FROM sampspan
+          WHERE (send - sstart) * 1000 >= {ms} * sr
+        )
+        SELECT clip_id,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY clip_id ORDER BY sstart) - 1 AS BIGINT)
+                   AS seg_idx,
+               CAST(sstart * 1000 // sr AS BIGINT) AS start_ms,
+               CAST(send * 1000 // sr AS BIGINT) AS end_ms,
+               CAST(send * 1000 // sr - sstart * 1000 // sr AS BIGINT)
+                   AS dur_ms,
+               CAST(send - sstart AS BIGINT) AS n_samples,
+               CAST(sr AS BIGINT) AS sr_hz
+        FROM kept
     """
 
 
@@ -2770,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_pcm_stats": _audio_pcm_sql(),
         "audio_resample": _audio_resample_sql(target_hz=16000),
         "audio_vad_segments": _audio_vad_sql(min_len=2),
+        "audio_segment_sample": _audio_segment_sql(),
         "audio_exact_dups": _audio_exact_sql(copies_mod=3),
         "audio_decontam": _audio_decontam_sql(eval_mod=91),
         "audio_invariant": _audio_invariant_sql(),
