@@ -54,6 +54,18 @@ def run_bench() -> dict:
     # parallelism); with no actor pools left in the hot path the reservation
     # protects nothing — disabling it measured 120s -> 86s at mult=8/32cpus
     ctx.op_resource_reservation_ratio = 0.0
+    # experiment knob: ITX_SHUFFLE=hash routes every groupby/sort exchange
+    # through Ray's actor-based hash shuffle instead of the default
+    # pull-based sort shuffle.  MEASURED (round 4, sf0.1/mult=4/32cpus):
+    # the headline did not complete within 420 s (baseline 56 s) with the
+    # reservation ratio at 0.0 OR 0.25 — the aggregator-actor pool and this
+    # 15-op DAG starve each other in local mode — so the default stays
+    # sort-shuffle; knob kept for re-testing on newer Ray.
+    if os.environ.get("ITX_SHUFFLE") == "hash":
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ctx.op_resource_reservation_ratio = 0.25
 
     from intertext_ray.config import IntertextConfig
     from intertext_ray.fixtures.gen_clips import clip_signal
