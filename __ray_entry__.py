@@ -1268,9 +1268,11 @@ def _q_audio_segments(sf_dir: str):
 
 
 def _q_audio_transcode(sf_dir: str):
-    """Canonical-codec rewrite with per-row invariant verification (no SQL
-    twin: codecs not DuckDB-expressible; tests pin round-trip exactness).
-    Metadata columns only — payload stays in the op."""
+    """Canonical-codec rewrite with per-row invariant verification over the
+    FULL corpus (rows-only; the ``audio_transcode_sample`` face hash-pins
+    the same kernel — including the FLAC round-trip — over the standard
+    1/7 sample; tests pin round-trip exactness).  Metadata columns only —
+    payload stays in the op."""
     from intertext_ray.ops.audio_transcode import transcode_clips
     from intertext_ray.pipelines.documents import docs_as_int64
 
@@ -1405,6 +1407,37 @@ def _q_audio_segment_sample(sf_dir: str):
         clips.map_batches(samp, batch_format="pyarrow"), with_payload=False
     )
     return docs_as_int64(segs)
+
+
+def _q_audio_transcode_sample(sf_dir: str):
+    """Canonical-codec rewrite to FLAC over the standard 1/7 SQL-decodable
+    clip sample — the driver-checkable face of ``audio_transcode``, and a
+    driver pin of the repo's pure-Python FLAC codec itself: the twin
+    re-decodes the SOURCE payload in SQL (n_samples per clip) and asserts
+    the engine's round-trip metadata — ``lossless`` TRUE, ``snr_db`` at
+    the exact-round-trip cap, ``transcode_ok`` TRUE.  Those twin columns
+    are constants only while the engine's encode→decode cycle is
+    sample-exact; any lost/changed sample flips ``lossless``/``snr_db``
+    in the engine output and surfaces as a driver hash mismatch."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_transcode import transcode_clips
+    from intertext_ray.pipelines.documents import docs_as_int64
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    out = transcode_clips(
+        clips.map_batches(samp, batch_format="pyarrow"),
+        to_codec="flac",
+        with_payload=False,
+    )
+    return docs_as_int64(out)
 
 
 def _q_audio_exact_dups(sf_dir: str):
@@ -1626,16 +1659,19 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     #        distributed top-k merge; bloom_membership: int64 aggregate;
     #        fold_diacritics: CJK/Arabic tables + extended injection twin;
     #        blocklist_report: whitespace-class twin fix);
-    #   (iii-b) position 25: audio_segment_sample -- a twin ADDED this
-    #        round (segmentation face; SQL re-decode + frame-RMS gate +
-    #        island merge), taking its first direct row;
-    #   (iv) positions 26-50: twenty-five of the twenty-seven remaining
+    #   (iii-b) positions 25-26: twins ADDED this round, taking their
+    #        first direct rows -- audio_segment_sample (segmentation face;
+    #        SQL re-decode + frame-RMS gate + island merge) and
+    #        audio_transcode_sample (FLAC round-trip pin; SQL re-decode of
+    #        the source + sample-exact round-trip metadata);
+    #   (iv) positions 27-50: twenty-four of the twenty-seven remaining
     #        twins, all last direct-checked in round 2
     #        (CORRECTNESS_r02.json) with kernels unchanged since.
-    # The two r2-green twins left at 51+: window_counts -- a bare count
+    # The three r2-green twins left at 51+: window_counts -- a bare count
     # over the SAME windows table whose full contents are hash-checked
     # in-window at position 8 (the strongest transitive pin in the repo) --
-    # and rolling_fingerprints, which yielded its slot to the new twin.
+    # and simhash_fingerprints / rolling_fingerprints, which yielded their
+    # slots to the new twins.
     # Also rotated out (all direct-green in round 3, kernels unchanged
     # since CORRECTNESS_r03.json): the r3 re-check set -- minhash_doc_dedup,
     # source_dup_report, simhash_near_dups/clusters, sorted_neighbor_dups,
@@ -1679,8 +1715,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": _q_bloom_membership,
         "fold_diacritics": _q_fold_diacritics,
         "blocklist_report": _q_blocklist,
-        # (iii-b) NEW twin this round -> needs its first direct row
+        # (iii-b) NEW twins this round -> need their first direct rows
         "audio_segment_sample": _q_audio_segment_sample,
+        "audio_transcode_sample": _q_audio_transcode_sample,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -1706,10 +1743,10 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "word_counts": _q_word_counts,
         "token_counts": _q_token_counts,
+        # --- position 51+: simhash_fingerprints and rolling_fingerprints
+        # are direct-green in round 2 with kernels unchanged since; they
+        # yield their slots to the two NEW twins above
         "simhash_fingerprints": _q_simhash,
-        # --- position 51+: rolling_fingerprints is direct-green in round
-        # 2 with its kernel unchanged since; it yields its slot to the
-        # NEW audio_segment_sample twin above
         "rolling_fingerprints": _q_rolling_fp,
         # --- direct-green in round 3 (CORRECTNESS_r03),
         # kernels unchanged since that check
@@ -2365,6 +2402,39 @@ def _audio_segment_sql(min_seg_ms: int = 100) -> str:
     """
 
 
+def _audio_transcode_sql(cap_db: float = 999.0) -> str:
+    """Twin of ``_q_audio_transcode_sample``: per-clip ``n_samples`` from
+    the SQL-decoded SOURCE samples; ``codec``/``lossless``/``snr_db``/
+    ``transcode_ok`` are the values a sample-exact FLAC round-trip must
+    produce (``ops/audio_transcode.transcode_clips`` semantics) — the twin
+    therefore hash-pins the engine's pure-Python FLAC encode→decode cycle:
+    a single lost or changed sample flips the engine's ``lossless`` and
+    ``snr_db`` and the driver compare fails."""
+    return f"""
+        WITH {_audio_decode_ctes()},
+        meta AS (
+          SELECT clip_id, CAST(sr_hz AS BIGINT) AS sr,
+                 CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                     AS doc_id
+          FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+          WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) % 7 = 0
+            AND codec IN ('pcm_s16le', 'wav', 'ulaw', 'alaw')
+        ),
+        n AS (
+          SELECT clip_id, count(*) AS n_samples FROM allsamp GROUP BY clip_id
+        )
+        SELECT m.clip_id,
+               CAST(m.doc_id AS BIGINT) AS doc_id,
+               'flac' AS codec,
+               CAST(m.sr AS BIGINT) AS sr_hz,
+               CAST(n.n_samples AS BIGINT) AS n_samples,
+               TRUE AS lossless,
+               CAST({cap_db} AS DOUBLE) AS snr_db,
+               TRUE AS transcode_ok
+        FROM meta m JOIN n USING (clip_id)
+    """
+
+
 def _audio_ck_ctes(copies_mod: int | None = None) -> str:
     """Shared fragment on top of ``_audio_decode_ctes``: ends in
     ``ck(clip_id, n_samples, ck1, ck2)`` — the moment checksum of
@@ -2922,6 +2992,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_resample": _audio_resample_sql(target_hz=16000),
         "audio_vad_segments": _audio_vad_sql(min_len=2),
         "audio_segment_sample": _audio_segment_sql(),
+        "audio_transcode_sample": _audio_transcode_sql(),
         "audio_exact_dups": _audio_exact_sql(copies_mod=3),
         "audio_decontam": _audio_decontam_sql(eval_mod=91),
         "audio_invariant": _audio_invariant_sql(),
