@@ -1353,6 +1353,28 @@ def _q_audio_gain(sf_dir: str):
     )
 
 
+def _q_audio_loudnorm(sf_dir: str):
+    """Integer-exact RMS (loudness) normalization stats over the 1/7 clip
+    sample — the isqrt-gain face (`ops/audio_loudnorm`); the twin
+    recomputes the integer RMS floor as floor(sqrt(ms::DOUBLE)), exact for
+    ms < 2^50 (here ms <= 2^30)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_loudnorm import rms_normalize_stats
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    return rms_normalize_stats(
+        clips.map_batches(samp, batch_format="pyarrow"), target_rms=8000
+    )
+
+
 def _q_audio_vad(sf_dir: str):
     """Energy-threshold VAD segments (frame mean-square >= -40 dBFS,
     20 ms frames, min_len=2) over the 1/7 clip sample — the FOURTH
@@ -1801,6 +1823,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_incremental": _q_audio_incremental,
         "remove_audio_spans": _q_remove_audio_spans,
         "joint_dup_report": _q_joint_dup_report,
+        "audio_loudnorm": _q_audio_loudnorm,
         "image_features_stub": _q_image_features,
     }
 
@@ -2239,6 +2262,47 @@ def _audio_gain_sql(target_peak: int = 30000) -> str:
         )
         SELECT clip_id,
                CAST(min(peak) AS BIGINT) AS peak_in,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS energy_out,
+               CAST(max(abs(s)) AS BIGINT) AS peak_out
+        FROM y GROUP BY clip_id
+    """
+
+
+def _audio_loudnorm_sql(target_rms: int = 8000) -> str:
+    """Twin of ``_q_audio_loudnorm``: per-clip integer RMS floor from the
+    SQL-decoded samples — ``floor(sqrt((sum(s^2) // n)::DOUBLE))``, which
+    equals ``math.isqrt`` exactly for mean squares below 2^50 (here
+    <= 32768^2 = 2^30; see ops/audio_loudnorm module doc for the ulp
+    argument) — then the exact integer scaling of
+    ``ops.audio_loudnorm.normalize_rms_pcm`` (offset floor + int16 clamp,
+    r == 0 pass-through)."""
+    t = int(target_rms)
+    return f"""
+        WITH {_audio_decode_ctes()},
+        msq AS (
+          SELECT clip_id,
+                 CAST(sum(CAST(s AS HUGEINT) * s) // count(*) AS BIGINT)
+                   AS ms,
+                 count(*) AS n
+          FROM allsamp GROUP BY clip_id
+        ),
+        rm AS (
+          SELECT clip_id, n,
+                 CAST(floor(sqrt(CAST(ms AS DOUBLE))) AS BIGINT) AS r
+          FROM msq
+        ),
+        y AS (
+          SELECT a.clip_id, rm.r, rm.n,
+                 CASE WHEN rm.r = 0 THEN a.s
+                      ELSE least(32767, greatest(-32768,
+                        (CAST(a.s AS HUGEINT) * {t} + 32768 * {t} * rm.r)
+                          // rm.r - 32768 * {t}))
+                 END AS s
+          FROM allsamp a JOIN rm USING (clip_id)
+        )
+        SELECT clip_id,
+               CAST(min(r) AS BIGINT) AS rms_in,
                CAST(count(*) AS BIGINT) AS n_samples,
                CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS energy_out,
                CAST(max(abs(s)) AS BIGINT) AS peak_out
@@ -2998,6 +3062,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_invariant": _audio_invariant_sql(),
         "audio_invariant_summary": _audio_invariant_summary_sql(),
         "audio_gain": _audio_gain_sql(target_peak=30000),
+        "audio_loudnorm": _audio_loudnorm_sql(target_rms=8000),
         "jsonl_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

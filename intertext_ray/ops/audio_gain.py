@@ -15,8 +15,9 @@ and DuckDB).  Silent clips (peak 0) pass through unchanged.
 
 The twin reuses the shared SQL payload decode (`_audio_decode_ctes`) and
 re-runs the exact scaling — the THIRD driver-checked audio face.  Loudness
-(RMS / LUFS-style) normalization is the float sibling: same map shape, no
-integer-exact twin, so it lives in `ops/audio_stats` dBFS territory.
+(RMS) normalization is the sibling in `ops/audio_loudnorm`, made
+integer-exact (and hence twin-checkable) via the isqrt reference level;
+float LUFS-style measures stay in `ops/audio_stats` dBFS territory.
 
 Scale: stateless row-local ``map_batches`` — no exchange at any size.
 """
