@@ -1375,6 +1375,25 @@ def _q_audio_loudnorm(sf_dir: str):
     )
 
 
+def _q_audio_dc(sf_dir: str):
+    """Integer-exact DC-offset removal stats over the 1/7 clip sample —
+    the floor-mean face (`ops/audio_dc`); the twin replays the sign-safe
+    offset floor mean and int16 clamp over the SQL-decoded samples."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_dc import dc_offset_stats
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    return dc_offset_stats(clips.map_batches(samp, batch_format="pyarrow"))
+
+
 def _q_audio_vad(sf_dir: str):
     """Energy-threshold VAD segments (frame mean-square >= -40 dBFS,
     20 ms frames, min_len=2) over the 1/7 clip sample — the FOURTH
@@ -1824,6 +1843,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "remove_audio_spans": _q_remove_audio_spans,
         "joint_dup_report": _q_joint_dup_report,
         "audio_loudnorm": _q_audio_loudnorm,
+        "audio_dc_offset": _q_audio_dc,
         "image_features_stub": _q_image_features,
     }
 
@@ -2304,6 +2324,36 @@ def _audio_loudnorm_sql(target_rms: int = 8000) -> str:
         SELECT clip_id,
                CAST(min(r) AS BIGINT) AS rms_in,
                CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS energy_out,
+               CAST(max(abs(s)) AS BIGINT) AS peak_out
+        FROM y GROUP BY clip_id
+    """
+
+
+def _audio_dc_sql() -> str:
+    """Twin of ``_q_audio_dc``: per-clip floor mean over the SQL-decoded
+    samples via the sign-safe offset idiom (numerator made non-negative so
+    truncating ``//`` == floor on DuckDB, numpy and Python alike), then
+    the exact subtraction + int16 clamp of
+    ``ops.audio_dc.remove_dc_pcm``."""
+    return f"""
+        WITH {_audio_decode_ctes()},
+        mu AS (
+          SELECT clip_id,
+                 (sum(CAST(s AS HUGEINT)) + 32768 * count(*)) // count(*)
+                   - 32768 AS m,
+                 count(*) AS n
+          FROM allsamp GROUP BY clip_id
+        ),
+        y AS (
+          SELECT a.clip_id, mu.m,
+                 least(32767, greatest(-32768, a.s - mu.m)) AS s
+          FROM allsamp a JOIN mu USING (clip_id)
+        )
+        SELECT clip_id,
+               CAST(min(m) AS BIGINT) AS dc_in,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(s) AS BIGINT) AS sum_out,
                CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS energy_out,
                CAST(max(abs(s)) AS BIGINT) AS peak_out
         FROM y GROUP BY clip_id
@@ -3063,6 +3113,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_invariant_summary": _audio_invariant_summary_sql(),
         "audio_gain": _audio_gain_sql(target_peak=30000),
         "audio_loudnorm": _audio_loudnorm_sql(target_rms=8000),
+        "audio_dc_offset": _audio_dc_sql(),
         "jsonl_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
