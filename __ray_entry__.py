@@ -1394,6 +1394,24 @@ def _q_audio_dc(sf_dir: str):
     return dc_offset_stats(clips.map_batches(samp, batch_format="pyarrow"))
 
 
+def _q_speech_rate(sf_dir: str):
+    """Transcript↔audio speaking-rate consistency report over the FULL
+    audiodup clips table (decode-free: dur_ms metadata + vectorized token
+    counts; `ops/audio_text_rate`).  Reads only the three needed columns —
+    the payload bytes never leave storage."""
+    import os
+
+    from intertext_ray.fixtures.gen_audio import audio_dup_corpus_for_sf
+    from intertext_ray.ops.audio_text_rate import speech_rate_report
+    from intertext_ray.sources.clips import read_clips
+
+    clips = read_clips(
+        os.path.join(audio_dup_corpus_for_sf(sf_dir), "clips"),
+        columns=["clip_id", "dur_ms", "transcript"],
+    )
+    return speech_rate_report(clips, wpm_lo=30, wpm_hi=400)
+
+
 def _q_audio_vad(sf_dir: str):
     """Energy-threshold VAD segments (frame mean-square >= -40 dBFS,
     20 ms frames, min_len=2) over the 1/7 clip sample — the FOURTH
@@ -1844,6 +1862,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "joint_dup_report": _q_joint_dup_report,
         "audio_loudnorm": _q_audio_loudnorm,
         "audio_dc_offset": _q_audio_dc,
+        "speech_rate_report": _q_speech_rate,
         "image_features_stub": _q_image_features,
     }
 
@@ -2357,6 +2376,34 @@ def _audio_dc_sql() -> str:
                CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS energy_out,
                CAST(max(abs(s)) AS BIGINT) AS peak_out
         FROM y GROUP BY clip_id
+    """
+
+
+def _speech_rate_sql(wpm_lo: int = 30, wpm_hi: int = 400) -> str:
+    """Twin of ``_q_speech_rate``: token counts via regexp split with
+    empty tokens filtered (full-whitespace-class robust, the `ops/curate`
+    ADVICE lesson), rate class via cross-multiplied integer comparisons —
+    no division, no float."""
+    lo, hi = int(wpm_lo), int(wpm_hi)
+    return f"""
+        WITH tok AS (
+          SELECT clip_id, CAST(dur_ms AS BIGINT) AS dur_ms,
+                 CAST(len(list_filter(
+                   regexp_split_to_array(transcript, '\\s+'),
+                   w -> w <> '')) AS BIGINT) AS n_tokens
+          FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+        )
+        SELECT clip_id, n_tokens, dur_ms,
+               CASE WHEN dur_ms > 0
+                    THEN n_tokens * 60000000 // dur_ms ELSE 0
+               END AS wpm_milli,
+               CASE WHEN dur_ms <= 0 THEN 'invalid'
+                    WHEN n_tokens = 0 THEN 'empty'
+                    WHEN n_tokens * 60000 < {lo} * dur_ms THEN 'too_slow'
+                    WHEN n_tokens * 60000 > {hi} * dur_ms THEN 'too_fast'
+                    ELSE 'ok'
+               END AS rate_class
+        FROM tok
     """
 
 
@@ -3114,6 +3161,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_gain": _audio_gain_sql(target_peak=30000),
         "audio_loudnorm": _audio_loudnorm_sql(target_rms=8000),
         "audio_dc_offset": _audio_dc_sql(),
+        "speech_rate_report": _speech_rate_sql(wpm_lo=30, wpm_hi=400),
         "jsonl_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
