@@ -513,6 +513,25 @@ def _q_minhash_doc_clusters(sf_dir: str):
     )
 
 
+def _q_doc_canonicals(sf_dir: str):
+    """Policy survivor selection per doc-level dup cluster (keep the
+    longest member, tiebreak min id) — the twin re-derives the whole
+    chain from the raw table then replays the argmax with a window
+    function."""
+    import ray.data
+
+    from intertext_ray.ops.minhash_doc import minhash_doc_canonicals
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ray.data.from_arrow(
+        minhash_doc_canonicals(
+            docs, k=3, n_perm=16, band_rows=2, min_jaccard=0.5
+        )
+    )
+
+
 def _q_source_dup_report(sf_dir: str):
     """Per-source duplication rollup over the doc-level MinHash chain —
     the twin recomputes dup membership from the raw table (same chain as
@@ -1863,6 +1882,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_loudnorm": _q_audio_loudnorm,
         "audio_dc_offset": _q_audio_dc,
         "speech_rate_report": _q_speech_rate,
+        "doc_cluster_canonicals": _q_doc_canonicals,
         "image_features_stub": _q_image_features,
     }
 
@@ -3162,6 +3182,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_loudnorm": _audio_loudnorm_sql(target_rms=8000),
         "audio_dc_offset": _audio_dc_sql(),
         "speech_rate_report": _speech_rate_sql(wpm_lo=30, wpm_hi=400),
+        "doc_cluster_canonicals": _doc_canonicals_sql(),
         "jsonl_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -4267,6 +4288,50 @@ def _minhash_doc_survivors_sql(
         FROM documents d
         LEFT JOIN dropped dr ON dr.node = d.doc_id
         WHERE dr.node IS NULL
+    """
+
+
+def _doc_canonicals_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50
+) -> str:
+    """Twin of ``ops.minhash_doc.minhash_doc_canonicals``: the raw-table
+    cluster closure, membership joined back to documents for character
+    counts, then the longest-member policy (n_chars DESC, doc_id ASC)
+    replayed with a window function."""
+    return f"""
+        {_minhash_doc_chain(k, n_perm, band_rows, pct)},
+        edges AS (
+          SELECT doc_a AS uu, doc_b AS vv FROM mpairs
+          UNION SELECT doc_b, doc_a FROM mpairs
+        ),
+        cnodes AS (SELECT DISTINCT uu AS node FROM edges),
+        ccx(node, label) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT e3.vv, ccx.label FROM ccx JOIN edges e3 ON e3.uu = ccx.node
+          WHERE ccx.label < e3.vv
+        ),
+        lab AS (
+          SELECT node, min(label) AS label FROM ccx GROUP BY node
+        ),
+        mem AS (
+          SELECT lab.label AS cid, lab.node AS doc_id,
+                 length(d.text) AS n_chars
+          FROM lab JOIN documents d ON d.doc_id = lab.node
+        ),
+        sel AS (
+          SELECT cid, doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY cid ORDER BY n_chars DESC, doc_id ASC
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY cid) AS nm
+          FROM mem
+        )
+        SELECT CAST(cid AS BIGINT) AS dup_cluster_id,
+               CAST(doc_id AS BIGINT) AS survivor_doc_id,
+               CAST(nm AS BIGINT) AS n_members,
+               CAST(n_chars AS BIGINT) AS survivor_chars
+        FROM sel WHERE rn = 1
     """
 
 

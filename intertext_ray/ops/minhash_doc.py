@@ -630,3 +630,84 @@ def minhash_doc_survivors(
         )
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def minhash_doc_canonicals(
+    docs: ray.data.Dataset,
+    **kwargs,
+) -> pa.Table:
+    """(dup_cluster_id, survivor_doc_id, n_members, survivor_chars) — the
+    POLICY survivor face: per dup cluster keep the member with the MOST
+    CONTENT (max character count, tiebreak min doc_id) rather than
+    blindly the min id.  Real pipelines pick canonical documents this way
+    — the longest member of a near-dup cluster usually subsumes the
+    truncated/boilerplate-trimmed copies (the C4 "keep one" step with a
+    quality policy attached).
+
+    Scale shape: cluster membership is pair-graph-sized (the
+    `source_dup_report` broadcast justification) — the member id set is
+    ``ray.put`` once and the corpus streams through a row-local
+    searchsorted filter emitting lengths for MEMBER rows only
+    (member-proportional, ≪ corpus); the per-cluster argmax runs on the
+    driver over those pair-graph-sized rows.  Only (doc_id, text) is
+    read; swap the length policy for any per-doc score column without
+    changing the exchange shape."""
+    cl = minhash_doc_clusters(docs, **kwargs)
+    empty = pa.table(
+        {
+            "dup_cluster_id": pa.array([], pa.int64()),
+            "survivor_doc_id": pa.array([], pa.int64()),
+            "n_members": pa.array([], pa.int64()),
+            "survivor_chars": pa.array([], pa.int64()),
+        }
+    )
+    if len(cl) == 0:
+        return empty
+    mem_ids = cl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = cl["dup_cluster_id"].to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    ref = ray.put(np.sort(mem_ids))
+
+    def member_lens(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mm = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(mm, ids)
+        hit = (pos < len(mm)) & (mm[np.minimum(pos, len(mm) - 1)] == ids)
+        sub = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    ids[hit], pa.int64()
+                ),
+                "n_chars": pc.cast(
+                    pc.utf8_length(sub["text"]), pa.int64()
+                ),
+            }
+        )
+
+    lens = docs.map_batches(member_lens, batch_format="pyarrow").to_pandas()
+    # align lengths to the cluster membership rows
+    lens = lens.set_index("doc_id")["n_chars"]
+    n_chars = lens.reindex(mem_ids).to_numpy()
+    # argmax per cluster: n_chars DESC, doc_id ASC — via lexsort (last key
+    # is primary) then first-per-cluster
+    srt = np.lexsort((mem_ids, -n_chars, labels))
+    lab_s = labels[srt]
+    first = np.ones(len(lab_s), dtype=bool)
+    first[1:] = lab_s[1:] != lab_s[:-1]
+    # n_members per cluster — np.unique returns sorted labels, matching
+    # lab_s[first] (also sorted-unique), so the two arrays align 1:1
+    _, member_counts = np.unique(lab_s, return_counts=True)
+    return pa.table(
+        {
+            "dup_cluster_id": pa.array(lab_s[first], pa.int64()),
+            "survivor_doc_id": pa.array(mem_ids[srt][first], pa.int64()),
+            "n_members": pa.array(member_counts, pa.int64()),
+            "survivor_chars": pa.array(
+                n_chars[srt][first].astype(np.int64), pa.int64()
+            ),
+        }
+    )

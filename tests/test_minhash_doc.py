@@ -339,3 +339,42 @@ def test_fuzzy_decontam_survivors(ray_session):
     )
     assert 0 in flagged
     assert surv == set(range(6)) - flagged
+
+
+def test_minhash_doc_canonicals_policy(ray_session):
+    """Canonical survivor = LONGEST member (char count), tiebreak min id;
+    cross-checked against clusters + a pandas argmax reference."""
+    import ray.data as rd
+
+    from intertext_ray.ops.minhash_doc import (
+        minhash_doc_canonicals,
+        minhash_doc_clusters,
+    )
+
+    docs = rd.from_items(
+        [
+            # cluster A: 11 is the longest member -> must win over min-id 10
+            {"doc_id": 10, "text": "a b c d e f g h"},
+            {"doc_id": 11, "text": "a b c d e f g h iii"},
+            # cluster B: exact dups, equal length -> tiebreak min id (20)
+            {"doc_id": 20, "text": "p q r s t u v w"},
+            {"doc_id": 21, "text": "p q r s t u v w"},
+            # singleton: must NOT appear (no cluster)
+            {"doc_id": 30, "text": "z z z y y y x x"},
+        ]
+    )
+    got = (
+        rd.from_arrow(minhash_doc_canonicals(docs))
+        .to_pandas()
+        .set_index("dup_cluster_id")
+        .sort_index()
+    )
+    cl = minhash_doc_clusters(docs).to_pandas()
+    assert set(cl.doc_id) == {10, 11, 20, 21}
+    assert list(got.index) == sorted(set(cl.dup_cluster_id))
+    a, b = got.loc[10], got.loc[20]
+    assert int(a.survivor_doc_id) == 11  # longest, NOT min id
+    assert int(a.n_members) == 2
+    assert int(a.survivor_chars) == len("a b c d e f g h iii")
+    assert int(b.survivor_doc_id) == 20  # equal length -> min id
+    assert int(b.survivor_chars) == len("p q r s t u v w")
