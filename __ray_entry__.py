@@ -1257,6 +1257,30 @@ def _q_audio_dup_clusters(sf_dir: str):
     return docs_as_int64(ray.data.from_arrow(audio_dup_clusters(pairs)))
 
 
+def _q_audio_canonicals(sf_dir: str):
+    """Longest-member survivor policy per audio fingerprint dup cluster
+    (max dur_ms, tiebreak min id; decode-free metadata pass) — rows-only
+    driver check like the rest of the FFT chain; policy pinned in
+    tests/test_audio_dedup.py."""
+    import os
+
+    import ray.data
+
+    from intertext_ray.fixtures.gen_audio import audio_dup_corpus_for_sf
+    from intertext_ray.ops.audio_dedup import (
+        audio_cluster_canonicals,
+        audio_dup_pairs,
+    )
+    from intertext_ray.sources.clips import read_clips
+
+    pairs = audio_dup_pairs(_audio_dup_clips(sf_dir), num_buckets=16)
+    meta = read_clips(
+        os.path.join(audio_dup_corpus_for_sf(sf_dir), "clips"),
+        columns=["clip_id", "dur_ms"],
+    )
+    return ray.data.from_arrow(audio_cluster_canonicals(pairs, meta))
+
+
 def _q_joint_dup_report(sf_dir: str):
     """Two-modality dup classification (transcript chain x audio
     fingerprint chain) over the joint planted corpus; rows-only driver
@@ -1883,6 +1907,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_dc_offset": _q_audio_dc,
         "speech_rate_report": _q_speech_rate,
         "doc_cluster_canonicals": _q_doc_canonicals,
+        "audio_cluster_canonicals": _q_audio_canonicals,
         "image_features_stub": _q_image_features,
     }
 

@@ -535,3 +535,90 @@ def audio_dup_clusters(pairs: ray.data.Dataset) -> pa.Table:
             "audio_cluster_id": pa.array(nodes[label], pa.uint64()),
         }
     )
+
+
+def audio_cluster_canonicals(
+    pairs: ray.data.Dataset,
+    clips: ray.data.Dataset,
+) -> pa.Table:
+    """(audio_cluster_id, survivor_clip_id, n_members, survivor_dur_ms) —
+    the POLICY survivor face for the audio chain: per fingerprint dup
+    cluster keep the LONGEST member (max dur_ms, tiebreak min numeric
+    id).  Speech dedup keeps the longest recording because perturbed
+    copies (re-encodes, trims, padded re-uploads) are usually truncations
+    of it — the audio analog of `minhash_doc.minhash_doc_canonicals`'s
+    longest-text rule.
+
+    Decode-free: the policy reads only (clip_id, dur_ms) metadata — no
+    payload bytes move.  Scale shape: cluster membership is
+    pair-graph-sized, broadcast once; the clips side streams through a
+    row-local searchsorted filter emitting member rows only; the
+    per-cluster argmax runs on the driver over pair-graph-sized rows.
+    Rows-only driver check (the fingerprint chain is not
+    SQL-expressible); the policy itself is pinned in
+    tests/test_audio_dedup.py against a pandas argmax reference."""
+    cl = audio_dup_clusters(pairs)
+    empty = pa.table(
+        {
+            "audio_cluster_id": pa.array([], pa.int64()),
+            "survivor_clip_id": pa.array([], pa.string()),
+            "n_members": pa.array([], pa.int64()),
+            "survivor_dur_ms": pa.array([], pa.int64()),
+        }
+    )
+    if len(cl) == 0:
+        return empty
+    mem = cl["clip_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    labels = cl["audio_cluster_id"].to_numpy(zero_copy_only=False).astype(
+        np.uint64
+    )
+    ref = ray.put(np.sort(mem))
+
+    def member_meta(batch: pa.Table) -> pa.Table:
+        mm = ray.get(ref)
+        num = doc_ids_for_clip_ids(batch["clip_id"])
+        pos = np.searchsorted(mm, num)
+        hit = (pos < len(mm)) & (mm[np.minimum(pos, len(mm) - 1)] == num)
+        sub = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "num_id": pa.array(num[hit], pa.uint64()),
+                "clip_id": sub["clip_id"],
+                "dur_ms": pa.array(
+                    sub["dur_ms"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    meta = (
+        clips.select_columns(["clip_id", "dur_ms"])
+        .map_batches(member_meta, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("num_id")
+    )
+    dur = meta["dur_ms"].reindex(mem).to_numpy()
+    names = meta["clip_id"].reindex(mem).to_numpy()
+    # argmax per cluster: dur_ms DESC, numeric id ASC (lexsort: last key
+    # is primary)
+    srt = np.lexsort((mem, -dur, labels))
+    lab_s = labels[srt]
+    first = np.ones(len(lab_s), dtype=bool)
+    first[1:] = lab_s[1:] != lab_s[:-1]
+    _, member_counts = np.unique(lab_s, return_counts=True)
+    return pa.table(
+        {
+            "audio_cluster_id": pa.array(
+                lab_s[first].astype(np.int64), pa.int64()
+            ),
+            "survivor_clip_id": pa.array(
+                [str(x) for x in names[srt][first]], pa.string()
+            ),
+            "n_members": pa.array(member_counts, pa.int64()),
+            "survivor_dur_ms": pa.array(
+                dur[srt][first].astype(np.int64), pa.int64()
+            ),
+        }
+    )

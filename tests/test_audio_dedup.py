@@ -565,3 +565,66 @@ def test_audio_payload_report_decode_free():
     assert ok_rows["dur_consistent"].all()
     assert not out.loc[900, "est_known"]
     assert out.loc[900, "n_samples_est"] == -1
+
+
+def test_audio_cluster_canonicals_policy(ray_session):
+    """Survivor = longest member by dur_ms, tiebreak min numeric id;
+    synthetic pair graph + metadata table, pandas argmax reference."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.audio_dedup import audio_cluster_canonicals
+
+    # two clusters: {0,1,2} (1 is longest) and {5,6} (tie -> min id 5);
+    # clip 9 is a singleton and must not appear
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "clip_a": pa.array([0, 1, 5], pa.uint64()),
+                "clip_b": pa.array([1, 2, 6], pa.uint64()),
+            }
+        )
+    )
+    clips = rd.from_arrow(
+        pa.table(
+            {
+                "clip_id": [f"clip_{i}" for i in (0, 1, 2, 5, 6, 9)],
+                "dur_ms": pa.array(
+                    [1000, 5000, 3000, 700, 700, 9000], pa.int32()
+                ),
+            }
+        )
+    )
+    got = (
+        rd.from_arrow(audio_cluster_canonicals(pairs, clips))
+        .to_pandas()
+        .set_index("audio_cluster_id")
+        .sort_index()
+    )
+    assert list(got.index) == [0, 5]
+    assert got.loc[0].survivor_clip_id == "clip_1"  # longest, not min id
+    assert int(got.loc[0].n_members) == 3
+    assert int(got.loc[0].survivor_dur_ms) == 5000
+    assert got.loc[5].survivor_clip_id == "clip_5"  # tie -> min id
+    assert int(got.loc[5].n_members) == 2
+
+
+def test_audio_cluster_canonicals_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.audio_dedup import audio_cluster_canonicals
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "clip_a": pa.array([], pa.uint64()),
+                "clip_b": pa.array([], pa.uint64()),
+            }
+        )
+    )
+    clips = rd.from_arrow(
+        pa.table({"clip_id": ["clip_0"], "dur_ms": pa.array([10], pa.int32())})
+    )
+    assert len(audio_cluster_canonicals(pairs, clips)) == 0
