@@ -532,6 +532,20 @@ def _q_doc_canonicals(sf_dir: str):
     )
 
 
+def _q_doc_canonical_survivors(sf_dir: str):
+    """Policy-dedup purge: corpus minus non-canonical cluster members
+    (keeper = longest member, not min id) — the purge face of
+    `doc_cluster_canonicals`."""
+    from intertext_ray.ops.minhash_doc import minhash_doc_canonical_survivors
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return minhash_doc_canonical_survivors(
+        docs, k=3, n_perm=16, band_rows=2, min_jaccard=0.5
+    )
+
+
 def _q_source_dup_report(sf_dir: str):
     """Per-source duplication rollup over the doc-level MinHash chain —
     the twin recomputes dup membership from the raw table (same chain as
@@ -1908,6 +1922,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "speech_rate_report": _q_speech_rate,
         "doc_cluster_canonicals": _q_doc_canonicals,
         "audio_cluster_canonicals": _q_audio_canonicals,
+        "doc_canonical_survivors": _q_doc_canonical_survivors,
         "image_features_stub": _q_image_features,
     }
 
@@ -3208,6 +3223,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_dc_offset": _audio_dc_sql(),
         "speech_rate_report": _speech_rate_sql(wpm_lo=30, wpm_hi=400),
         "doc_cluster_canonicals": _doc_canonicals_sql(),
+        "doc_canonical_survivors": _doc_canonical_survivors_sql(),
         "jsonl_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -4357,6 +4373,47 @@ def _doc_canonicals_sql(
                CAST(nm AS BIGINT) AS n_members,
                CAST(n_chars AS BIGINT) AS survivor_chars
         FROM sel WHERE rn = 1
+    """
+
+
+def _doc_canonical_survivors_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50
+) -> str:
+    """Twin of ``ops.minhash_doc.minhash_doc_canonical_survivors``: the
+    canonicals chain, then documents minus the non-winner members."""
+    return f"""
+        {_minhash_doc_chain(k, n_perm, band_rows, pct)},
+        edges AS (
+          SELECT doc_a AS uu, doc_b AS vv FROM mpairs
+          UNION SELECT doc_b, doc_a FROM mpairs
+        ),
+        cnodes AS (SELECT DISTINCT uu AS node FROM edges),
+        ccx(node, label) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT e3.vv, ccx.label FROM ccx JOIN edges e3 ON e3.uu = ccx.node
+          WHERE ccx.label < e3.vv
+        ),
+        lab AS (
+          SELECT node, min(label) AS label FROM ccx GROUP BY node
+        ),
+        mem AS (
+          SELECT lab.label AS cid, lab.node AS doc_id,
+                 length(d.text) AS n_chars
+          FROM lab JOIN documents d ON d.doc_id = lab.node
+        ),
+        sel AS (
+          SELECT cid, doc_id,
+                 row_number() OVER (
+                   PARTITION BY cid ORDER BY n_chars DESC, doc_id ASC
+                 ) AS rn
+          FROM mem
+        ),
+        dropped AS (SELECT doc_id FROM sel WHERE rn > 1)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+        FROM documents d
+        LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+        WHERE dr.doc_id IS NULL
     """
 
 

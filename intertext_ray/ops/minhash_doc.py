@@ -711,3 +711,32 @@ def minhash_doc_canonicals(
             ),
         }
     )
+
+
+def minhash_doc_canonical_survivors(
+    docs: ray.data.Dataset,
+    **kwargs,
+) -> ray.data.Dataset:
+    """(doc_id) of every doc surviving POLICY dedup: per dup cluster only
+    the :func:`minhash_doc_canonicals` winner (longest member) is kept;
+    docs in no cluster pass through.  Same drop-set broadcast shape as
+    :func:`minhash_doc_survivors` — only the keeper RULE differs."""
+    canon = minhash_doc_canonicals(docs, **kwargs)
+    cl = minhash_doc_clusters(docs, **kwargs)
+    mem = cl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    winners = set(
+        canon["survivor_doc_id"].to_numpy(zero_copy_only=False).tolist()
+    )
+    drop = np.sort(
+        np.array([d for d in mem if d not in winners], dtype=np.int64)
+    )
+    ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dr = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(dr, ids)
+        dropped = (pos < len(dr)) & (dr[np.minimum(pos, len(dr) - 1)] == ids)
+        return pa.table({"doc_id": pa.array(ids[~dropped], pa.int64())})
+
+    return docs.map_batches(keep, batch_format="pyarrow")

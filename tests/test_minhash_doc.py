@@ -378,3 +378,25 @@ def test_minhash_doc_canonicals_policy(ray_session):
     assert int(a.survivor_chars) == len("a b c d e f g h iii")
     assert int(b.survivor_doc_id) == 20  # equal length -> min id
     assert int(b.survivor_chars) == len("p q r s t u v w")
+
+
+def test_minhash_doc_canonical_survivors(ray_session):
+    """Policy purge keeps the LONGEST cluster member (not min id) plus
+    all singletons."""
+    import ray.data as rd
+
+    from intertext_ray.ops.minhash_doc import minhash_doc_canonical_survivors
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 10, "text": "a b c d e f g h"},
+            {"doc_id": 11, "text": "a b c d e f g h iii"},  # longest -> kept
+            {"doc_id": 20, "text": "p q r s t u v w"},       # tie -> min id
+            {"doc_id": 21, "text": "p q r s t u v w"},
+            {"doc_id": 30, "text": "z z z y y y x x"},       # singleton
+        ]
+    )
+    got = set(
+        minhash_doc_canonical_survivors(docs).to_pandas().doc_id.astype(int)
+    )
+    assert got == {11, 20, 30}
