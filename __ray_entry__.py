@@ -1295,6 +1295,24 @@ def _q_audio_canonicals(sf_dir: str):
     return ray.data.from_arrow(audio_cluster_canonicals(pairs, meta))
 
 
+def _q_audio_packs(sf_dir: str):
+    """Fixed-duration training-window packing assignment over the full
+    audiodup clips table — exact global prefix scan of dur_ms in numeric
+    id order (two-phase, `ops/audio_pack`); decode-free (only clip_id +
+    dur_ms read)."""
+    import os
+
+    from intertext_ray.fixtures.gen_audio import audio_dup_corpus_for_sf
+    from intertext_ray.ops.audio_pack import assign_audio_packs
+    from intertext_ray.sources.clips import read_clips
+
+    clips = read_clips(
+        os.path.join(audio_dup_corpus_for_sf(sf_dir), "clips"),
+        columns=["clip_id", "dur_ms"],
+    )
+    return assign_audio_packs(clips, budget_ms=30000)
+
+
 def _q_joint_dup_report(sf_dir: str):
     """Two-modality dup classification (transcript chain x audio
     fingerprint chain) over the joint planted corpus; rows-only driver
@@ -1923,6 +1941,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_canonicals": _q_doc_canonicals,
         "audio_cluster_canonicals": _q_audio_canonicals,
         "doc_canonical_survivors": _q_doc_canonical_survivors,
+        "audio_pack_assignment": _q_audio_packs,
         "image_features_stub": _q_image_features,
     }
 
@@ -2406,6 +2425,35 @@ def _audio_loudnorm_sql(target_rms: int = 8000) -> str:
                CAST(sum(CAST(s AS HUGEINT) * s) AS BIGINT) AS energy_out,
                CAST(max(abs(s)) AS BIGINT) AS peak_out
         FROM y GROUP BY clip_id
+    """
+
+
+def _audio_pack_sql(budget_ms: int = 30000) -> str:
+    """Twin of ``_q_audio_packs``: the prefix scan as a window function
+    over numeric clip-id order (the `assign_chunks` twin shape with
+    dur_ms for tokens), pack id by floor division, offset by exact
+    remainder."""
+    b = int(budget_ms)
+    return f"""
+        WITH s AS (
+          SELECT clip_id,
+                 CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                   AS num,
+                 CAST(dur_ms AS BIGINT) AS dur_ms
+          FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+        ),
+        c AS (
+          SELECT clip_id, dur_ms,
+                 COALESCE(CAST(SUM(dur_ms) OVER (
+                   ORDER BY num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS BIGINT), 0) AS cum_before
+          FROM s
+        )
+        SELECT clip_id, dur_ms, cum_before,
+               cum_before // {b} AS pack_id,
+               cum_before - (cum_before // {b}) * {b} AS offset_ms
+        FROM c
     """
 
 
@@ -3224,6 +3272,7 @@ def oracle_sql() -> dict[str, str]:
         "speech_rate_report": _speech_rate_sql(wpm_lo=30, wpm_hi=400),
         "doc_cluster_canonicals": _doc_canonicals_sql(),
         "doc_canonical_survivors": _doc_canonical_survivors_sql(),
+        "audio_pack_assignment": _audio_pack_sql(budget_ms=30000),
         "jsonl_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
