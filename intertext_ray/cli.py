@@ -47,15 +47,20 @@ def build_parser() -> argparse.ArgumentParser:
     # Ray-side knobs
     p.add_argument(
         "--mode",
-        choices=["text", "audio", "spans", "joint", "preprocess"],
+        choices=["text", "audio", "spans", "joint", "preprocess", "pack"],
         default="text",
         help="text: reference transcript dedup (default); audio: "
         "audio-payload fingerprint dedup; joint: both chains + per-clip "
         "dup class (both/text_only/audio_only/unique); spans: shared-audio-"
         "span detect + cut (windowed-BER ExactSubstr rewrite); preprocess: "
         "payload rewrite (peak normalize + resample to --target-hz), all "
-        "non-audio columns passed through",
+        "non-audio columns passed through; pack: fixed-duration training-"
+        "window assignment (+ optional payload materialization)",
     )
+    p.add_argument("--pack-budget-ms", type=int, default=30000,
+                   help="pack mode: window duration budget")
+    p.add_argument("--pack-payloads", action="store_true",
+                   help="pack mode: also materialize concatenated windows")
     p.add_argument("--target-hz", type=int, default=16000,
                    help="preprocess: output sample rate")
     p.add_argument("--target-peak", type=int, default=0,
@@ -159,6 +164,35 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.mode == "pack":
+        if not args.clips:
+            print("error: --mode pack requires --clips", file=sys.stderr)
+            return 2
+        from intertext_ray.ops.audio_pack import (
+            assign_audio_packs,
+            pack_payloads,
+        )
+
+        os.makedirs(args.output, exist_ok=True)
+        clips = read_clips(args.clips)
+        assigned = assign_audio_packs(
+            clips, budget_ms=args.pack_budget_ms
+        ).materialize()
+        assigned.write_parquet(os.path.join(args.output, "pack_assignment"))
+        summary = {
+            "mode": "pack",
+            "clips": assigned.count(),
+            "packs": int(assigned.groupby("pack_id").count().count()),
+            "budget_ms": args.pack_budget_ms,
+            "output": args.output,
+        }
+        if args.pack_payloads:
+            packs = pack_payloads(assigned, clips).materialize()
+            packs.write_parquet(os.path.join(args.output, "packs"))
+            summary["packs_materialized"] = packs.count()
+        print(json.dumps(summary))
         return 0
 
     if args.mode == "spans":

@@ -120,3 +120,40 @@ def test_cli_spans_mode(ray_session, tmp_path, capsys):
         f"ELSE 0 END) FROM read_parquet('{out}/clips_despanned/*.parquet')"
     ).fetchone()
     assert n[0] == 24 and n[1] == summary["clips_cut"]
+
+
+def test_cli_pack_mode(ray_session, tmp_path, capsys):
+    """--mode pack writes the assignment parquet (+ materialized windows
+    with --pack-payloads) and the durations reconcile."""
+    import duckdb
+
+    from intertext_ray.cli import main
+    from intertext_ray.fixtures.gen_clips import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, 20, seed=7, with_audio=True, shards=2)
+    out = str(tmp_path / "pack")
+    rc = main(
+        [
+            "--clips", f"{corpus}/clips",
+            "--output", out,
+            "--mode", "pack",
+            "--pack-budget-ms", "4000",
+            "--pack-payloads",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["clips"] == 20
+    assert summary["packs"] >= 1
+    assert summary["packs_materialized"] == summary["packs"]
+    tot = duckdb.sql(
+        f"SELECT sum(dur_ms) FROM "
+        f"read_parquet('{out}/pack_assignment/*.parquet')"
+    ).fetchone()[0]
+    ptot = duckdb.sql(
+        f"SELECT sum(total_ms), count(*) FROM "
+        f"read_parquet('{out}/packs/*.parquet')"
+    ).fetchone()
+    assert int(ptot[0]) == int(tot)
+    assert int(ptot[1]) == summary["packs"]
