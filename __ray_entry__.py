@@ -1852,6 +1852,15 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         # (iii-b) NEW twins this round -> need their first direct rows
         "audio_segment_sample": _q_audio_segment_sample,
         "audio_transcode_sample": _q_audio_transcode_sample,
+        # (iii-c) NEW twins from the round-4 continuation session -> need
+        #         their first direct rows (displace six r2-green twins
+        #         with unchanged kernels to 51+; see COVERAGE.md)
+        "audio_loudnorm": _q_audio_loudnorm,
+        "audio_dc_offset": _q_audio_dc,
+        "speech_rate_report": _q_speech_rate,
+        "doc_cluster_canonicals": _q_doc_canonicals,
+        "doc_canonical_survivors": _q_doc_canonical_survivors,
+        "audio_pack_assignment": _q_audio_packs,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -1935,13 +1944,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_incremental": _q_audio_incremental,
         "remove_audio_spans": _q_remove_audio_spans,
         "joint_dup_report": _q_joint_dup_report,
-        "audio_loudnorm": _q_audio_loudnorm,
-        "audio_dc_offset": _q_audio_dc,
-        "speech_rate_report": _q_speech_rate,
-        "doc_cluster_canonicals": _q_doc_canonicals,
         "audio_cluster_canonicals": _q_audio_canonicals,
-        "doc_canonical_survivors": _q_doc_canonical_survivors,
-        "audio_pack_assignment": _q_audio_packs,
         "image_features_stub": _q_image_features,
     }
 
