@@ -270,3 +270,61 @@ def test_matching_spans_properties(na, nb, plant, pa_, pb_, seed):
         a0 <= pa_ + win and a0 + length >= pa_ + plant - win
         for a0, _, length, _ in spans
     ), (spans, pa_, plant)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=0,
+        max_size=400,
+    ),
+    st.integers(min_value=1, max_value=30000),
+)
+def test_rms_normalize_scalar_parity_and_signs(samples, target):
+    """normalize_rms_pcm == the pure-python int reference for ANY int16
+    input and target; sign is preserved (or zeroed) sample-wise."""
+    import math
+
+    from intertext_ray.ops.audio_loudnorm import normalize_rms_pcm
+
+    pcm = np.array(samples, np.int16)
+    got = normalize_rms_pcm(pcm, target)
+    if len(pcm) == 0:
+        assert got.tolist() == []
+        return
+    ms = sum(int(x) * int(x) for x in samples) // len(samples)
+    r = math.isqrt(ms)
+    if r == 0:
+        assert got.tolist() == [int(x) for x in samples]
+        return
+    want = [
+        min(32767, max(-32768, (int(x) * target + 32768 * target * r)
+                       // r - 32768 * target))
+        for x in samples
+    ]
+    assert got.tolist() == want
+    for x, y in zip(samples, got.tolist()):
+        assert x * y >= 0  # no sign flips (floor may zero small values)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_dc_removal_residual_and_parity(samples):
+    """remove_dc_pcm == scalar floor-mean reference; when nothing clamps
+    the residual sum lands in [0, n) — the floor-mean invariant."""
+    from intertext_ray.ops.audio_dc import dc_mean, remove_dc_pcm
+
+    pcm = np.array(samples, np.int16)
+    n = len(samples)
+    m = (sum(int(x) for x in samples) + 32768 * n) // n - 32768
+    want = [min(32767, max(-32768, int(x) - m)) for x in samples]
+    got = remove_dc_pcm(pcm)
+    assert got.tolist() == want
+    assert dc_mean(pcm) == m
+    if all(-32768 < int(x) - m < 32767 for x in samples):
+        assert 0 <= sum(got.astype(np.int64)) < n
