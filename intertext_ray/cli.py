@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pack mode: also materialize concatenated windows")
     p.add_argument("--target-hz", type=int, default=16000,
                    help="preprocess: output sample rate")
+    p.add_argument("--target-rms", type=int, default=0,
+                   help="preprocess: RMS-normalize payloads to this integer "
+                   "RMS level (0 = off; applied after --remove-dc, before "
+                   "--target-peak)")
+    p.add_argument("--remove-dc", action="store_true",
+                   help="preprocess: subtract the per-clip floor-mean DC "
+                   "offset first")
     p.add_argument("--target-peak", type=int, default=0,
                    help="preprocess: peak-normalize to this level first "
                    "(0 = skip normalization)")
@@ -137,12 +144,18 @@ def main(argv: list[str] | None = None) -> int:
         if not args.clips:
             print("error: --mode preprocess requires --clips", file=sys.stderr)
             return 2
+        from intertext_ray.ops.audio_dc import dc_remove_clips
         from intertext_ray.ops.audio_gain import normalize_clips
+        from intertext_ray.ops.audio_loudnorm import rms_normalize_clips
         from intertext_ray.ops.audio_resample import resample_clips
 
         os.makedirs(args.output, exist_ok=True)
         ds = read_clips(args.clips)
         n_in = ds.count()
+        if args.remove_dc:
+            ds = dc_remove_clips(ds)
+        if args.target_rms:
+            ds = rms_normalize_clips(ds, target_rms=args.target_rms)
         if args.target_peak:
             ds = normalize_clips(ds, target_peak=args.target_peak)
         ds = resample_clips(
@@ -159,6 +172,8 @@ def main(argv: list[str] | None = None) -> int:
                     "clips_out": ds.count(),
                     "target_hz": args.target_hz,
                     "target_peak": args.target_peak or None,
+                    "target_rms": args.target_rms or None,
+                    "remove_dc": bool(args.remove_dc),
                     "resampler": args.resampler,
                     "output": out_dir,
                 }
