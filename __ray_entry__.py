@@ -1469,6 +1469,25 @@ def _q_audio_dc(sf_dir: str):
     return dc_offset_stats(clips.map_batches(samp, batch_format="pyarrow"))
 
 
+def _q_audio_trim(sf_dir: str):
+    """Leading/trailing silence-trim stats over the 1/7 clip sample —
+    the edge-trim face (`ops/audio_trim`, VAD framing contract); twin
+    replays framing + gate + bounds + kept-range energy in SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_trim import trim_stats
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    return trim_stats(clips.map_batches(samp, batch_format="pyarrow"))
+
+
 def _q_speech_rate(sf_dir: str):
     """Transcript↔audio speaking-rate consistency report over the FULL
     audiodup clips table (decode-free: dur_ms metadata + vectorized token
@@ -1861,6 +1880,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_canonicals": _q_doc_canonicals,
         "doc_canonical_survivors": _q_doc_canonical_survivors,
         "audio_pack_assignment": _q_audio_packs,
+        "audio_trim_stats": _q_audio_trim,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -2515,6 +2535,60 @@ def _speech_rate_sql(wpm_lo: int = 30, wpm_hi: int = 400) -> str:
                     ELSE 'ok'
                END AS rate_class
         FROM tok
+    """
+
+
+def _audio_trim_sql(frame_ms: int = 20, thr_msq: int = 107374) -> str:
+    """Twin of ``_q_audio_trim``: frames the SQL-decoded samples
+    (complete frames only, the VAD contract), finds the first/last
+    active frame via per-clip window min/max, and re-sums count/energy
+    over the kept complete-frame range — all derived from ONE pass over
+    the frame table (the decode CTE is re-evaluated per reference in
+    DuckDB, ~25 s each at sf0.01, so the whole twin is written to touch
+    ``allsamp`` exactly once; the kept sample range [f0*flen,
+    (f1+1)*flen) is by construction exactly complete frames f0..f1, so
+    no second sample-level scan is needed).  All-silent clips surface as
+    (-1, -1, 0, 0)."""
+    t = int(thr_msq)
+    return f"""
+        WITH {_audio_decode_ctes()},
+        meta AS (
+          SELECT clip_id,
+                 greatest(1, CAST(sr_hz AS BIGINT) * {int(frame_ms)} // 1000)
+                   AS flen
+          FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+          WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT) % 7 = 0
+            AND codec IN ('pcm_s16le', 'wav', 'ulaw', 'alaw')
+        ),
+        fe AS (
+          SELECT a.clip_id, a.i // m.flen AS frame, m.flen,
+                 sum(CAST(a.s AS HUGEINT) * a.s) AS energy, count(*) AS n
+          FROM allsamp a JOIN meta m USING (clip_id)
+          GROUP BY a.clip_id, a.i // m.flen, m.flen
+        ),
+        w AS (
+          SELECT clip_id, frame, flen, energy, n,
+                 min(CASE WHEN n = flen
+                          AND energy >= CAST({t} AS HUGEINT) * flen
+                          THEN frame END)
+                   OVER (PARTITION BY clip_id) AS f0,
+                 max(CASE WHEN n = flen
+                          AND energy >= CAST({t} AS HUGEINT) * flen
+                          THEN frame END)
+                   OVER (PARTITION BY clip_id) AS f1
+          FROM fe
+        )
+        SELECT clip_id,
+               CAST(count(*) FILTER (WHERE n = flen) AS BIGINT) AS n_frames,
+               CAST(COALESCE(min(f0), -1) AS BIGINT) AS first_active,
+               CAST(COALESCE(min(f1), -1) AS BIGINT) AS last_active,
+               CAST(COALESCE(sum(n) FILTER (
+                 WHERE n = flen AND frame BETWEEN f0 AND f1), 0) AS BIGINT)
+                   AS n_out,
+               CAST(COALESCE(sum(energy) FILTER (
+                 WHERE n = flen AND frame BETWEEN f0 AND f1), 0) AS BIGINT)
+                   AS energy_out
+        FROM w GROUP BY clip_id
     """
 
 
@@ -3276,6 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_cluster_canonicals": _doc_canonicals_sql(),
         "doc_canonical_survivors": _doc_canonical_survivors_sql(),
         "audio_pack_assignment": _audio_pack_sql(budget_ms=30000),
+        "audio_trim_stats": _audio_trim_sql(),
         "jsonl_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
