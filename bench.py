@@ -379,6 +379,32 @@ def run_bench() -> dict:
     audio_common_spans(aclips2, num_buckets=32).count()
     queries["audio_spans"] = round(time.time() - t0, 3)
 
+    # ---- payload hygiene rewrites (round-4 continuation ops): DC removal
+    # -> RMS loudness normalize -> silence edge-trim chained as a real
+    # preprocess pipeline (decode-bound, row-local — measures the decode
+    # task-pool, zero exchanges), plus the decode-free pack assignment ----
+    from intertext_ray.ops.audio_dc import dc_remove_clips
+    from intertext_ray.ops.audio_loudnorm import rms_normalize_clips
+    from intertext_ray.ops.audio_pack import assign_audio_packs
+    from intertext_ray.ops.audio_trim import trim_clips
+
+    t0 = time.time()
+    aclips3 = _read_clips(
+        _os.path.join(acache, "clips"),
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"],
+    )
+    trim_clips(
+        rms_normalize_clips(dc_remove_clips(aclips3))
+    ).count()
+    queries["hygiene_ops"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ameta = _read_clips(
+        _os.path.join(acache, "clips"), columns=["clip_id", "dur_ms"]
+    )
+    assign_audio_packs(ameta, budget_ms=30000).count()
+    queries["pack_assignment"] = round(time.time() - t0, 3)
+
     # ---- IVF ANN (scale path) ----
     from intertext_ray.ops.embeddings import ann_topk_ivf
 
