@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remove-dc", action="store_true",
                    help="preprocess: subtract the per-clip floor-mean DC "
                    "offset first")
+    p.add_argument("--trim-silence", action="store_true",
+                   help="preprocess: trim leading/trailing silence at "
+                   "complete-frame granularity (all-silent clips dropped)")
     p.add_argument("--target-peak", type=int, default=0,
                    help="preprocess: peak-normalize to this level first "
                    "(0 = skip normalization)")
@@ -154,6 +157,10 @@ def main(argv: list[str] | None = None) -> int:
         n_in = ds.count()
         if args.remove_dc:
             ds = dc_remove_clips(ds)
+        if args.trim_silence:
+            from intertext_ray.ops.audio_trim import trim_clips
+
+            ds = trim_clips(ds)
         if args.target_rms:
             ds = rms_normalize_clips(ds, target_rms=args.target_rms)
         if args.target_peak:
@@ -174,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
                     "target_peak": args.target_peak or None,
                     "target_rms": args.target_rms or None,
                     "remove_dc": bool(args.remove_dc),
+                    "trim_silence": bool(args.trim_silence),
                     "resampler": args.resampler,
                     "output": out_dir,
                 }
