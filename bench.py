@@ -398,6 +398,10 @@ def run_bench() -> dict:
     ).count()
     queries["hygiene_ops"] = round(time.time() - t0, 3)
 
+    # (reading note: at sf0.1 all 20k ids fall in ONE range partition, so
+    # this measures Ray's fixed groupby/sort overhead on a degenerate
+    # single-key exchange — ~3 s per pass x two passes — not kernel cost;
+    # at real scale ids span many partitions and both passes parallelize)
     t0 = time.time()
     ameta = _read_clips(
         _os.path.join(acache, "clips"), columns=["clip_id", "dur_ms"]
