@@ -532,6 +532,19 @@ def _q_doc_canonicals(sf_dir: str):
     )
 
 
+def _q_jaccard_histogram(sf_dir: str):
+    """Duplicate-severity profile: verified near-dup pairs bucketed by
+    jaccard_x1000 deciles (partial-bincount combiner + tiny groupby)."""
+    from intertext_ray.ops.minhash_doc import jaccard_histogram
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return jaccard_histogram(
+        docs, bucket_width=100, k=3, n_perm=16, band_rows=2, min_jaccard=0.5
+    )
+
+
 def _q_doc_canonical_survivors(sf_dir: str):
     """Policy-dedup purge: corpus minus non-canonical cluster members
     (keeper = longest member, not min id) — the purge face of
@@ -1881,6 +1894,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "doc_canonical_survivors": _q_doc_canonical_survivors,
         "audio_pack_assignment": _q_audio_packs,
         "audio_trim_stats": _q_audio_trim,
+        "jaccard_histogram": _q_jaccard_histogram,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3351,6 +3365,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_canonical_survivors": _doc_canonical_survivors_sql(),
         "audio_pack_assignment": _audio_pack_sql(budget_ms=30000),
         "audio_trim_stats": _audio_trim_sql(),
+        "jaccard_histogram": _jaccard_histogram_sql(),
         "jsonl_token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -4500,6 +4515,21 @@ def _doc_canonicals_sql(
                CAST(nm AS BIGINT) AS n_members,
                CAST(n_chars AS BIGINT) AS survivor_chars
         FROM sel WHERE rn = 1
+    """
+
+
+def _jaccard_histogram_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50,
+    bucket_width: int = 100,
+) -> str:
+    """Twin of ``ops.minhash_doc.jaccard_histogram``: the raw-table chain
+    then one GROUP BY over the verified pairs' decile buckets."""
+    return f"""
+        {_minhash_doc_chain(k, n_perm, band_rows, pct)}
+        SELECT CAST(jaccard_x1000 // {int(bucket_width)} AS BIGINT)
+                 AS sim_bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM mpairs GROUP BY 1
     """
 
 

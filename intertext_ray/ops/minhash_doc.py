@@ -740,3 +740,48 @@ def minhash_doc_canonical_survivors(
         return pa.table({"doc_id": pa.array(ids[~dropped], pa.int64())})
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def jaccard_histogram(
+    docs: ray.data.Dataset,
+    bucket_width: int = 100,
+    **kwargs,
+) -> ray.data.Dataset:
+    """(sim_bucket, n_pairs) — the duplicate-severity profile: verified
+    near-dup pairs bucketed by ``jaccard_x1000 // bucket_width`` (deciles
+    by default).  Real pipelines read this BEFORE committing to a purge
+    threshold — the knee of the distribution separates boilerplate-grade
+    near-dups from benign topical overlap.
+
+    Scale shape: per-batch bincount combiner over the (already
+    pair-graph-sized) verified pairs, then a bucket-cardinality groupby —
+    the classic partial-aggregate push-down; nothing corpus-sized moves."""
+    bw = int(bucket_width)
+    pairs = minhash_doc_dedup(docs, **kwargs)
+
+    def part(b: pa.Table) -> pa.Table:
+        j = b["jaccard_x1000"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        bucket = j // bw
+        u, c = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "sim_bucket": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = pairs.map_batches(part, batch_format="pyarrow").groupby(
+        "sim_bucket"
+    ).sum("n")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sim_bucket": b["sim_bucket"],
+                "n_pairs": b["sum(n)"],
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -400,3 +400,39 @@ def test_minhash_doc_canonical_survivors(ray_session):
         minhash_doc_canonical_survivors(docs).to_pandas().doc_id.astype(int)
     )
     assert got == {11, 20, 30}
+
+
+def test_jaccard_histogram_matches_pairs(ray_session):
+    """Histogram = exact decile bincount of the verified pair table."""
+    import numpy as np
+    import ray.data as rd
+
+    from intertext_ray.ops.minhash_doc import (
+        jaccard_histogram,
+        minhash_doc_dedup,
+    )
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "a b c d e f g h"},
+            {"doc_id": 1, "text": "a b c d e f g h"},
+            {"doc_id": 2, "text": "a b c d e f g x"},
+            {"doc_id": 3, "text": "a b c d e y y x"},
+            {"doc_id": 4, "text": "p q r s t u v w"},
+        ]
+    )
+    pairs = minhash_doc_dedup(docs).to_pandas()
+    want = (
+        (pairs["jaccard_x1000"].astype(int) // 100)
+        .value_counts()
+        .sort_index()
+    )
+    got = (
+        jaccard_histogram(docs)
+        .to_pandas()
+        .sort_values("sim_bucket")
+        .set_index("sim_bucket")["n_pairs"]
+    )
+    assert got.index.tolist() == want.index.tolist()
+    assert got.tolist() == want.tolist()
+    assert int(got.sum()) == len(pairs)
