@@ -532,6 +532,17 @@ def _q_doc_canonicals(sf_dir: str):
     )
 
 
+def _q_quality_topk(sf_dir: str):
+    """Best-k docs per source by stopword ratio (distributed top-k with
+    per-batch combiner; `ops/curate.quality_topk_per_source`)."""
+    from intertext_ray.ops.curate import quality_topk_per_source
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return quality_topk_per_source(docs, k=5)
+
+
 def _q_jaccard_histogram(sf_dir: str):
     """Duplicate-severity profile: verified near-dup pairs bucketed by
     jaccard_x1000 deciles (partial-bincount combiner + tiny groupby)."""
@@ -1895,6 +1906,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_pack_assignment": _q_audio_packs,
         "audio_trim_stats": _q_audio_trim,
         "jaccard_histogram": _q_jaccard_histogram,
+        "quality_topk_per_source": _q_quality_topk,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -3258,6 +3270,32 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY doc_id
             UNION ALL
             SELECT doc_id, 0, 0, 0, 0, 0 FROM documents WHERE trim(text) = ''
+        """,
+        "quality_topk_per_source": f"""
+            WITH toks AS ({_TOKS}),
+            q AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     CAST(floor(CAST(1000 * sum(CASE WHEN w IN ({stop_en})
+                       THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) AS BIGINT)
+                       AS stopword_x1000
+              FROM toks GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, 0, 0 FROM documents WHERE trim(text) = ''
+            ),
+            j AS (
+              SELECT d.source, q.doc_id, q.stopword_x1000, q.n_tokens
+              FROM q JOIN documents d USING (doc_id)
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY stopword_x1000 DESC, n_tokens DESC, doc_id ASC
+              ) AS rn
+              FROM j
+            )
+            SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+                   stopword_x1000, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM r WHERE rn <= 5
         """,
         "assign_chunks": f"""
             WITH toks AS ({_TOKS}),

@@ -124,3 +124,69 @@ def blocklist_report(
         )
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_topk_per_source(
+    docs: ray.data.Dataset,
+    k: int = 5,
+    source_col: str = "source",
+) -> ray.data.Dataset:
+    """(source, doc_id, stopword_x1000, n_tokens) — the k BEST documents
+    per source, ranked by stopword ratio (the C4 naturalness proxy;
+    higher = more natural prose), ties by token count descending then
+    doc_id.  The "keep the best per domain" curation step — the
+    quality-ranked sibling of `ops/sampling.stratified_sample`'s
+    hash-uniform pick.
+
+    Scale shape: same distributed top-k as stratified_sample — a
+    per-batch combiner cuts every batch to k rows per source BEFORE the
+    shuffle (metrics ride the rows, recomputed nowhere), so the
+    per-source stage sees at most k * n_blocks rows per source, never
+    the source's full membership."""
+    import numpy as np
+
+    kk = int(k)
+
+    def topk(tbl: pa.Table) -> pa.Table:
+        src = np.asarray(tbl[source_col].to_pylist(), dtype=object)
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sw = tbl["stopword_x1000"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nt = tbl["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, -nt, -sw, src))
+        src, d, sw, nt = src[order], d[order], sw[order], nt[order]
+        new = np.ones(len(src), dtype=bool)
+        if len(src) > 1:
+            new[1:] = src[1:] != src[:-1]
+        starts = np.nonzero(new)[0]
+        rank = np.arange(len(src)) - starts[np.cumsum(new) - 1]
+        keep = rank < kk
+        return pa.table(
+            {
+                source_col: pa.array(src[keep].tolist(), pa.string()),
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "stopword_x1000": pa.array(sw[keep], pa.int64()),
+                "n_tokens": pa.array(nt[keep], pa.int64()),
+            }
+        )
+
+    def score(b: pa.Table) -> pa.Table:
+        q = quality_scores_batch(b)
+        return topk(
+            pa.table(
+                {
+                    source_col: b[source_col],
+                    "doc_id": q["doc_id"],
+                    "stopword_x1000": q["stopword_x1000"],
+                    "n_tokens": q["n_tokens"],
+                }
+            )
+        )
+
+    combined = docs.select_columns(
+        ["doc_id", "text", source_col]
+    ).map_batches(score, batch_format="pyarrow")
+    return combined.groupby(source_col).map_groups(
+        topk, batch_format="pyarrow"
+    )

@@ -230,3 +230,43 @@ def test_temperature_resample_cap_and_high_T(ray_session):
     ).to_pandas()
     kept_tiny = (got["lang"] == "tiny").sum()
     assert kept_tiny == n_tiny  # capped at rate 1 -> all kept
+
+
+def test_quality_topk_per_source(ray_session):
+    """Best-k per source by stopword ratio, ties by n_tokens then id;
+    combiner path (many small batches) agrees with single-batch truth."""
+    import ray.data as rd
+
+    from intertext_ray.ops.curate import quality_topk_per_source
+
+    rows = [
+        # source A: doc 1 has the highest stopword ratio; doc 2 ties doc 3
+        # on ratio but has more tokens
+        {"doc_id": 1, "source": "A", "text": "the and of to a"},
+        {"doc_id": 2, "source": "A", "text": "the cat and dog of x y z"},
+        {"doc_id": 3, "source": "A", "text": "the cat"},
+        {"doc_id": 4, "source": "A", "text": "qqq www eee"},
+        {"doc_id": 5, "source": "B", "text": "zz yy"},
+        {"doc_id": 6, "source": "B", "text": ""},
+    ]
+    docs = rd.from_items(rows)
+    got = (
+        quality_topk_per_source(docs, k=2)
+        .to_pandas()
+        .sort_values(["source", "stopword_x1000"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    a = got[got.source == "A"]
+    assert a.doc_id.tolist()[0] == 1  # all-stopwords doc wins
+    assert len(a) == 2
+    b = got[got.source == "B"]
+    assert len(b) == 2  # both B docs kept (k=2), incl. the empty one
+    assert set(b.doc_id) == {5, 6}
+    # partition invariance: 1-row batches through the combiner
+    got2 = (
+        quality_topk_per_source(docs.repartition(6), k=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sorted(got2.doc_id) == sorted(got.doc_id)
