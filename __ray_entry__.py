@@ -648,6 +648,26 @@ def _q_rolling_fp(sf_dir: str):
     return rolling_fingerprints(_docs(sf_dir))
 
 
+def _q_winnow_fps(sf_dir: str):
+    """Winnowing fingerprints (MOSS local fingerprinting, Schleimer et
+    al. 2003): rightmost-min selection over every window of 4
+    consecutive word-4-gram hashes (`ops/winnow`); the twin replays the
+    identical hash chain + window selection as a range-join min +
+    rightmost-position resolve."""
+    from intertext_ray.ops.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir), k=4, window=4)
+
+
+def _q_winnow_pairs(sf_dir: str):
+    """Doc pairs sharing >= 2 distinct winnowed fingerprints — the
+    substring-level dup detector with the winnowing locality guarantee
+    (any shared run of >= w+k-1 = 7 tokens is caught)."""
+    from intertext_ray.ops.winnow import winnow_dup_pairs
+
+    return winnow_dup_pairs(_docs(sf_dir), k=4, window=4, min_shared=2)
+
+
 def _q_assign_chunks(sf_dir: str):
     from intertext_ray.ops.packing import assign_chunks
 
@@ -1907,6 +1927,18 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_trim_stats": _q_audio_trim,
         "jaccard_histogram": _q_jaccard_histogram,
         "quality_topk_per_source": _q_quality_topk,
+        # (iii-d) winnowing family, added later in the round-4
+        #         continuation: the two NEW twins take their first direct
+        #         rows, and rolling_fingerprints returns in-window because
+        #         its kernel was REFACTORED this session (the k-gram hash
+        #         now lives in text_stats.kgram_hashes, shared with
+        #         winnowing — values unchanged, but changed code gets a
+        #         direct re-check per the round-3 policy).  Displaces
+        #         three r2-green unchanged twins to 51+ (cms_word_counts,
+        #         minhash_doc_clusters, suffix_repeat_spans).
+        "winnow_fingerprints": _q_winnow_fps,
+        "winnow_dup_pairs": _q_winnow_pairs,
+        "rolling_fingerprints": _q_rolling_fp,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -1920,6 +1952,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "token_quantiles": _q_token_quantiles,
         "hll_distinct": _q_hll_distinct,
+        # --- position 51+ starts here ---
         "cms_word_counts": _q_cms_word_counts,
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "suffix_repeat_spans": _q_suffix_spans,
@@ -1932,11 +1965,10 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "word_counts": _q_word_counts,
         "token_counts": _q_token_counts,
-        # --- position 51+: simhash_fingerprints and rolling_fingerprints
-        # are direct-green in round 2 with kernels unchanged since; they
-        # yield their slots to the two NEW twins above
+        # simhash_fingerprints is direct-green in round 2 with kernel
+        # unchanged since; rolling_fingerprints moved back IN-window
+        # ((iii-d) above) after its kgram_hashes refactor
         "simhash_fingerprints": _q_simhash,
-        "rolling_fingerprints": _q_rolling_fp,
         # --- direct-green in round 3 (CORRECTNESS_r03),
         # kernels unchanged since that check
         "minhash_doc_dedup": _q_minhash_doc,
@@ -3756,6 +3788,8 @@ def oracle_sql() -> dict[str, str]:
             k=3, n_perm=16, band_rows=2, pct=50
         ),
         "rolling_fingerprints": _rolling_fp_sql(),
+        "winnow_fingerprints": _winnow_fp_sql(k=4, window=4),
+        "winnow_dup_pairs": _winnow_pairs_sql(k=4, window=4, min_shared=2),
         "substring_dup_pairs": _substring_pairs_sql(k=8),
         "duplicate_spans": _dup_spans_sql(k=8),
         "remove_dup_spans": _remove_spans_sql(k=8),
@@ -4993,17 +5027,18 @@ def _charlm_sql(permille: int = 500) -> str:
     """
 
 
-def _rolling_fp_sql(k: int = 8, keep_mod: int = 16) -> str:
-    """Independent SQL twin of ``ops.text_stats.rolling_fingerprints``: the
-    identical splitmix64 token chain + positional polynomial in
-    HUGEINT-mod-2^64 arithmetic."""
+def _kgram_fpr_ctes(k: int) -> str:
+    """Shared CTE chain producing ``fpr(doc_id, i, f)`` — the per-position
+    word k-gram fingerprints (``i`` = 1-based gram start index, ``f`` =
+    splitmix64-finalized positional polynomial, value-identical to
+    ``text_stats.kgram_hashes``).  Callers open ``WITH RECURSIVE`` and
+    append their selection on top."""
     from intertext_ray.ops.text_stats import rolling_gram_weights
 
     weights = ", ".join(
         f"({j}, {int(p)})" for j, p in enumerate(rolling_gram_weights(k))
     )
     return f"""
-        WITH RECURSIVE
         d AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
           FROM documents WHERE trim(text) <> ''
@@ -5025,8 +5060,94 @@ def _rolling_fp_sql(k: int = 8, keep_mod: int = 16) -> str:
           GROUP BY a.doc_id, a.i
           HAVING count(*) = {k}
         ),
-        fpr AS (SELECT doc_id, {_sql_splitmix(_sql_mod64("s"))} AS f FROM terms)
+        fpr AS (
+          SELECT doc_id, i, {_sql_splitmix(_sql_mod64("s"))} AS f FROM terms
+        )"""
+
+
+def _rolling_fp_sql(k: int = 8, keep_mod: int = 16) -> str:
+    """Independent SQL twin of ``ops.text_stats.rolling_fingerprints``: the
+    identical splitmix64 token chain + positional polynomial in
+    HUGEINT-mod-2^64 arithmetic."""
+    return f"""
+        WITH RECURSIVE
+        {_kgram_fpr_ctes(k)}
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                lower(lpad(to_hex(f), 16, '0')) AS fp_hex
         FROM fpr WHERE f % {keep_mod} = 0
+    """
+
+
+def _winnow_select_ctes(k: int, window: int) -> str:
+    """CTE chain (appended after :func:`_kgram_fpr_ctes`) producing
+    ``fps(doc_id, pos1, f)`` — the winnowed selections: every window of
+    ``window`` consecutive gram positions (docs shorter than a window
+    get one truncated window) picks its min hash, rightmost on ties;
+    selections dedup by position.  Range joins are O(n_grams * window) —
+    fine at oracle scale, and an independent formulation from the
+    engine's vectorized sliding-window kernel."""
+    w = int(window)
+    return f"""
+        cnt AS (SELECT doc_id, max(i) AS t FROM fpr GROUP BY doc_id),
+        starts AS (
+          SELECT c.doc_id, u.s, least(u.s + {w} - 1, c.t) AS e
+          FROM cnt c,
+               unnest(generate_series(1, greatest(c.t - {w} + 1, 1))) u(s)
+        ),
+        wmin AS (
+          SELECT st.doc_id, st.s, st.e, min(b.f) AS mn
+          FROM starts st
+          JOIN fpr b ON b.doc_id = st.doc_id AND b.i BETWEEN st.s AND st.e
+          GROUP BY st.doc_id, st.s, st.e
+        ),
+        sel AS (
+          SELECT wm.doc_id, wm.s, max(b.i) AS pos1
+          FROM wmin wm
+          JOIN fpr b ON b.doc_id = wm.doc_id AND b.f = wm.mn
+                    AND b.i BETWEEN wm.s AND wm.e
+          GROUP BY wm.doc_id, wm.s
+        ),
+        fps AS (
+          SELECT DISTINCT s.doc_id, s.pos1, f.f
+          FROM sel s JOIN fpr f ON f.doc_id = s.doc_id AND f.i = s.pos1
+        )"""
+
+
+def _winnow_fp_sql(k: int = 4, window: int = 4) -> str:
+    """Twin of ``ops.winnow.winnow_fingerprints``."""
+    return f"""
+        WITH RECURSIVE
+        {_kgram_fpr_ctes(k)},
+        {_winnow_select_ctes(k, window)}
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(pos1 - 1 AS BIGINT) AS pos,
+               lower(lpad(to_hex(f), 16, '0')) AS fp_hex
+        FROM fps
+    """
+
+
+def _winnow_pairs_sql(
+    k: int = 4, window: int = 4, min_shared: int = 2, fp_doc_cap: int = 0
+) -> str:
+    """Twin of ``ops.winnow.winnow_dup_pairs``: distinct (doc, fp) ->
+    self-join on fp -> per-pair shared counts.  A nonzero ``fp_doc_cap``
+    replays the engine's whole-run drop (``HAVING count(*) <= cap``)."""
+    cap = f" AND count(*) <= {int(fp_doc_cap)}" if fp_doc_cap else ""
+    return f"""
+        WITH RECURSIVE
+        {_kgram_fpr_ctes(k)},
+        {_winnow_select_ctes(k, window)},
+        df AS (SELECT DISTINCT doc_id, f FROM fps),
+        ok AS (SELECT f FROM df GROUP BY f HAVING count(*) > 1{cap}),
+        pr AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM df a
+          JOIN df b ON a.f = b.f AND a.doc_id < b.doc_id
+          JOIN ok ON ok.f = a.f
+          GROUP BY 1, 2
+        )
+        SELECT CAST(doc_a AS BIGINT) AS doc_a,
+               CAST(doc_b AS BIGINT) AS doc_b,
+               CAST(shared AS BIGINT) AS shared
+        FROM pr WHERE shared >= {int(min_shared)}
     """

@@ -391,30 +391,31 @@ def rolling_fingerprints(
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
-def rolling_fp_batch(
-    batch: pa.Table, text_col: str = "text", k: int = 8, keep_mod: int = 16
-) -> pa.Table:
-    """Batch kernel behind :func:`rolling_fingerprints` (module-level so
-    driver-side passage fingerprinting reuses the identical code path)."""
+def kgram_hashes(
+    batch: pa.Table, text_col: str = "text", k: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position word k-gram hashes for a batch: ``(fp, owner)`` where
+    ``fp[i]`` is the splitmix-finalized positional polynomial hash of the
+    k-gram starting at the owner doc's i-th in-doc gram position, and
+    ``owner[i]`` indexes into the batch's rows.  Gram positions of one doc
+    are contiguous and in token order (docs arrive whole — one text per
+    row — so per-batch gram streams are per-doc complete).  Shared kernel
+    behind :func:`rolling_fp_batch` and ``ops.winnow`` so the SQL twins
+    of both pin the identical hash chain."""
     import pyarrow.compute as pc
 
     from intertext_ray.functions.hashing import splitmix64
     from intertext_ray.ops.simhash import _chain_hash_tokens
 
     P = rolling_gram_weights(k)
+    nothing = (np.empty(0, np.uint64), np.empty(0, np.int64))
 
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n_docs = len(texts)
-    empty = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "fp_hex": pa.array([], pa.string()),
-        }
-    )
     if n_docs == 0:
-        return empty
+        return nothing
     toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -428,7 +429,7 @@ def rolling_fp_batch(
     dix = doc_idx[valid]
     n = len(th)
     if n < k:
-        return empty
+        return nothing
     # polynomial over every flat position, then mask windows that span
     # a document boundary
     total = n - k + 1
@@ -438,6 +439,23 @@ def rolling_fp_batch(
     in_doc = dix[:total] == dix[k - 1 :]
     fp = splitmix64(acc[in_doc])
     owner = dix[:total][in_doc]
+    return fp, owner
+
+
+def rolling_fp_batch(
+    batch: pa.Table, text_col: str = "text", k: int = 8, keep_mod: int = 16
+) -> pa.Table:
+    """Batch kernel behind :func:`rolling_fingerprints` (module-level so
+    driver-side passage fingerprinting reuses the identical code path)."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "fp_hex": pa.array([], pa.string()),
+        }
+    )
+    fp, owner = kgram_hashes(batch, text_col, k)
+    if len(fp) == 0:
+        return empty
     keep = fp % np.uint64(keep_mod) == 0
     fp, owner = fp[keep], owner[keep]
     batch_docs = batch["doc_id"].to_numpy(zero_copy_only=False)
