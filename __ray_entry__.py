@@ -659,6 +659,24 @@ def _q_winnow_fps(sf_dir: str):
     return winnow_fingerprints(_docs(sf_dir), k=4, window=4)
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (LBFS/FastCDC rule over word k-gram
+    hashes): cut after a gram whose hash is 0 mod 16, chunk-content
+    positional polynomial hash (`ops/cdc`); the twin replays cuts, chunk
+    ids and chunk hashes in SQL."""
+    from intertext_ray.ops.cdc import cdc_chunks
+
+    return cdc_chunks(_docs(sf_dir), k=4, divisor=16)
+
+
+def _q_cdc_dups(sf_dir: str):
+    """Chunk-level duplicated-mass report: CDC chunk hashes recurring
+    corpus-wide with occurrence/doc counts."""
+    from intertext_ray.ops.cdc import cdc_dup_chunks
+
+    return cdc_dup_chunks(_docs(sf_dir), k=4, divisor=16)
+
+
 def _q_winnow_pairs(sf_dir: str):
     """Doc pairs sharing >= 2 distinct winnowed fingerprints — the
     substring-level dup detector with the winnowing locality guarantee
@@ -1939,6 +1957,12 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "rolling_fingerprints": _q_rolling_fp,
+        # (iii-e) content-defined chunking family (NEW, same session):
+        #         LBFS/FastCDC cut rule + chunk-content hash, twinned
+        #         end-to-end; displaces two more r2-green unchanged
+        #         twins (token_quantiles, hll_distinct) to 51+
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dup_chunks": _q_cdc_dups,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -1950,9 +1974,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "content_fingerprints": _q_fingerprints,
         "redact_pii": _q_redact_pii,
         "stratified_sample": _q_stratified_sample,
+        # --- position 51+ starts here ---
         "token_quantiles": _q_token_quantiles,
         "hll_distinct": _q_hll_distinct,
-        # --- position 51+ starts here ---
         "cms_word_counts": _q_cms_word_counts,
         "minhash_doc_clusters": _q_minhash_doc_clusters,
         "suffix_repeat_spans": _q_suffix_spans,
@@ -3790,6 +3814,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprints": _rolling_fp_sql(),
         "winnow_fingerprints": _winnow_fp_sql(k=4, window=4),
         "winnow_dup_pairs": _winnow_pairs_sql(k=4, window=4, min_shared=2),
+        "cdc_chunks": _cdc_chunks_sql(k=4, divisor=16),
+        "cdc_dup_chunks": _cdc_dups_sql(k=4, divisor=16),
         "substring_dup_pairs": _substring_pairs_sql(k=8),
         "duplicate_spans": _dup_spans_sql(k=8),
         "remove_dup_spans": _remove_spans_sql(k=8),
@@ -5111,6 +5137,98 @@ def _winnow_select_ctes(k: int, window: int) -> str:
           SELECT DISTINCT s.doc_id, s.pos1, f.f
           FROM sel s JOIN fpr f ON f.doc_id = s.doc_id AND f.i = s.pos1
         )"""
+
+
+def _cdc_chunk_ctes(k: int, divisor: int) -> str:
+    """CTE chain producing ``ch(doc_id, c, n_tokens, f)`` — the CDC
+    chunk table of ``ops.cdc.cdc_chunk_batch`` (``c`` = 0-based chunk
+    index, ``f`` = the chunk-content polynomial hash).  Unlike
+    :func:`_kgram_fpr_ctes` this keeps docs SHORTER than k tokens (they
+    form one cut-free chunk), so the token CTEs are rebuilt without the
+    ``nt >= k`` filter.  Callers open ``WITH RECURSIVE``."""
+    from intertext_ray.ops.cdc import CDC_WEIGHT_SEED
+    from intertext_ray.ops.text_stats import rolling_gram_weights
+
+    weights = ", ".join(
+        f"({j}, {int(p)})" for j, p in enumerate(rolling_gram_weights(k))
+    )
+    wj = f"(({_sql_splitmix(f'(t.i - cs.s + {CDC_WEIGHT_SEED})')}) >> 32) | 1"
+    return f"""
+        d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+          FROM documents WHERE trim(text) <> ''
+        ),
+        nn AS (SELECT doc_id, arr, len(arr) AS nt FROM d),
+        tok AS (
+          SELECT doc_id, i, arr[CAST(i AS BIGINT)] AS w
+          FROM nn, unnest(generate_series(1, nt)) u(i)
+        ),
+        toks AS (SELECT doc_id, w FROM tok),
+        {_SQL_TOKEN_CHAIN},
+        tokh AS (SELECT tok.doc_id, tok.i, th.h FROM tok JOIN th USING (w)),
+        pw(j, p) AS (VALUES {weights}),
+        terms AS (
+          SELECT a.doc_id, a.i,
+                 sum(CAST(b.h AS HUGEINT) * pw.p) AS s
+          FROM tokh a CROSS JOIN pw
+          JOIN tokh b ON b.doc_id = a.doc_id AND b.i = a.i + pw.j
+          GROUP BY a.doc_id, a.i
+          HAVING count(*) = {k}
+        ),
+        fpr AS (
+          SELECT doc_id, i, {_sql_splitmix(_sql_mod64("s"))} AS f FROM terms
+        ),
+        bnd AS (
+          SELECT doc_id, i + {k - 1} AS cutpos
+          FROM fpr WHERE f % {int(divisor)} = 0
+        ),
+        cid AS (
+          SELECT t.doc_id, t.i, t.h, count(b.cutpos) AS c
+          FROM tokh t
+          LEFT JOIN bnd b ON b.doc_id = t.doc_id AND b.cutpos < t.i
+          GROUP BY t.doc_id, t.i, t.h
+        ),
+        cstart AS (
+          SELECT doc_id, c, min(i) AS s, count(*) AS n_tokens
+          FROM cid GROUP BY doc_id, c
+        ),
+        hsum AS (
+          SELECT t.doc_id, t.c, min(cs.n_tokens) AS n_tokens,
+                 sum(CAST(t.h AS HUGEINT) * CAST(({wj}) AS HUGEINT)) AS s2
+          FROM cid t JOIN cstart cs ON cs.doc_id = t.doc_id AND cs.c = t.c
+          GROUP BY t.doc_id, t.c
+        ),
+        ch AS (
+          SELECT doc_id, c, n_tokens,
+                 {_sql_splitmix(_sql_mod64("s2"))} AS f
+          FROM hsum
+        )"""
+
+
+def _cdc_chunks_sql(k: int = 4, divisor: int = 16) -> str:
+    """Twin of ``ops.cdc.cdc_chunks`` (max_tokens=0 face)."""
+    return f"""
+        WITH RECURSIVE
+        {_cdc_chunk_ctes(k, divisor)}
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(c AS BIGINT) AS chunk_idx,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               lower(lpad(to_hex(f), 16, '0')) AS chunk_hash_hex
+        FROM ch
+    """
+
+
+def _cdc_dups_sql(k: int = 4, divisor: int = 16) -> str:
+    """Twin of ``ops.cdc.cdc_dup_chunks``."""
+    return f"""
+        WITH RECURSIVE
+        {_cdc_chunk_ctes(k, divisor)}
+        SELECT lower(lpad(to_hex(f), 16, '0')) AS chunk_hash_hex,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(max(n_tokens) AS BIGINT) AS n_tokens
+        FROM ch GROUP BY f HAVING count(*) > 1
+    """
 
 
 def _winnow_fp_sql(k: int = 4, window: int = 4) -> str:

@@ -391,31 +391,31 @@ def rolling_fingerprints(
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
-def kgram_hashes(
+def token_and_kgram_hashes(
     batch: pa.Table, text_col: str = "text", k: int = 8
-) -> tuple[np.ndarray, np.ndarray]:
-    """Per-position word k-gram hashes for a batch: ``(fp, owner)`` where
-    ``fp[i]`` is the splitmix-finalized positional polynomial hash of the
-    k-gram starting at the owner doc's i-th in-doc gram position, and
-    ``owner[i]`` indexes into the batch's rows.  Gram positions of one doc
-    are contiguous and in token order (docs arrive whole — one text per
-    row — so per-batch gram streams are per-doc complete).  Shared kernel
-    behind :func:`rolling_fp_batch` and ``ops.winnow`` so the SQL twins
-    of both pin the identical hash chain."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Token-level AND k-gram-level hashes for a batch:
+    ``(th, dix, fp, owner)`` — ``th[i]`` the splitmix64 byte-chain hash of
+    the i-th (non-empty) token, ``dix[i]`` its doc row index, ``fp``/
+    ``owner`` the per-position k-gram polynomial hashes as in
+    :func:`kgram_hashes`.  Token streams of one doc are contiguous and in
+    order (docs arrive whole).  Shared kernel behind rolling / winnowing
+    / CDC fingerprinting so every SQL twin pins the identical chain."""
     import pyarrow.compute as pc
 
     from intertext_ray.functions.hashing import splitmix64
     from intertext_ray.ops.simhash import _chain_hash_tokens
 
     P = rolling_gram_weights(k)
-    nothing = (np.empty(0, np.uint64), np.empty(0, np.int64))
+    e_u64 = np.empty(0, np.uint64)
+    e_i64 = np.empty(0, np.int64)
 
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n_docs = len(texts)
     if n_docs == 0:
-        return nothing
+        return e_u64, e_i64, e_u64, e_i64
     toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -429,7 +429,7 @@ def kgram_hashes(
     dix = doc_idx[valid]
     n = len(th)
     if n < k:
-        return nothing
+        return th, dix, e_u64, e_i64
     # polynomial over every flat position, then mask windows that span
     # a document boundary
     total = n - k + 1
@@ -439,6 +439,18 @@ def kgram_hashes(
     in_doc = dix[:total] == dix[k - 1 :]
     fp = splitmix64(acc[in_doc])
     owner = dix[:total][in_doc]
+    return th, dix, fp, owner
+
+
+def kgram_hashes(
+    batch: pa.Table, text_col: str = "text", k: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position word k-gram hashes for a batch: ``(fp, owner)`` where
+    ``fp[i]`` is the splitmix-finalized positional polynomial hash of the
+    k-gram starting at the owner doc's i-th in-doc gram position, and
+    ``owner[i]`` indexes into the batch's rows.  See
+    :func:`token_and_kgram_hashes`."""
+    _, _, fp, owner = token_and_kgram_hashes(batch, text_col, k)
     return fp, owner
 
 
