@@ -677,6 +677,16 @@ def _q_cdc_dups(sf_dir: str):
     return cdc_dup_chunks(_docs(sf_dir), k=4, divisor=16)
 
 
+def _q_remove_dup_chunks(sf_dir: str):
+    """CDC removal: keep the canonical (smallest (doc_id, chunk_idx))
+    occurrence of each duplicated chunk, cut every other one — the
+    chunk-granular sibling of remove_dup_spans, sharing its cut
+    co-group."""
+    from intertext_ray.ops.cdc import remove_dup_chunks
+
+    return remove_dup_chunks(_docs(sf_dir), k=4, divisor=16)
+
+
 def _q_winnow_pairs(sf_dir: str):
     """Doc pairs sharing >= 2 distinct winnowed fingerprints — the
     substring-level dup detector with the winnowing locality guarantee
@@ -1963,6 +1973,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         #         twins (token_quantiles, hll_distinct) to 51+
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dup_chunks": _q_cdc_dups,
+        "remove_dup_chunks": _q_remove_dup_chunks,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -1973,8 +1984,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
         "redact_pii": _q_redact_pii,
-        "stratified_sample": _q_stratified_sample,
         # --- position 51+ starts here ---
+        "stratified_sample": _q_stratified_sample,
         "token_quantiles": _q_token_quantiles,
         "hll_distinct": _q_hll_distinct,
         "cms_word_counts": _q_cms_word_counts,
@@ -3816,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_dup_pairs": _winnow_pairs_sql(k=4, window=4, min_shared=2),
         "cdc_chunks": _cdc_chunks_sql(k=4, divisor=16),
         "cdc_dup_chunks": _cdc_dups_sql(k=4, divisor=16),
+        "remove_dup_chunks": _remove_dup_chunks_sql(k=4, divisor=16),
         "substring_dup_pairs": _substring_pairs_sql(k=8),
         "duplicate_spans": _dup_spans_sql(k=8),
         "remove_dup_spans": _remove_spans_sql(k=8),
@@ -5228,6 +5240,46 @@ def _cdc_dups_sql(k: int = 4, divisor: int = 16) -> str:
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(max(n_tokens) AS BIGINT) AS n_tokens
         FROM ch GROUP BY f HAVING count(*) > 1
+    """
+
+
+def _remove_dup_chunks_sql(k: int = 4, divisor: int = 16) -> str:
+    """Twin of ``ops.cdc.remove_dup_chunks``: rank occurrences per chunk
+    hash by (doc_id, chunk_idx), anti-join tokens of non-canonical
+    chunks, ordered string_agg rejoin; empty / all-cut docs via the
+    final LEFT JOIN against the documents base."""
+    return f"""
+        WITH RECURSIVE
+        {_cdc_chunk_ctes(k, divisor)},
+        occ AS (
+          SELECT doc_id, c, f,
+                 row_number() OVER (PARTITION BY f ORDER BY doc_id, c)
+                   AS rn
+          FROM ch
+        ),
+        cuts AS (SELECT doc_id, c FROM occ WHERE rn > 1),
+        kept AS (
+          SELECT t.doc_id, t.i, tk.w
+          FROM cid t
+          JOIN tok tk ON tk.doc_id = t.doc_id AND tk.i = t.i
+          WHERE NOT EXISTS (
+            SELECT 1 FROM cuts x
+            WHERE x.doc_id = t.doc_id AND x.c = t.c
+          )
+        ),
+        ka AS (
+          SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text,
+                 count(*) AS nk
+          FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id)
+        SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
+               COALESCE(ka.text, '') AS text,
+               CAST(COALESCE(tot.nt, 0) - COALESCE(ka.nk, 0) AS BIGINT)
+                 AS n_removed
+        FROM documents dd
+        LEFT JOIN tot USING (doc_id)
+        LEFT JOIN ka USING (doc_id)
     """
 
 

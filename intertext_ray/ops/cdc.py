@@ -60,23 +60,27 @@ def cdc_chunk_batch(
     k: int = 4,
     divisor: int = 16,
     max_tokens: int = 0,
+    with_start: bool = False,
 ) -> pa.Table:
     """(doc_id, chunk_idx, n_tokens, chunk_hash_hex) rows: the CDC
     chunks of each doc.  ``chunk_idx`` is 0-based within the doc;
     ``chunk_hash`` is the splitmix-finalized positional polynomial over
     the chunk's token hashes.  ``max_tokens > 0`` splits oversized
-    chunks at a fixed stride (deterministic)."""
+    chunks at a fixed stride (deterministic).  ``with_start`` appends
+    the chunk's 0-based start token index (used by the removal path;
+    off by default so the driver-face schema stays the twin's)."""
     from intertext_ray.functions.hashing import splitmix64
     from intertext_ray.ops.text_stats import token_and_kgram_hashes
 
-    empty = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "chunk_idx": pa.array([], pa.int64()),
-            "n_tokens": pa.array([], pa.int64()),
-            "chunk_hash_hex": pa.array([], pa.string()),
-        }
-    )
+    cols = {
+        "doc_id": pa.array([], pa.int64()),
+        "chunk_idx": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "chunk_hash_hex": pa.array([], pa.string()),
+    }
+    if with_start:
+        cols["start"] = pa.array([], pa.int64())
+    empty = pa.table(cols)
     th, dix, fp, _owner = token_and_kgram_hashes(batch, text_col, k)
     n = len(th)
     if n == 0:
@@ -133,18 +137,22 @@ def cdc_chunk_batch(
     ch = splitmix64(sums.astype(np.uint64))
 
     batch_docs = batch["doc_id"].to_numpy(zero_copy_only=False)
-    return pa.table(
-        {
-            "doc_id": pa.array(
-                batch_docs[dix[cstarts]].astype(np.int64), pa.int64()
-            ),
-            "chunk_idx": pa.array(chunk_of[cstarts], pa.int64()),
-            "n_tokens": pa.array(clens.astype(np.int64), pa.int64()),
-            "chunk_hash_hex": pa.array(
-                [f"{int(v):016x}" for v in ch], pa.string()
-            ),
-        }
-    )
+    out = {
+        "doc_id": pa.array(
+            batch_docs[dix[cstarts]].astype(np.int64), pa.int64()
+        ),
+        "chunk_idx": pa.array(chunk_of[cstarts], pa.int64()),
+        "n_tokens": pa.array(clens.astype(np.int64), pa.int64()),
+        "chunk_hash_hex": pa.array(
+            [f"{int(v):016x}" for v in ch], pa.string()
+        ),
+    }
+    if with_start:
+        doc_start_flat = np.repeat(head_idx, doc_lens)
+        out["start"] = pa.array(
+            (cstarts - doc_start_flat[cstarts]).astype(np.int64), pa.int64()
+        )
+    return pa.table(out)
 
 
 def cdc_chunks(
@@ -239,3 +247,87 @@ def cdc_dup_chunks(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def remove_dup_chunks(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 4,
+    divisor: int = 16,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(doc_id, text, n_removed): the CDC REMOVAL step — every
+    occurrence of a duplicated chunk EXCEPT the canonical one (smallest
+    (doc_id, chunk_idx) corpus-wide, within-doc repeats included) is cut
+    and the surviving tokens rejoined with single spaces.  The
+    chunk-granular sibling of
+    ``ops.substring.remove_duplicate_spans`` — same output contract,
+    but the cut unit is the content-defined chunk, so a corpus keeps
+    exactly one copy of each repeated block.
+
+    Shape: canonical selection is one bucketed groupby over the slim
+    chunk projection (per-bucket lexsort + run head mask — the
+    canonical of a hash never leaves its bucket); the cut itself is the
+    shared :func:`substring.cut_spans` co-group."""
+    from intertext_ray.ops.substring import cut_spans
+
+    chunks = docs.map_batches(
+        lambda b: cdc_chunk_batch(b, text_col, k, divisor, with_start=True),
+        batch_format="pyarrow",
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t["chunk_hash_hex"]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        hv = np.array([int(s, 16) for s in h.to_pylist()], dtype=np.uint64)
+        return t.append_column(
+            "bucket", pa.array((hv % _U64(num_buckets)).astype(np.int64))
+        )
+
+    def emit_cuts(group: pa.Table) -> pa.Table:
+        """Non-canonical occurrences of duplicated hashes, as 1-based
+        inclusive token spans."""
+        h = group["chunk_hash_hex"]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        hv = np.asarray(h.to_pylist())
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        ci = group["chunk_idx"].to_numpy(zero_copy_only=False)
+        st = group["start"].to_numpy(zero_copy_only=False)
+        nt = group["n_tokens"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "start_pos": pa.array([], pa.int64()),
+                "end_pos": pa.array([], pa.int64()),
+            }
+        )
+        if len(hv) == 0:
+            return empty
+        order = np.lexsort((ci, d, hv))
+        hv, d, ci, st, nt = hv[order], d[order], ci[order], st[order], nt[order]
+        head = np.ones(len(hv), dtype=bool)
+        head[1:] = hv[1:] != hv[:-1]
+        # cut everything that is not the head (canonical) of its run
+        cut = ~head
+        if not cut.any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(d[cut].astype(np.int64), pa.int64()),
+                "start_pos": pa.array(
+                    (st[cut] + 1).astype(np.int64), pa.int64()
+                ),
+                "end_pos": pa.array(
+                    (st[cut] + nt[cut]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cuts = (
+        chunks.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit_cuts, batch_format="pyarrow")
+    )
+    return cut_spans(docs, cuts, text_col, num_buckets)

@@ -418,26 +418,23 @@ def suffix_repeat_spans(
     )
 
 
-def remove_duplicate_spans(
+def cut_spans(
     docs: ray.data.Dataset,
+    spans: ray.data.Dataset,
     text_col: str = "text",
-    k: int = 8,
     num_buckets: int = 32,
 ) -> ray.data.Dataset:
-    """(doc_id, text, n_removed): the Lee-et-al ExactSubstr REMOVAL step —
-    every word inside a :func:`duplicate_spans` span (a maximal run
-    covered by k-word grams occurring >= 2 times corpus-wide) is cut, and
-    the surviving words are rejoined with single spaces.  ``n_removed``
-    counts removed WORDS.  Docs with no spans pass through re-joined
-    (whitespace canonicalized — same tokenization contract as the twin).
+    """(doc_id, text, n_removed): remove the token ranges in ``spans``
+    (columns ``doc_id, start_pos, end_pos`` — 1-based inclusive) from
+    every doc and rejoin survivors with single spaces.  The shared
+    REMOVAL co-group behind :func:`remove_duplicate_spans` and
+    ``ops.cdc.remove_dup_chunks``.
 
-    Shape: spans are detected by the existing two-shuffle plan; the cut
-    is a doc-hash bucketed co-group of (docs, spans) — spans are
+    Shape: a doc-hash bucketed co-group of (docs, spans) — spans are
     dup-content-proportional, never broadcast — with the per-bucket mask
     built by a vectorized interval-delta cumsum over the flat token
     array (no per-doc Python loop)."""
     nb = _U64(num_buckets)
-    spans = duplicate_spans(docs, text_col, k, num_buckets)
 
     def tag_doc(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(_U64)
@@ -527,8 +524,29 @@ def remove_duplicate_spans(
 
     tagged = docs.map_batches(tag_doc, batch_format="pyarrow").union(
         spans.map_batches(
-            lambda t: tag_span(t.drop_columns(["n_grams"])),
+            lambda t: tag_span(t.select(["doc_id", "start_pos", "end_pos"])),
             batch_format="pyarrow",
         )
     )
     return tagged.groupby("bucket").map_groups(cut, batch_format="pyarrow")
+
+
+def remove_duplicate_spans(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 8,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(doc_id, text, n_removed): the Lee-et-al ExactSubstr REMOVAL step —
+    every word inside a :func:`duplicate_spans` span (a maximal run
+    covered by k-word grams occurring >= 2 times corpus-wide) is cut, and
+    the surviving words are rejoined with single spaces.  ``n_removed``
+    counts removed WORDS.  Docs with no spans pass through re-joined
+    (whitespace canonicalized — same tokenization contract as the twin).
+
+    Shape: spans are detected by the existing two-shuffle plan; the cut
+    is the shared :func:`cut_spans` co-group."""
+    return cut_spans(
+        docs, duplicate_spans(docs, text_col, k, num_buckets),
+        text_col, num_buckets,
+    )

@@ -120,6 +120,68 @@ def test_shift_resistance():
     assert not missing
 
 
+def _brute_remove(texts, k=4, divisor=16):
+    """Scalar reference for remove_dup_chunks: global canonical per
+    hash by (doc_id, chunk_idx), all other occurrences cut."""
+    per_doc = {d: brute_chunks(t, k, divisor) for d, t in enumerate(texts)}
+    first = {}
+    for d in sorted(per_doc):
+        for ci, nt, h in per_doc[d]:
+            first.setdefault(h, (d, ci))
+    out = {}
+    for d, t in enumerate(texts):
+        toks = t.split()
+        keep = np.ones(len(toks), dtype=bool)
+        pos = 0
+        for ci, nt, h in per_doc[d]:
+            if first[h] != (d, ci):
+                keep[pos : pos + nt] = False
+            pos += nt
+        kept = [w for w, kf in zip(toks, keep) if kf]
+        out[d] = (" ".join(kept), len(toks) - len(kept))
+    return out
+
+
+def test_remove_dup_chunks_matches_scalar_reference(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(21)
+    vocab = [f"v{i}" for i in range(30)]
+    boiler = " ".join(rng.choice(vocab, size=50))
+    texts = []
+    for i in range(25):
+        t = " ".join(rng.choice(vocab, size=int(rng.integers(10, 60))))
+        if i % 3 == 0:
+            t = boiler + " " + t  # shared heads -> duplicated chunks
+        if i % 5 == 0:
+            t = t + " " + boiler
+        texts.append(t)
+    texts.append("")  # empty doc passes through
+    texts.append("tiny doc")  # < k tokens: one chunk, maybe canonical
+    texts.append("tiny doc")  # exact dup of the short doc -> fully cut
+    want = _brute_remove(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+        }
+    )
+    from intertext_ray.ops.cdc import remove_dup_chunks
+
+    got_df = (
+        remove_dup_chunks(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+    )
+    got = {
+        int(r.doc_id): (r.text, int(r.n_removed))
+        for r in got_df.itertuples()
+    }
+    assert got == want
+    # the exact-dup short doc was cut entirely, its canonical kept
+    assert got[len(texts) - 1] == ("", 2)
+    assert got[len(texts) - 2] == ("tiny doc", 0)
+
+
 def test_dup_chunks_distributed_matches_brute(ray_session):
     import ray.data
 
