@@ -284,6 +284,17 @@ def run_bench() -> dict:
     simhash_near_dups(docs1k, max_hamming=8).count()
     queries["simhash_near_dups_1k"] = round(time.time() - t0, 3)
 
+    # ---- local-fingerprint dedup family (late round-4): winnowing dup
+    # pairs + CDC chunk dedup + the keep-one-copy purge, full table ----
+    from intertext_ray.ops.cdc import cdc_dup_chunks, remove_dup_chunks
+    from intertext_ray.ops.winnow import winnow_dup_pairs
+
+    t0 = time.time()
+    winnow_dup_pairs(read_documents(SF_DIR), min_shared=2).count()
+    cdc_dup_chunks(read_documents(SF_DIR)).count()
+    remove_dup_chunks(read_documents(SF_DIR)).count()
+    queries["chunk_ops"] = round(time.time() - t0, 3)
+
     # ---- sorted-neighborhood dedup: O(n*window), so the FULL table ----
     from intertext_ray.ops.sorted_neighborhood import sorted_neighbor_dups
 

@@ -47,7 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     # Ray-side knobs
     p.add_argument(
         "--mode",
-        choices=["text", "audio", "spans", "joint", "preprocess", "pack"],
+        choices=["text", "audio", "spans", "joint", "preprocess", "pack",
+                 "chunks"],
         default="text",
         help="text: reference transcript dedup (default); audio: "
         "audio-payload fingerprint dedup; joint: both chains + per-clip "
@@ -55,8 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
         "span detect + cut (windowed-BER ExactSubstr rewrite); preprocess: "
         "payload rewrite (peak normalize + resample to --target-hz), all "
         "non-audio columns passed through; pack: fixed-duration training-"
-        "window assignment (+ optional payload materialization)",
+        "window assignment (+ optional payload materialization); chunks: "
+        "content-defined chunk dedup over --documents (dup-mass report + "
+        "keep-one-copy purge rewrite)",
     )
+    p.add_argument("--cdc-k", type=int, default=4,
+                   help="chunks mode: cut-rule word-gram size")
+    p.add_argument("--cdc-divisor", type=int, default=16,
+                   help="chunks mode: cut density (mean chunk ~divisor "
+                   "tokens + k - 1)")
     p.add_argument("--pack-budget-ms", type=int, default=30000,
                    help="pack mode: window duration budget")
     p.add_argument("--pack-payloads", action="store_true",
@@ -216,6 +224,45 @@ def main(argv: list[str] | None = None) -> int:
             packs.write_parquet(os.path.join(args.output, "packs"))
             summary["packs_materialized"] = packs.count()
         print(json.dumps(summary))
+        return 0
+
+    if args.mode == "chunks":
+        if not args.documents:
+            print("error: --mode chunks requires --documents", file=sys.stderr)
+            return 2
+        from intertext_ray.ops.cdc import cdc_dup_chunks, remove_dup_chunks
+        from intertext_ray.sources.clips import read_table
+
+        os.makedirs(args.output, exist_ok=True)
+        k, dv, nb = args.cdc_k, args.cdc_divisor, args.num_buckets
+        docs = read_table(args.documents, columns=["doc_id", "text"])
+        dups = cdc_dup_chunks(
+            docs, k=k, divisor=dv, num_buckets=nb
+        ).materialize()
+        dups.write_parquet(os.path.join(args.output, "dup_chunks"))
+        docs2 = read_table(args.documents, columns=["doc_id", "text"])
+        cleaned = remove_dup_chunks(
+            docs2, k=k, divisor=dv, num_buckets=nb
+        ).materialize()
+        cleaned.write_parquet(os.path.join(args.output, "docs_dechunked"))
+        n_cut = cleaned.filter(expr="n_removed > 0").count()
+        from ray.data.aggregate import Sum as _Sum
+
+        removed = int(
+            cleaned.aggregate(_Sum("n_removed"))["sum(n_removed)"]
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": "chunks",
+                    "dup_chunk_hashes": dups.count(),
+                    "docs": cleaned.count(),
+                    "docs_cut": n_cut,
+                    "tokens_removed": removed,
+                    "output": args.output,
+                }
+            )
+        )
         return 0
 
     if args.mode == "spans":

@@ -199,3 +199,54 @@ def test_cli_preprocess_dc_and_rms(ray_session, tmp_path, capsys):
         # leveled near 8000 (resample after normalization shifts it a
         # little; DC residual strictly sub-sample before the gain)
         assert 4000**2 < rms < 12000**2
+
+
+def test_cli_chunks_mode(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from intertext_ray.cli import main
+
+    rng = np.random.default_rng(13)
+    vocab = [f"v{i}" for i in range(30)]
+    boiler = " ".join(rng.choice(vocab, size=50))
+    texts = []
+    for i in range(40):
+        t = " ".join(rng.choice(vocab, size=int(rng.integers(10, 60))))
+        if i % 2 == 0:
+            t = t + " " + boiler  # shared tail -> duplicated chunks
+        texts.append(t)
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+            }
+        ),
+        docs,
+    )
+    out = str(tmp_path / "chunk_out")
+    rc = main(
+        [
+            "--documents", docs,
+            "--output", out,
+            "--mode", "chunks",
+            "--num-buckets", "4",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs"] == 40
+    assert summary["dup_chunk_hashes"] > 0
+    assert 0 < summary["docs_cut"] < 40
+    assert summary["tokens_removed"] > 0
+    assert os.path.isdir(f"{out}/dup_chunks")
+    assert os.path.isdir(f"{out}/docs_dechunked")
+    # the purge output re-reads as a documents table, one row per doc
+    got = pq.read_table(f"{out}/docs_dechunked")
+    assert got.num_rows == 40
+
+    # chunks mode requires --documents
+    assert main(["--clips", "x", "--output", out, "--mode", "chunks"]) == 2
