@@ -328,3 +328,111 @@ def test_dc_removal_residual_and_parity(samples):
     assert dc_mean(pcm) == m
     if all(-32768 < int(x) - m < 32767 for x in samples):
         assert 0 <= sum(got.astype(np.int64)) < n
+
+
+docs_st = st.lists(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=4),
+        min_size=0,
+        max_size=25,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs_st, st.integers(min_value=2, max_value=6))
+def test_winnow_batch_split_invariance(doc_tokens, window):
+    """Winnowing selections are row-local: splitting the batch at any
+    point yields the same (doc_id, pos, fp) set as one batch."""
+    import pyarrow as pa
+
+    from intertext_ray.ops.winnow import winnow_fp_batch
+
+    texts = [" ".join(t) for t in doc_tokens]
+    full = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+        }
+    )
+    whole = winnow_fp_batch(full, k=3, window=window)
+    want = set(
+        zip(
+            whole["doc_id"].to_pylist(),
+            whole["pos"].to_pylist(),
+            whole["fp_hex"].to_pylist(),
+        )
+    )
+    cut = len(texts) // 2
+    got = set()
+    for lo, hi in ((0, cut), (cut, len(texts))):
+        part = pa.table(
+            {
+                "doc_id": pa.array(range(lo, hi), pa.int64()),
+                "text": texts[lo:hi],
+            }
+        )
+        t = winnow_fp_batch(part, k=3, window=window)
+        got |= set(
+            zip(
+                t["doc_id"].to_pylist(),
+                t["pos"].to_pylist(),
+                t["fp_hex"].to_pylist(),
+            )
+        )
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(docs_st, st.integers(min_value=2, max_value=32))
+def test_cdc_chunks_partition_doc_and_are_layout_invariant(
+    doc_tokens, divisor
+):
+    """CDC chunks of a doc partition its token stream (sum of n_tokens
+    == doc token count, chunk_idx dense from 0), and the chunk table is
+    independent of which other docs share the batch."""
+    import pyarrow as pa
+
+    from intertext_ray.ops.cdc import cdc_chunk_batch
+
+    texts = [" ".join(t) for t in doc_tokens]
+    full = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+        }
+    )
+    whole = cdc_chunk_batch(full, k=3, divisor=divisor)
+    by_doc = {}
+    for d, ci, nt, h in zip(
+        whole["doc_id"].to_pylist(),
+        whole["chunk_idx"].to_pylist(),
+        whole["n_tokens"].to_pylist(),
+        whole["chunk_hash_hex"].to_pylist(),
+    ):
+        by_doc.setdefault(d, []).append((ci, nt, h))
+    for d, toks in enumerate(doc_tokens):
+        rows = sorted(by_doc.get(d, []))
+        assert sum(nt for _, nt, _ in rows) == len(toks)
+        assert [ci for ci, _, _ in rows] == list(range(len(rows)))
+        # singleton batch agrees
+        solo = cdc_chunk_batch(
+            pa.table(
+                {
+                    "doc_id": pa.array([d], pa.int64()),
+                    "text": [texts[d]],
+                }
+            ),
+            k=3,
+            divisor=divisor,
+        )
+        srows = sorted(
+            zip(
+                solo["chunk_idx"].to_pylist(),
+                solo["n_tokens"].to_pylist(),
+                solo["chunk_hash_hex"].to_pylist(),
+            )
+        )
+        assert srows == rows
