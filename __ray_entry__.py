@@ -696,6 +696,15 @@ def _q_winnow_pairs(sf_dir: str):
     return winnow_dup_pairs(_docs(sf_dir), k=4, window=4, min_shared=2)
 
 
+def _q_gram_novelty(sf_dir: str):
+    """Per-doc novelty: fraction of distinct word 4-grams whose first
+    corpus occurrence (min doc_id) is this doc — the dedup-aware
+    data-mixing rank (`ops/novelty`)."""
+    from intertext_ray.ops.novelty import gram_novelty
+
+    return gram_novelty(_docs(sf_dir), k=4)
+
+
 def _q_assign_chunks(sf_dir: str):
     from intertext_ray.ops.packing import assign_chunks
 
@@ -1974,6 +1983,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dup_chunks": _q_cdc_dups,
         "remove_dup_chunks": _q_remove_dup_chunks,
+        # (iii-f) gram-novelty curation rank (NEW, same session)
+        "gram_novelty": _q_gram_novelty,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -1983,8 +1994,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
-        "redact_pii": _q_redact_pii,
         # --- position 51+ starts here ---
+        "redact_pii": _q_redact_pii,
         "stratified_sample": _q_stratified_sample,
         "token_quantiles": _q_token_quantiles,
         "hll_distinct": _q_hll_distinct,
@@ -3828,6 +3839,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _cdc_chunks_sql(k=4, divisor=16),
         "cdc_dup_chunks": _cdc_dups_sql(k=4, divisor=16),
         "remove_dup_chunks": _remove_dup_chunks_sql(k=4, divisor=16),
+        "gram_novelty": _gram_novelty_sql(k=4),
         "substring_dup_pairs": _substring_pairs_sql(k=8),
         "duplicate_spans": _dup_spans_sql(k=8),
         "remove_dup_spans": _remove_spans_sql(k=8),
@@ -5240,6 +5252,29 @@ def _cdc_dups_sql(k: int = 4, divisor: int = 16) -> str:
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(max(n_tokens) AS BIGINT) AS n_tokens
         FROM ch GROUP BY f HAVING count(*) > 1
+    """
+
+
+def _gram_novelty_sql(k: int = 4) -> str:
+    """Twin of ``ops.novelty.gram_novelty``: distinct (doc, gram) ->
+    per-gram min doc -> per-doc winner counts; same float64 floor ratio
+    idiom as the jaccard twins."""
+    return f"""
+        WITH RECURSIVE
+        {_kgram_fpr_ctes(k)},
+        dg AS (SELECT DISTINCT doc_id, f FROM fpr),
+        sz AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+        firstd AS (SELECT f, min(doc_id) AS d0 FROM dg GROUP BY f),
+        nv AS (
+          SELECT d0 AS doc_id, count(*) AS n_novel
+          FROM firstd GROUP BY d0
+        )
+        SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+               CAST(s.n_grams AS BIGINT) AS n_grams,
+               CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+               CAST(floor(1000.0 * COALESCE(nv.n_novel, 0) / s.n_grams)
+                    AS BIGINT) AS novelty_x1000
+        FROM sz s LEFT JOIN nv USING (doc_id)
     """
 
 
