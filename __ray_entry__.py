@@ -696,6 +696,15 @@ def _q_winnow_pairs(sf_dir: str):
     return winnow_dup_pairs(_docs(sf_dir), k=4, window=4, min_shared=2)
 
 
+def _q_length_sorted_packs(sf_dir: str):
+    """Length-sorted greedy packing (the padding-waste-minimizing
+    'sorted batching' order): docs by (n_tokens DESC, doc_id), exact
+    distributed prefix scan over the composite (length, range) key."""
+    from intertext_ray.ops.packing import length_sorted_packs
+
+    return length_sorted_packs(_docs(sf_dir), budget_tokens=512, range_size=64)
+
+
 def _q_gram_novelty(sf_dir: str):
     """Per-doc novelty: fraction of distinct word 4-grams whose first
     corpus occurrence (min doc_id) is this doc — the dedup-aware
@@ -1983,8 +1992,10 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dup_chunks": _q_cdc_dups,
         "remove_dup_chunks": _q_remove_dup_chunks,
-        # (iii-f) gram-novelty curation rank (NEW, same session)
+        # (iii-f) gram-novelty curation rank + length-sorted packing
+        #         (NEW, same session)
         "gram_novelty": _q_gram_novelty,
+        "length_sorted_packs": _q_length_sorted_packs,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
@@ -1993,8 +2004,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _q_repetition,
         "top_bigrams": _q_top_bigrams,
         "lang_id": _q_lang,
-        "content_fingerprints": _q_fingerprints,
         # --- position 51+ starts here ---
+        "content_fingerprints": _q_fingerprints,
         "redact_pii": _q_redact_pii,
         "stratified_sample": _q_stratified_sample,
         "token_quantiles": _q_token_quantiles,
@@ -3840,6 +3851,28 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dup_chunks": _cdc_dups_sql(k=4, divisor=16),
         "remove_dup_chunks": _remove_dup_chunks_sql(k=4, divisor=16),
         "gram_novelty": _gram_novelty_sql(k=4),
+        "length_sorted_packs": """
+            WITH tc AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (
+                       ORDER BY n_tokens DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cb
+              FROM tc
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cb AS BIGINT) AS cum_before,
+                   CAST(cb // 512 AS BIGINT) AS chunk_id
+            FROM cum
+        """,
         "substring_dup_pairs": _substring_pairs_sql(k=8),
         "duplicate_spans": _dup_spans_sql(k=8),
         "remove_dup_spans": _remove_spans_sql(k=8),

@@ -68,3 +68,43 @@ def test_redact_pii(ray_session):
     assert got[3]["clean_text"] == "[EMAIL] mails [IP] then [PHONE] done"
     assert got[4]["clean_text"] == "nothing sensitive here"
     assert got[5]["clean_text"] == ""
+
+
+def test_length_sorted_packs_matches_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from intertext_ray.ops.packing import length_sorted_packs
+
+    rng = np.random.default_rng(23)
+    texts = [
+        " ".join(f"w{rng.integers(100)}" for _ in range(int(n)))
+        for n in rng.integers(0, 40, 80)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    got = (
+        length_sorted_packs(
+            ray.data.from_arrow(tbl).repartition(5),
+            budget_tokens=64,
+            range_size=8,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute: sort by (n DESC, doc_id), exact prefix
+    n = np.array([len(t.split()) for t in texts], dtype=np.int64)
+    order = np.lexsort((np.arange(len(n)), -n))
+    cum = np.zeros(len(n), dtype=np.int64)
+    cum[order] = np.concatenate([[0], np.cumsum(n[order])[:-1]])
+    assert got.n_tokens.to_numpy().tolist() == n.tolist()
+    assert got.cum_before.to_numpy().tolist() == cum.tolist()
+    assert got.chunk_id.to_numpy().tolist() == (cum // 64).tolist()
+    # the point of the op: within a chunk, lengths are near-uniform
+    # (max - min bounded by the budget's doc count, trivially true here;
+    # check monotone non-increasing length along the sort order)
+    sorted_n = n[order]
+    assert all(sorted_n[i] >= sorted_n[i + 1] for i in range(len(n) - 1))
