@@ -1339,6 +1339,14 @@ def _q_audio_fingerprints(sf_dir: str):
     return docs_as_int64(audio_fingerprints(_audio_dup_clips(sf_dir)))
 
 
+def _q_audio_novelty(sf_dir: str):
+    """Clip-level subfingerprint novelty rank (no SQL twin: FFT; pinned
+    by the brute-force parity test in tests/test_novelty.py)."""
+    from intertext_ray.ops.novelty import audio_fp_novelty
+
+    return audio_fp_novelty(_audio_dup_clips(sf_dir), num_buckets=16)
+
+
 def _q_audio_dup_pairs(sf_dir: str):
     """Audio near-dup pairs: shingle LSH over subfingerprints + BER verify
     (local brute-force-oracle parity in tests; driver check rows-only)."""
@@ -2069,6 +2077,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "pq_cell_histogram": _q_pq_codes,
         "semantic_dedup": _q_semantic_dedup,
         "audio_fingerprints": _q_audio_fingerprints,
+        "audio_novelty": _q_audio_novelty,
         "audio_dup_pairs": _q_audio_dup_pairs,
         "audio_dup_clusters": _q_audio_dup_clusters,
         "audio_stats": _q_audio_stats,

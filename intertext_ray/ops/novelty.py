@@ -32,11 +32,11 @@ import ray.data
 _U64 = np.uint64
 
 
-def _gram_doc_rows(batch: pa.Table, text_col: str, k: int) -> pa.Table:
-    """Distinct (gram:uint64, doc_id, dsize) rows per doc."""
-    from intertext_ray.ops.text_stats import kgram_hashes
-
-    fp, owner = kgram_hashes(batch, text_col, k)
+def _distinct_rows(
+    fp: np.ndarray, owner: np.ndarray, batch_docs: np.ndarray
+) -> pa.Table:
+    """Distinct (gram:uint64, doc_id, dsize) rows from per-item hash
+    streams (``owner`` indexes ``batch_docs``)."""
     empty = pa.table(
         {
             "gram": pa.array([], pa.uint64()),
@@ -55,29 +55,34 @@ def _gram_doc_rows(batch: pa.Table, text_col: str, k: int) -> pa.Table:
     starts = np.nonzero(head)[0]
     lens = np.diff(np.concatenate([starts, [len(uown)]]))
     dsize = np.repeat(lens, lens)
-    batch_docs = batch["doc_id"].to_numpy(zero_copy_only=False)
     return pa.table(
         {
             "gram": pa.array(uniq[:, 1], pa.uint64()),
-            "doc_id": pa.array(batch_docs[uown].astype(np.int64), pa.int64()),
+            "doc_id": pa.array(
+                batch_docs[uown].astype(np.int64), pa.int64()
+            ),
             "dsize": pa.array(dsize.astype(np.int64), pa.int64()),
         }
     )
 
 
-def gram_novelty(
-    docs: ray.data.Dataset,
-    text_col: str = "text",
-    k: int = 4,
-    num_buckets: int = 32,
+def _gram_doc_rows(batch: pa.Table, text_col: str, k: int) -> pa.Table:
+    """Distinct (gram:uint64, doc_id, dsize) rows per doc."""
+    from intertext_ray.ops.text_stats import kgram_hashes
+
+    fp, owner = kgram_hashes(batch, text_col, k)
+    batch_docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return _distinct_rows(fp, owner, batch_docs)
+
+
+def novelty_over_rows(
+    rows: ray.data.Dataset, num_buckets: int = 32
 ) -> ray.data.Dataset:
-    """(doc_id, n_grams, n_novel, novelty_x1000): per-doc distinct-gram
-    count, count of grams first seen (min doc_id) in this doc, and
-    ``floor(1000 * n_novel / n_grams)``."""
+    """(doc_id, n_grams, n_novel, novelty_x1000) from distinct
+    (gram:uint64, doc_id, dsize) rows — the generic first-occurrence
+    scorer behind :func:`gram_novelty` (word k-grams) and the audio
+    subfingerprint face (``__ray_entry__._q_audio_novelty``)."""
     nb = _U64(num_buckets)
-    rows = docs.map_batches(
-        lambda b: _gram_doc_rows(b, text_col, k), batch_format="pyarrow"
-    )
 
     def add_bucket(t: pa.Table) -> pa.Table:
         g = t["gram"].to_numpy(zero_copy_only=False)
@@ -164,3 +169,61 @@ def gram_novelty(
         )
 
     return totals.map_batches(score, batch_format="pyarrow")
+
+
+def gram_novelty(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 4,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(doc_id, n_grams, n_novel, novelty_x1000): per-doc distinct-gram
+    count, count of grams first seen (min doc_id) in this doc, and
+    ``floor(1000 * n_novel / n_grams)``."""
+    rows = docs.map_batches(
+        lambda b: _gram_doc_rows(b, text_col, k), batch_format="pyarrow"
+    )
+    return novelty_over_rows(rows, num_buckets)
+
+
+def audio_fp_novelty(
+    clips: ray.data.Dataset, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """(doc_id, n_subfps, n_novel, novelty_x1000): the AUDIO novelty
+    rank — fraction of a clip's distinct Haitsma–Kalker subfingerprints
+    whose first corpus occurrence (min doc_id) is this clip.  Re-ingested
+    and re-encoded copies score near 0 (their subfingerprints were seen
+    first in the canonical clip), fresh recordings near 1000 — the wave-
+    curation signal before the (more expensive) pairwise BER dedup runs.
+
+    Shape: decode+FFT is the existing row-local fingerprint stage; the
+    novelty fold is the same single bucketed exchange as
+    :func:`gram_novelty` over (subfp, clip, dsize) rows.  No SQL twin
+    (FFT), pinned by the brute-force parity test like the rest of the
+    audio-payload family."""
+    from intertext_ray.ops.audio_dedup import audio_fingerprints
+
+    fps = audio_fingerprints(clips)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        subl = batch["subfps"]
+        if isinstance(subl, pa.ChunkedArray):
+            subl = subl.combine_chunks()
+        flat = subl.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        offs = subl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        batch_docs = (
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return _distinct_rows(flat, owner, batch_docs)
+
+    out = novelty_over_rows(
+        fps.map_batches(rows, batch_format="pyarrow"), num_buckets
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "n_subfps", "n_novel", "novelty_x1000"]
+        ),
+        batch_format="pyarrow",
+    )
