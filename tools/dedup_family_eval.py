@@ -132,6 +132,36 @@ def evaluate(tbl: pa.Table, truth: dict) -> dict:
     p = cosine_text_pairs(ds(), min_cos2_x1e6=810_000).to_pandas()
     families["bow_cosine (cos>=0.9)"] = _canon(zip(p.doc_a, p.doc_b))
 
+    from intertext_ray.ops.winnow import winnow_dup_pairs
+
+    p = winnow_dup_pairs(ds(), min_shared=2).to_pandas()
+    families["winnow (k=4, w=4, >=2 shared)"] = (
+        _canon(zip(p.doc_a, p.doc_b)) if len(p) else set()
+    )
+
+    from intertext_ray.ops.cdc import cdc_dup_chunks
+
+    # CDC answers "shared block", not "near-dup doc": derive doc pairs
+    # from docs sharing >= 2 duplicated chunk hashes (same spirit as the
+    # winnow threshold)
+    from intertext_ray.ops.cdc import cdc_chunks
+
+    ch = cdc_chunks(ds()).to_pandas()
+    seen = {}
+    for h, d in zip(ch.chunk_hash_hex, ch.doc_id):
+        seen.setdefault(h, set()).add(int(d))
+    from collections import Counter
+
+    cnt = Counter()
+    for h, dset in seen.items():
+        dl = sorted(dset)
+        for i in range(len(dl)):
+            for j in range(i + 1, len(dl)):
+                cnt[(dl[i], dl[j])] += 1
+    families["cdc_chunks (>=2 shared)"] = {
+        p for p, c in cnt.items() if c >= 2
+    }
+
     tset = set(truth)
     by_kind = {k: {pr for pr, kd in truth.items() if kd == k} for k in kinds}
     out = {}
