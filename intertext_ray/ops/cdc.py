@@ -61,6 +61,7 @@ def cdc_chunk_batch(
     divisor: int = 16,
     max_tokens: int = 0,
     with_start: bool = False,
+    hex_hash: bool = True,
 ) -> pa.Table:
     """(doc_id, chunk_idx, n_tokens, chunk_hash_hex) rows: the CDC
     chunks of each doc.  ``chunk_idx`` is 0-based within the doc;
@@ -68,15 +69,20 @@ def cdc_chunk_batch(
     the chunk's token hashes.  ``max_tokens > 0`` splits oversized
     chunks at a fixed stride (deterministic).  ``with_start`` appends
     the chunk's 0-based start token index (used by the removal path;
-    off by default so the driver-face schema stays the twin's)."""
+    off by default so the driver-face schema stays the twin's).
+    ``hex_hash=False`` keeps the hash as a raw ``chunk_hash`` uint64
+    column — the internal form the dup/purge exchanges ship (16 bytes vs
+    a 16-char string, no per-row formatting in the hot path); the hex
+    face is only for the twin-checked chunk table."""
     from intertext_ray.functions.hashing import splitmix64
     from intertext_ray.ops.text_stats import token_and_kgram_hashes
 
+    hcol = "chunk_hash_hex" if hex_hash else "chunk_hash"
     cols = {
         "doc_id": pa.array([], pa.int64()),
         "chunk_idx": pa.array([], pa.int64()),
         "n_tokens": pa.array([], pa.int64()),
-        "chunk_hash_hex": pa.array([], pa.string()),
+        hcol: pa.array([], pa.string() if hex_hash else pa.uint64()),
     }
     if with_start:
         cols["start"] = pa.array([], pa.int64())
@@ -143,8 +149,10 @@ def cdc_chunk_batch(
         ),
         "chunk_idx": pa.array(chunk_of[cstarts], pa.int64()),
         "n_tokens": pa.array(clens.astype(np.int64), pa.int64()),
-        "chunk_hash_hex": pa.array(
-            [f"{int(v):016x}" for v in ch], pa.string()
+        hcol: (
+            pa.array([f"{int(v):016x}" for v in ch], pa.string())
+            if hex_hash
+            else pa.array(ch, pa.uint64())
         ),
     }
     if with_start:
@@ -183,25 +191,24 @@ def cdc_dup_chunks(
     report.  One bucketed groupby over the slim chunk projection
     (``hash % num_buckets``, same exchange shape as the other pair/dup
     ops); per-bucket work is one lexsort + run masks — no per-hash
-    Python."""
-    chunks = cdc_chunks(docs, text_col, k, divisor, max_tokens)
+    Python.  Internally the hash travels as a raw uint64 (``hex_hash=
+    False``) — hex formatting happens only on the dup-set-sized output
+    rows."""
+    chunks = docs.map_batches(
+        lambda b: cdc_chunk_batch(
+            b, text_col, k, divisor, max_tokens, hex_hash=False
+        ),
+        batch_format="pyarrow",
+    )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = t["chunk_hash_hex"]
-        if isinstance(h, pa.ChunkedArray):
-            h = h.combine_chunks()
-        hv = np.array(
-            [int(s, 16) for s in h.to_pylist()], dtype=np.uint64
-        )
+        hv = t["chunk_hash"].to_numpy(zero_copy_only=False)
         return t.append_column(
             "bucket", pa.array((hv % _U64(num_buckets)).astype(np.int64))
         )
 
     def per_bucket(group: pa.Table) -> pa.Table:
-        h = group["chunk_hash_hex"]
-        if isinstance(h, pa.ChunkedArray):
-            h = h.combine_chunks()
-        hv = np.asarray(h.to_pylist())
+        hv = group["chunk_hash"].to_numpy(zero_copy_only=False)
         d = group["doc_id"].to_numpy(zero_copy_only=False)
         nt = group["n_tokens"].to_numpy(zero_copy_only=False)
         empty = pa.table(
@@ -231,7 +238,9 @@ def cdc_dup_chunks(
         s, c = starts[dup], counts[dup]
         return pa.table(
             {
-                "chunk_hash_hex": pa.array(hv[s], pa.string()),
+                "chunk_hash_hex": pa.array(
+                    [f"{int(v):016x}" for v in hv[s]], pa.string()
+                ),
                 "n_occurrences": pa.array(c.astype(np.int64), pa.int64()),
                 "n_docs": pa.array(
                     np.atleast_1d(ndocs)[dup].astype(np.int64), pa.int64()
@@ -272,15 +281,14 @@ def remove_dup_chunks(
     from intertext_ray.ops.substring import cut_spans
 
     chunks = docs.map_batches(
-        lambda b: cdc_chunk_batch(b, text_col, k, divisor, with_start=True),
+        lambda b: cdc_chunk_batch(
+            b, text_col, k, divisor, with_start=True, hex_hash=False
+        ),
         batch_format="pyarrow",
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = t["chunk_hash_hex"]
-        if isinstance(h, pa.ChunkedArray):
-            h = h.combine_chunks()
-        hv = np.array([int(s, 16) for s in h.to_pylist()], dtype=np.uint64)
+        hv = t["chunk_hash"].to_numpy(zero_copy_only=False)
         return t.append_column(
             "bucket", pa.array((hv % _U64(num_buckets)).astype(np.int64))
         )
@@ -288,10 +296,7 @@ def remove_dup_chunks(
     def emit_cuts(group: pa.Table) -> pa.Table:
         """Non-canonical occurrences of duplicated hashes, as 1-based
         inclusive token spans."""
-        h = group["chunk_hash_hex"]
-        if isinstance(h, pa.ChunkedArray):
-            h = h.combine_chunks()
-        hv = np.asarray(h.to_pylist())
+        hv = group["chunk_hash"].to_numpy(zero_copy_only=False)
         d = group["doc_id"].to_numpy(zero_copy_only=False)
         ci = group["chunk_idx"].to_numpy(zero_copy_only=False)
         st = group["start"].to_numpy(zero_copy_only=False)
