@@ -481,6 +481,30 @@ def _q_event_session_assignment(sf_dir: str):
     return range_join_events(ev, sessions)
 
 
+def _q_dedup_tier_report(sf_dir: str):
+    """Per-doc strongest dup tier (exact > near > weak > unique) — the
+    three pinned text families composed over the full corpus
+    (`ops/tiers.dedup_tier_report`); defaults match the in-repo family
+    twins (minhash k=3/16/2/j0.5, simhash Hamming<=8)."""
+    from intertext_ray.ops.tiers import dedup_tier_report
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_tier_report(docs)
+
+
+def _q_tiered_purge_report(sf_dir: str):
+    """The exact -> near -> weak cascade purge, per-doc dropped_at
+    (`ops/tiers.tiered_purge_report`)."""
+    from intertext_ray.ops.tiers import tiered_purge_report
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tiered_purge_report(docs)
+
+
 def _q_minhash_doc(sf_dir: str):
     """Doc-level MinHash+LSH dedup — the one query whose DuckDB twin
     recomputes the MINHASH KERNEL itself (perm-salted splitmix mins, band
@@ -2004,15 +2028,22 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         #         (NEW, same session)
         "gram_novelty": _q_gram_novelty,
         "length_sorted_packs": _q_length_sorted_packs,
+        # (iii-g) tiered dedup (NEW, third continuation session): the
+        #         exact/near/weak tier report + the cascade purge, both
+        #         composed from the pinned family chains; displaces two
+        #         more r2-green unchanged twins (top_bigrams, lang_id)
+        #         to 51+
+        "dedup_tier_report": _q_dedup_tier_report,
+        "tiered_purge_report": _q_tiered_purge_report,
         # (iv) last direct-checked in round 2, kernels unchanged
         "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "containment_search": _q_containment,
         "quality_scores": _q_quality,
         "repetition_scores": _q_repetition,
+        # --- position 51+ starts here ---
         "top_bigrams": _q_top_bigrams,
         "lang_id": _q_lang,
-        # --- position 51+ starts here ---
         "content_fingerprints": _q_fingerprints,
         "redact_pii": _q_redact_pii,
         "stratified_sample": _q_stratified_sample,
@@ -3903,6 +3934,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_decontam": _fuzzy_decontam_sql(k=3, pct=50),
         "fuzzy_decontam_survivors": _fuzzy_decontam_survivors_sql(k=3, pct=50),
         "minhash_doc_survivors": _minhash_doc_survivors_sql(),
+        "dedup_tier_report": _tier_report_sql(),
+        "tiered_purge_report": _tiered_purge_sql(),
         "perplexity_filter": _perplexity_filter_sql(keep_permille=900),
         "audio_payload_report": f"""
             SELECT CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
@@ -4496,10 +4529,14 @@ def _hll_sql(p: int = 12) -> str:
     """
 
 
-def _gram_fpr_prefix(k: int) -> str:
+def _gram_fpr_prefix(k: int, src: str = "documents", pre: str = "") -> str:
     """Shared CTE prefix for the exact-substring oracles: ``fpr(doc_id,
     i, f)`` = every word-k-gram position with the pinned polynomial hash
-    (the rolling_fingerprints hash at keep_mod=1, positions kept)."""
+    (the rolling_fingerprints hash at keep_mod=1, positions kept).
+
+    ``src`` names the (doc_id, text) relation to read; ``pre`` injects
+    extra CTEs (comma-terminated) ahead of the chain — the tiered-purge
+    twin uses both to run the chain over the exact-dedup survivors."""
     from intertext_ray.ops.text_stats import rolling_gram_weights
 
     weights = ", ".join(
@@ -4507,9 +4544,10 @@ def _gram_fpr_prefix(k: int) -> str:
     )
     return f"""
         WITH RECURSIVE
+        {pre}
         d AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
-          FROM documents WHERE trim(text) <> ''
+          FROM {src} WHERE trim(text) <> ''
         ),
         nn AS (SELECT doc_id, arr, len(arr) AS nt FROM d WHERE len(arr) >= {k}),
         tok AS (
@@ -4811,10 +4849,13 @@ def _source_dup_report_sql(
 
 
 def _minhash_doc_chain(
-    k: int, n_perm: int, band_rows: int, pct: int
+    k: int, n_perm: int, band_rows: int, pct: int,
+    src: str = "documents", pre: str = "",
 ) -> str:
     """Shared CTE chain for the minhash_doc twins, ending in
-    ``mpairs(doc_a, doc_b, jaccard_x1000)``."""
+    ``mpairs(doc_a, doc_b, jaccard_x1000)``.  ``src``/``pre`` forward to
+    :func:`_gram_fpr_prefix` (tiered-purge twin runs the chain over the
+    exact-dedup survivors)."""
     from intertext_ray.ops.minhash_doc import doc_minhash_seeds
 
     seeds = doc_minhash_seeds(n_perm)
@@ -4824,7 +4865,7 @@ def _minhash_doc_chain(
     n_bands = n_perm // band_rows
     band_vals = ", ".join(f"({b})" for b in range(n_bands))
     return f"""
-        {_gram_fpr_prefix(k)},
+        {_gram_fpr_prefix(k, src, pre)},
         dfp AS (SELECT DISTINCT doc_id, f FROM fpr),
         sizes AS (SELECT doc_id, count(*) AS n FROM dfp GROUP BY doc_id),
         perms(p, s) AS (VALUES {perm_vals}),
@@ -4870,6 +4911,175 @@ def _minhash_doc_chain(
           JOIN sizes sb ON sb.doc_id = i2.b
           WHERE 100 * i2.i >= {pct} * (sa.n + sb.n - i2.i)
         )
+    """
+
+
+def _simhash_fp_cte(src: str, sfx: str) -> str:
+    """SimHash fingerprint CTE chain over ``src`` with every CTE name
+    suffixed ``sfx`` so it composes with the minhash chain inside ONE
+    ``WITH RECURSIVE`` without name collisions; mirrors _SQL_TOKEN_CHAIN +
+    _SQL_SIMHASH_FP value-exactly, ending in ``fp{sfx}(doc_id, f)``."""
+    step = _sql_splitmix(
+        "xor(h, CAST(ascii(substr(w, p + 1, 1)) AS UBIGINT))"
+    )
+    return f"""
+        toks{sfx} AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM {src} WHERE trim(text) <> ''
+        ),
+        vocab{sfx} AS (SELECT DISTINCT w FROM toks{sfx}),
+        chain{sfx}(w, p, h) AS (
+          SELECT w, 0, CAST(11400714819323198485 AS UBIGINT) FROM vocab{sfx}
+          UNION ALL
+          SELECT w, p + 1, {step}
+          FROM chain{sfx} WHERE p < length(w)
+        ),
+        th{sfx} AS (SELECT w, h FROM chain{sfx} WHERE p = length(w)),
+        tcx{sfx} AS (
+          SELECT doc_id, w, count(*) AS c FROM toks{sfx} GROUP BY doc_id, w
+        ),
+        pwb{sfx}(b, v) AS (
+          SELECT 0, CAST(1 AS HUGEINT)
+          UNION ALL
+          SELECT b + 1, v * 2 FROM pwb{sfx} WHERE b < 63
+        ),
+        contrib{sfx} AS (
+          SELECT t.doc_id, p.b, p.v,
+                 sum(t.c * (2 * CAST((h.h >> p.b) & CAST(1 AS UBIGINT)
+                                     AS BIGINT) - 1)) AS s
+          FROM tcx{sfx} t JOIN th{sfx} h USING (w) CROSS JOIN pwb{sfx} p
+          GROUP BY t.doc_id, p.b, p.v
+        ),
+        fp{sfx} AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN v ELSE 0 END) AS UBIGINT) AS f
+          FROM contrib{sfx} GROUP BY doc_id
+          UNION ALL
+          SELECT doc_id, CAST(0 AS UBIGINT) FROM {src} WHERE trim(text) = ''
+        )
+    """
+
+
+def _tier_report_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50,
+    max_hamming: int = 8,
+) -> str:
+    """Twin of ``ops.tiers.dedup_tier_report``: the three pinned family
+    chains composed over the FULL corpus — identical-text window count
+    (exact tier), the shared minhash chain's ``mpairs`` members (near),
+    SimHash radius-pair members (weak) — folded into the strongest-tier
+    CASE ladder, one row per doc."""
+    return f"""
+        {_minhash_doc_chain(k, n_perm, band_rows, pct)},
+        exm AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, count(*) OVER (PARTITION BY text) AS cgrp
+            FROM documents
+          ) WHERE cgrp > 1
+        ),
+        nearm AS (
+          SELECT DISTINCT node FROM (
+            SELECT doc_a AS node FROM mpairs
+            UNION ALL SELECT doc_b FROM mpairs
+          )
+        ),
+        {_simhash_fp_cte("documents", "s")},
+        wpairs AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+        ),
+        weakm AS (
+          SELECT DISTINCT node FROM (
+            SELECT u AS node FROM wpairs UNION ALL SELECT v FROM wpairs
+          )
+        )
+        SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                    WHEN n.node IS NOT NULL THEN 'near'
+                    WHEN w.node IS NOT NULL THEN 'weak'
+                    ELSE 'unique' END AS tier,
+               CAST(CASE WHEN e.doc_id IS NOT NULL THEN 3
+                         WHEN n.node IS NOT NULL THEN 2
+                         WHEN w.node IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS tier_rank
+        FROM documents dd
+        LEFT JOIN exm e ON e.doc_id = dd.doc_id
+        LEFT JOIN nearm n ON n.node = dd.doc_id
+        LEFT JOIN weakm w ON w.node = dd.doc_id
+    """
+
+
+def _tiered_purge_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50,
+    max_hamming: int = 8,
+) -> str:
+    """Twin of ``ops.tiers.tiered_purge_report``: the CASCADE replayed in
+    SQL — exact keepers (min doc_id per text group) feed the minhash chain
+    via the parameterized ``src``/``pre`` hooks, its min-label closure's
+    droppees are removed before the SimHash stage, and the three disjoint
+    drop sets fold into the per-doc ``dropped_at`` ladder."""
+    pre = """ex1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        docs1 AS (
+          SELECT d0.doc_id, d0.text FROM documents d0 JOIN ex1 USING (doc_id)
+        ),"""
+    return f"""
+        {_minhash_doc_chain(k, n_perm, band_rows, pct, src="docs1", pre=pre)},
+        edges AS (
+          SELECT doc_a AS uu, doc_b AS vv FROM mpairs
+          UNION SELECT doc_b, doc_a FROM mpairs
+        ),
+        cnodes AS (SELECT DISTINCT uu AS node FROM edges),
+        ccx(node, label) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT e3.vv, ccx.label FROM ccx JOIN edges e3 ON e3.uu = ccx.node
+          WHERE ccx.label < e3.vv
+        ),
+        nlab AS (SELECT node, min(label) AS label FROM ccx GROUP BY node),
+        ndrop AS (SELECT node FROM nlab WHERE node <> label),
+        docs2 AS (
+          SELECT d1.doc_id, d1.text FROM docs1 d1
+          LEFT JOIN ndrop nd ON nd.node = d1.doc_id
+          WHERE nd.node IS NULL
+        ),
+        {_simhash_fp_cte("docs2", "s")},
+        wpairs AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+        ),
+        wedges AS (SELECT u, v FROM wpairs UNION SELECT v, u FROM wpairs),
+        wnodes AS (SELECT DISTINCT u AS node FROM wedges),
+        wcc(node, label) AS (
+          SELECT node, node FROM wnodes
+          UNION
+          SELECT e4.v, wcc.label FROM wcc JOIN wedges e4 ON e4.u = wcc.node
+          WHERE wcc.label < e4.v
+        ),
+        wlab AS (SELECT node, min(label) AS label FROM wcc GROUP BY node),
+        wdrop AS (SELECT node FROM wlab WHERE node <> label),
+        exdrop AS (
+          SELECT d2.doc_id FROM documents d2
+          LEFT JOIN ex1 ON ex1.doc_id = d2.doc_id
+          WHERE ex1.doc_id IS NULL
+        )
+        SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
+               CASE WHEN xd.doc_id IS NOT NULL THEN 'exact'
+                    WHEN nd2.node IS NOT NULL THEN 'near'
+                    WHEN wd.node IS NOT NULL THEN 'weak'
+                    ELSE 'none' END AS dropped_at,
+               CAST(CASE WHEN xd.doc_id IS NOT NULL THEN 3
+                         WHEN nd2.node IS NOT NULL THEN 2
+                         WHEN wd.node IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS dropped_rank,
+               (xd.doc_id IS NULL AND nd2.node IS NULL AND wd.node IS NULL)
+                   AS kept
+        FROM documents dd
+        LEFT JOIN exdrop xd ON xd.doc_id = dd.doc_id
+        LEFT JOIN ndrop nd2 ON nd2.node = dd.doc_id
+        LEFT JOIN wdrop wd ON wd.node = dd.doc_id
     """
 
 

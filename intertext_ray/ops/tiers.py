@@ -1,0 +1,485 @@
+"""Tiered deduplication — the exact → near → weak cascade a web-scale
+curation pipeline actually runs, composed from this repo's three
+SQL-twinned text dedup families (reference semantics: the tier ladder is
+the production generalization of the reference's single MinHash chain,
+`/root/reference/intertext/intertext.py:353-515`).
+
+Two faces, both one-row-per-doc and therefore driver-hashable:
+
+- :func:`dedup_tier_report` — full-corpus, per-doc STRONGEST duplicate
+  tier.  Each family runs over the whole corpus independently (this is a
+  *report*, so no family's input may depend on another's output):
+
+    * ``exact``  (rank 3) — member of an identical-text group (size ≥ 2);
+    * ``near``   (rank 2) — member of a verified MinHash/LSH pair
+      (word-3-gram Jaccard ≥ 0.5, `ops/minhash_doc.py`);
+    * ``weak``   (rank 1) — member of a SimHash radius pair
+      (Hamming ≤ 8, `ops/simhash.py`);
+    * ``unique`` (rank 0) — none of the above.
+
+- :func:`tiered_purge_report` — the production CASCADE: exact keep-one
+  (min doc_id per identical-text group), then MinHash keep-one over the
+  exact survivors, then SimHash keep-one over those survivors.  Output is
+  per-doc ``dropped_at`` ∈ {exact, near, weak, none}; survivors are the
+  ``none`` rows.  Running each stage over the previous stage's survivors
+  is semantics-preserving for the exact tier (identical text ⇒ identical
+  gram sets, so a near-pair lost to a purged copy re-forms against the
+  kept canonical) and is the *defining* semantics for the later tiers
+  (C4/RefinedWeb purge order).
+
+Scale shape: every membership/drop table flows through the repo's
+slim-tagged-union + hash-bucketed co-group idiom (one shuffle per join,
+no driver-side or broadcast drop sets — the exact tier's drop set is
+corpus-proportional at web scale, so unlike the pair-proportional sets in
+`minhash_doc_survivors` it must never be collected).  The near/weak
+cluster closures are driver union-find over verified pair graphs
+(pairs ≪ corpus; same justification and distributed escape hatch as
+`stages/cluster.components_from_matches`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from intertext_ray.functions.hashing import splitmix64
+
+_U64 = np.uint64
+
+TIER_RANKS = {"exact": 3, "near": 2, "weak": 1, "unique": 0}
+
+
+def exact_dup_members(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """(doc_id, group_min) for every member of an identical-text group of
+    size ≥ 2 — the membership face of `ops/exact_dedup.py` (which keeps
+    only the winners).  One bucketed groupby over slim (hash, id) rows."""
+    from intertext_ray.ops.exact_dedup import add_content_hash
+
+    nb = _U64(num_buckets)
+
+    def hash_and_bucket(b: pa.Table) -> pa.Table:
+        t = add_content_hash(b, text_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = t["ch1"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "ch1": t["ch1"],
+                "ch2": t["ch2"],
+                "bucket": pa.array((h1 % nb).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def members(group: pa.Table) -> pa.Table:
+        h1 = group["ch1"].to_numpy(zero_copy_only=False)
+        h2 = group["ch2"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h2, h1))
+        s1, s2, si = h1[order], h2[order], ids[order]
+        head = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            head[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+        run_id = np.cumsum(head) - 1
+        run_sizes = np.bincount(run_id)
+        run_min = si[head]  # sorted by id within run → run head is the min
+        in_dup = run_sizes[run_id] >= 2
+        return pa.table(
+            {
+                "doc_id": pa.array(si[in_dup], pa.int64()),
+                "group_min": pa.array(run_min[run_id][in_dup], pa.int64()),
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(hash_and_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(members, batch_format="pyarrow")
+    )
+
+
+def _pairs_to_member_ids(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Flatten a (doc_a, doc_b, …) pair Dataset to slim per-batch-distinct
+    (doc_id,) member rows (global dedup happens in the pivot's max)."""
+
+    def flatten(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(np.unique(np.concatenate([a, c])), pa.int64())}
+        )
+
+    return pairs.map_batches(flatten, batch_format="pyarrow")
+
+
+def strongest_tier(
+    docs: ray.data.Dataset,
+    tier_members: list[tuple[str, ray.data.Dataset]],
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    label_col: str = "tier",
+    rank_col: str = "tier_rank",
+    zero_label: str = "unique",
+) -> ray.data.Dataset:
+    """Per-doc strongest tier label over member-id Datasets.
+
+    ``tier_members`` is ordered STRONGEST FIRST; a doc appearing in
+    several tiers gets the strongest.  Docs in none get ``zero_label``.
+    Slim tagged union (corpus ids rank 0, tier ids their rank) → ONE
+    hash-bucketed groupby → vectorized per-doc max."""
+    nb = _U64(num_buckets)
+    n_tiers = len(tier_members)
+    labels = [zero_label] + [
+        name for name, _ in reversed(tier_members)
+    ]  # labels[rank] = tier name
+
+    def tag(rank: int):
+        def fn(b: pa.Table) -> pa.Table:
+            d = b[b.column_names[0]].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        (splitmix64(d.astype(_U64)) % nb).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "doc": pa.array(d, pa.int64()),
+                    "rank": pa.array(
+                        np.full(len(d), rank, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = docs.select_columns([id_col]).map_batches(
+        tag(0), batch_format="pyarrow"
+    )
+    for i, (_, member_ds) in enumerate(tier_members):
+        rank = n_tiers - i
+        tagged = tagged.union(
+            member_ds.map_batches(tag(rank), batch_format="pyarrow")
+        )
+
+    label_lookup = np.array(labels, dtype=object)
+
+    def pivot(g: pa.Table) -> pa.Table:
+        doc = g["doc"].to_numpy(zero_copy_only=False)
+        rank = g["rank"].to_numpy(zero_copy_only=False)
+        # corpus rows are rank 0; member rows for docs outside the corpus
+        # subset (never happens in-repo, but cheap to guard) are dropped by
+        # requiring a rank-0 row per doc.
+        order = np.lexsort((-rank, doc))
+        doc_s, rank_s = doc[order], rank[order]
+        head = np.ones(len(doc_s), dtype=bool)
+        if len(doc_s) > 1:
+            head[1:] = doc_s[1:] != doc_s[:-1]
+        # per-doc max rank = first row of each run under (-rank) sort
+        d_out = doc_s[head]
+        r_out = rank_s[head]
+        run_id = np.cumsum(head) - 1
+        has_corpus = np.zeros(len(d_out), dtype=bool)
+        np.logical_or.at(has_corpus, run_id, rank_s == 0)
+        d_out, r_out = d_out[has_corpus], r_out[has_corpus]
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, pa.int64()),
+                label_col: pa.array(
+                    label_lookup[r_out].tolist(), pa.string()
+                ),
+                rank_col: pa.array(r_out, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(pivot, batch_format="pyarrow")
+
+
+def dedup_tier_report(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 16,
+    band_rows: int = 2,
+    min_jaccard: float = 0.5,
+    max_hamming: int = 8,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(doc_id, tier, tier_rank) — per-doc strongest duplicate tier with
+    every family over the FULL corpus (see module docstring).  Knobs
+    default to the repo's driver-checked family defaults so the DuckDB
+    twin composes the existing pinned chains verbatim."""
+    from intertext_ray.ops.minhash_doc import minhash_doc_dedup
+    from intertext_ray.ops.simhash import simhash_near_dups
+
+    exact_m = exact_dup_members(docs, text_col, num_buckets=num_buckets)
+    near_m = _pairs_to_member_ids(
+        minhash_doc_dedup(
+            docs,
+            text_col=text_col,
+            k=k,
+            n_perm=n_perm,
+            band_rows=band_rows,
+            min_jaccard=min_jaccard,
+            num_buckets=num_buckets,
+        )
+    )
+    weak_m = _pairs_to_member_ids(
+        simhash_near_dups(
+            docs, text_col=text_col, max_hamming=max_hamming,
+            num_buckets=num_buckets,
+        )
+    )
+    return strongest_tier(
+        docs,
+        [("exact", exact_m), ("near", near_m), ("weak", weak_m)],
+        num_buckets=num_buckets,
+    )
+
+
+def _anti_join_docs(
+    docs: ray.data.Dataset,
+    drop_members: ray.data.Dataset,
+    text_col: str,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """docs minus drop ids, carrying (doc_id, text) through ONE bucketed
+    co-group — the corpus-scale-safe filter (the drop set may be
+    corpus-proportional for the exact tier, so no broadcast / driver set;
+    generalizes `stages/cluster.survivors_filter` to carry the text the
+    next cascade stage needs)."""
+    nb = _U64(num_buckets)
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(d.astype(_U64)) % nb).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(d, pa.int64()),
+                "drop": pa.array(np.zeros(len(d), np.int8), pa.int8()),
+                text_col: b[text_col],
+            }
+        )
+
+    def drop_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(d.astype(_U64)) % nb).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(d, pa.int64()),
+                "drop": pa.array(np.ones(len(d), np.int8), pa.int8()),
+                text_col: pa.array([""] * len(d), pa.string()),
+            }
+        )
+
+    def keep(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        f = group["drop"].to_numpy(zero_copy_only=False)
+        dropped = np.unique(d[f == 1])
+        src = f == 0
+        mask = src & ~np.isin(d, dropped)
+        return group.filter(pa.array(mask)).select(["doc_id", text_col])
+
+    tagged = docs.select_columns(["doc_id", text_col]).map_batches(
+        doc_side, batch_format="pyarrow"
+    ).union(drop_members.map_batches(drop_side, batch_format="pyarrow"))
+    return tagged.groupby("bucket").map_groups(keep, batch_format="pyarrow")
+
+
+def _cluster_droppees(clusters: pa.Table) -> ray.data.Dataset:
+    """Non-minimal members of each dup cluster as a slim id Dataset."""
+    d = clusters["doc_id"].to_numpy(zero_copy_only=False)
+    c = clusters["dup_cluster_id"].to_numpy(zero_copy_only=False)
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(d[d != c].astype(np.int64), pa.int64())})
+    )
+
+
+def tiered_purge_report(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 16,
+    band_rows: int = 2,
+    min_jaccard: float = 0.5,
+    max_hamming: int = 8,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(doc_id, dropped_at, dropped_rank, kept) — the 3-stage cascade
+    purge (see module docstring).  Exactly one row per input doc;
+    survivors are the ``dropped_at = 'none'`` rows.
+
+    Per-stage inputs are the previous stage's SURVIVORS (each detector
+    runs over a shrinking corpus — at web scale the exact tier removes
+    30–50 % of rows before the MinHash shuffle ever sees them), filtered
+    through the bucketed anti-join (never a broadcast drop set)."""
+    from intertext_ray.ops.minhash_doc import minhash_doc_clusters
+    from intertext_ray.ops.simhash import simhash_clusters
+
+    # stage 1 — exact: drop non-min members of identical-text groups
+    exact_m = exact_dup_members(
+        docs, text_col, num_buckets=num_buckets
+    ).materialize()
+
+    def exact_droppees(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        g = b["group_min"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(d[d != g], pa.int64())})
+
+    dropped_exact = exact_m.map_batches(
+        exact_droppees, batch_format="pyarrow"
+    )
+    survivors1 = _anti_join_docs(
+        docs, dropped_exact, text_col, num_buckets
+    ).materialize()
+
+    # stage 2 — near: MinHash keep-one over exact survivors
+    near_clusters = minhash_doc_clusters(
+        survivors1,
+        text_col=text_col,
+        k=k,
+        n_perm=n_perm,
+        band_rows=band_rows,
+        min_jaccard=min_jaccard,
+        num_buckets=num_buckets,
+    )
+    dropped_near = _cluster_droppees(near_clusters)
+    survivors2 = _anti_join_docs(
+        survivors1, dropped_near, text_col, num_buckets
+    ).materialize()
+
+    # stage 3 — weak: SimHash keep-one over near survivors
+    weak_clusters = simhash_clusters(
+        survivors2,
+        text_col=text_col,
+        max_hamming=max_hamming,
+        num_buckets=num_buckets,
+    )
+    dropped_weak = _cluster_droppees(weak_clusters)
+
+    report = strongest_tier(
+        docs,
+        [
+            ("exact", dropped_exact),
+            ("near", dropped_near),
+            ("weak", dropped_weak),
+        ],
+        num_buckets=num_buckets,
+        label_col="dropped_at",
+        rank_col="dropped_rank",
+        zero_label="none",
+    )
+
+    def add_kept(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "kept",
+            pa.compute.equal(b["dropped_rank"], pa.scalar(0, pa.int64())),
+        )
+
+    return report.map_batches(add_kept, batch_format="pyarrow")
+
+
+def audio_tier_report(
+    clips: ray.data.Dataset,
+    g: int = 1,
+    cap: int = 512,
+    max_ber: float = 0.25,
+    min_overlap: int = 6,
+    span_win: int = 8,
+    span_max_ber: float = 0.2,
+    span_min_len: int = 12,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(doc_id, tier, tier_rank) — the audio-payload tier ladder, the
+    modality twin of :func:`dedup_tier_report`:
+
+      * ``exact``   (3) — decoded-PCM identity (re-container / lossless
+        re-encode; `ops/audio_exact.py`);
+      * ``near``    (2) — whole-clip Haitsma–Kalker fingerprint dup
+        (`ops/audio_dedup.py`);
+      * ``partial`` (1) — shares only a sub-span (jingle / intro;
+        `ops/audio_spans.py`);
+      * ``unique``  (0).
+
+    Decode-once composition: ONE fingerprint materialization feeds both
+    the bounded-offset whole-clip chain and the unbounded-offset span
+    chain (fingerprints ~10^5x smaller than audio, the designed resident
+    artifact); the exact tier's checksum pass is the only other decode.
+    Rows-only driver check (FFT is not SQL-expressible); the composition
+    is test-pinned against the member sets of its three chains."""
+    from intertext_ray.ops.audio_dedup import (
+        audio_candidates,
+        audio_fingerprints,
+        verify_audio_pairs,
+    )
+    from intertext_ray.ops.audio_exact import audio_exact_dup_groups
+    from intertext_ray.ops.audio_spans import verify_audio_spans
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    def clipids_to_docids(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    doc_ids_for_clip_ids(b["clip_id"]).astype(np.int64),
+                    pa.int64(),
+                )
+            }
+        )
+
+    corpus_ids = clips.select_columns(["clip_id"]).map_batches(
+        clipids_to_docids, batch_format="pyarrow"
+    )
+    exact_m = audio_exact_dup_groups(
+        clips, num_buckets=num_buckets
+    ).select_columns(["clip_id"]).map_batches(
+        clipids_to_docids, batch_format="pyarrow"
+    )
+
+    fps = audio_fingerprints(clips).materialize()
+    near_pairs = verify_audio_pairs(
+        audio_candidates(
+            fps, g=g, cap=cap, num_buckets=num_buckets, max_offset=8
+        ),
+        fps,
+        max_ber=max_ber,
+        min_overlap=min_overlap,
+        num_buckets=num_buckets,
+    )
+    span_pairs = verify_audio_spans(
+        audio_candidates(
+            fps, g=g, cap=cap, num_buckets=num_buckets, max_offset=None
+        ),
+        fps,
+        win=span_win,
+        max_ber=span_max_ber,
+        min_len=span_min_len,
+        num_buckets=num_buckets,
+    )
+
+    def pair_members(b: pa.Table) -> pa.Table:
+        a = b["clip_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["clip_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(np.unique(np.concatenate([a, c])), pa.int64())}
+        )
+
+    near_m = near_pairs.map_batches(pair_members, batch_format="pyarrow")
+    partial_m = span_pairs.map_batches(pair_members, batch_format="pyarrow")
+
+    return strongest_tier(
+        corpus_ids,
+        [("exact", exact_m), ("near", near_m), ("partial", partial_m)],
+        num_buckets=num_buckets,
+    )

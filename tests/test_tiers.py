@@ -1,0 +1,347 @@
+"""Tiered dedup (`ops/tiers.py`): the full cascade recomputed by an
+independent single-process brute-force reference (exact dict-grouping +
+the pinned MinHash chain + all-pairs SimHash Hamming + pure-Python
+union-find), plus planted-structure assertions, survivor cleanliness and
+partition invariance.  The DuckDB twins are the second oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _brute_minhash_pairs(ids, texts, k=3, n_perm=16, band_rows=2, pct=50):
+    """Pinned-chain recomputation (same math as
+    tests/test_minhash_doc._brute_force, keyed by explicit doc ids)."""
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.minhash_doc import doc_minhash_seeds
+    from intertext_ray.ops.simhash import _chain_hash_tokens
+    from intertext_ray.ops.text_stats import rolling_gram_weights
+
+    P = rolling_gram_weights(k)
+    seeds = doc_minhash_seeds(n_perm)
+    n_bands = n_perm // band_rows
+    gram_sets, keys = {}, {}
+    for doc_id, text in zip(ids, texts):
+        toks = text.split()
+        if len(toks) < k:
+            continue
+        th = _chain_hash_tokens(pa.array(toks, pa.string()))
+        fs = set()
+        for i in range(len(toks) - k + 1):
+            acc = np.uint64(0)
+            for j in range(k):
+                acc = np.uint64(acc + th[i + j] * P[j])
+            fs.add(int(splitmix64(acc)))
+        gram_sets[doc_id] = fs
+        farr = np.array(sorted(fs), dtype=np.uint64)
+        sig = np.array(
+            [splitmix64(farr ^ s).min() for s in seeds], dtype=np.uint64
+        )
+        ks = []
+        for b in range(n_bands):
+            acc = np.uint64(b)
+            for p in range(b * band_rows, (b + 1) * band_rows):
+                acc = splitmix64(acc ^ sig[p])
+            ks.append(int(acc))
+        keys[doc_id] = ks
+    docs = sorted(gram_sets)
+    pairs = set()
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            if not set(keys[a]) & set(keys[b]):
+                continue
+            inter = len(gram_sets[a] & gram_sets[b])
+            union = len(gram_sets[a] | gram_sets[b])
+            if inter and 100 * inter >= pct * union:
+                pairs.add((a, b))
+    return pairs
+
+
+def _brute_simhash_pairs(ids, texts, max_hamming=8):
+    from intertext_ray.ops.simhash import simhash_batch
+
+    fps = simhash_batch(pa.array(texts, pa.string()))
+    pairs = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(int(fps[i]) ^ int(fps[j])).count("1") <= max_hamming:
+                pairs.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return pairs
+
+
+def _uf_droppees(pairs):
+    """Pure-Python union-find; droppees = members above the cluster min."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x for x in parent if find(x) != x}
+
+
+def _brute_cascade(ids, texts, max_hamming=8):
+    """Independent reference for tiered_purge_report."""
+    by_text = {}
+    for d, t in zip(ids, texts):
+        by_text.setdefault(t, []).append(d)
+    dropped_exact = {
+        d for mem in by_text.values() if len(mem) > 1 for d in sorted(mem)[1:]
+    }
+    s1 = [(d, t) for d, t in zip(ids, texts) if d not in dropped_exact]
+    dropped_near = _uf_droppees(
+        _brute_minhash_pairs([d for d, _ in s1], [t for _, t in s1])
+    )
+    s2 = [(d, t) for d, t in s1 if d not in dropped_near]
+    dropped_weak = _uf_droppees(
+        _brute_simhash_pairs(
+            [d for d, _ in s2], [t for _, t in s2], max_hamming
+        )
+    )
+    out = {}
+    for d in ids:
+        if d in dropped_exact:
+            out[d] = "exact"
+        elif d in dropped_near:
+            out[d] = "near"
+        elif d in dropped_weak:
+            out[d] = "weak"
+        else:
+            out[d] = "none"
+    return out
+
+
+@pytest.fixture(scope="module")
+def tier_corpus():
+    """Planted structure: exact triple, near pair, weak-only candidates,
+    singletons, plus degenerate rows (empty, sub-k)."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    base = " ".join(vocab[int(x)] for x in rng.integers(0, 60, size=30))
+    texts += [base, base, base]                      # ids 0,1,2: exact group
+    near = base.split()
+    near[4] = "zz"                                   # 1/30 token edit
+    texts.append(" ".join(near))                     # id 3: near dup of base
+    mid = base.split()
+    for j in range(0, 30, 4):                        # ~25% token edits
+        mid[j] = vocab[(j * 7) % 60]
+    texts.append(" ".join(mid))                      # id 4: weak-ish dup
+    for i in range(20):                              # ids 5..24: background
+        texts.append(
+            " ".join(vocab[int(x)] for x in rng.integers(0, 60, size=25))
+        )
+    texts.append("")                                 # id 25: empty
+    texts.append("a b")                              # id 26: < k tokens
+    ids = list(range(len(texts)))
+    return ids, texts
+
+
+def _docs_ds(ids, texts, blocks=4):
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_tier_report_matches_brute(tier_corpus, ray_session):
+    from intertext_ray.ops.tiers import dedup_tier_report
+
+    ids, texts = tier_corpus
+    got = (
+        dedup_tier_report(_docs_ds(ids, texts), num_buckets=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got.index) == ids  # one row per doc
+
+    by_text = {}
+    for d, t in zip(ids, texts):
+        by_text.setdefault(t, []).append(d)
+    exact_m = {d for mem in by_text.values() if len(mem) > 1 for d in mem}
+    near_m = {
+        d for p in _brute_minhash_pairs(ids, texts) for d in p
+    }
+    weak_m = {d for p in _brute_simhash_pairs(ids, texts) for d in p}
+    for d in ids:
+        if d in exact_m:
+            want = "exact"
+        elif d in near_m:
+            want = "near"
+        elif d in weak_m:
+            want = "weak"
+        else:
+            want = "unique"
+        assert got.loc[d, "tier"] == want, d
+    ranks = {"exact": 3, "near": 2, "weak": 1, "unique": 0}
+    assert all(
+        int(got.loc[d, "tier_rank"]) == ranks[got.loc[d, "tier"]] for d in ids
+    )
+    # planted expectations hold on this corpus
+    assert {got.loc[d, "tier"] for d in (0, 1, 2)} == {"exact"}
+    assert got.loc[3, "tier"] == "near"
+    assert got.loc[25, "tier"] != "exact" or texts.count("") > 1
+
+
+def test_purge_report_matches_brute(tier_corpus, ray_session):
+    from intertext_ray.ops.tiers import tiered_purge_report
+
+    ids, texts = tier_corpus
+    got = (
+        tiered_purge_report(_docs_ds(ids, texts), num_buckets=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got.index) == ids
+    want = _brute_cascade(ids, texts)
+    for d in ids:
+        assert got.loc[d, "dropped_at"] == want[d], d
+    assert all(
+        bool(got.loc[d, "kept"]) == (want[d] == "none") for d in ids
+    )
+    # cascade keeps exactly one member of the exact group
+    kept_exact = [d for d in (0, 1, 2) if want[d] == "none"]
+    assert got.loc[0, "dropped_at"] == "none" or kept_exact
+
+
+def test_purge_survivors_are_clean(tier_corpus, ray_session):
+    """Running every detector over the survivors finds nothing — the
+    defining property of the cascade."""
+    from intertext_ray.ops.minhash_doc import minhash_doc_dedup
+    from intertext_ray.ops.simhash import simhash_near_dups
+    from intertext_ray.ops.tiers import tiered_purge_report
+
+    ids, texts = tier_corpus
+    rep = (
+        tiered_purge_report(_docs_ds(ids, texts), num_buckets=8)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    keep = set(rep.index[rep["kept"]])
+    s_ids = [d for d in ids if d in keep]
+    s_texts = [texts[d] for d in s_ids]
+    assert len({t for t in s_texts}) == len(s_texts)  # no exact dups
+    surv = _docs_ds(s_ids, s_texts, blocks=2)
+    assert minhash_doc_dedup(surv, num_buckets=8).count() == 0
+    assert simhash_near_dups(surv, max_hamming=8, num_buckets=8).count() == 0
+
+
+def test_partition_invariance(tier_corpus, ray_session):
+    from intertext_ray.ops.tiers import dedup_tier_report, tiered_purge_report
+
+    ids, texts = tier_corpus
+    frames = []
+    for blocks in (1, 7):
+        frames.append(
+            dedup_tier_report(_docs_ds(ids, texts, blocks), num_buckets=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert frames[0].equals(frames[1])
+    frames = []
+    for blocks in (1, 7):
+        frames.append(
+            tiered_purge_report(_docs_ds(ids, texts, blocks), num_buckets=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert frames[0].equals(frames[1])
+
+
+def test_audio_tier_report_planted(ray_session):
+    """Audio tier ladder on a planted corpus: identical PCM -> exact,
+    gain-perturbed copy -> near, spliced shared bed only -> partial,
+    unrelated -> unique; and the composed labels equal the strongest
+    membership of the three chains run separately."""
+    from intertext_ray.fixtures.gen_audio import base_signal
+    from intertext_ray.functions.audio_fp import HOP
+    from intertext_ray.ops.audio_dedup import audio_dup_pairs
+    from intertext_ray.ops.audio_exact import audio_exact_dup_groups
+    from intertext_ray.ops.audio_spans import audio_common_spans
+    from intertext_ray.ops.tiers import audio_tier_report
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    sr = 8000
+    n = sr * 4
+    rng = np.random.default_rng(5)
+    seg = base_signal(88, 1000, sr, sr * 16 // 10)
+    sigs = {
+        "c0": base_signal(88, 0, sr, n),
+        "c1": base_signal(88, 1, sr, n),
+        "c2": base_signal(88, 2, sr, n),
+        "c5": base_signal(88, 5, sr, n),
+    }
+    sigs["c0"][20 * HOP : 20 * HOP + len(seg)] = seg
+    sigs["c1"][60 * HOP : 60 * HOP + len(seg)] = seg
+    pcm = {
+        k: np.clip(v * 8192.0, -32768, 32767).astype(np.int16)
+        for k, v in sigs.items()
+    }
+    pcm["c3"] = pcm["c2"].copy()                       # exact PCM copy
+    pert = sigs["c2"] * 1.06 + rng.normal(0, 0.004, n)  # near dup
+    pcm["c4"] = np.clip(pert * 8192.0, -32768, 32767).astype(np.int16)
+
+    keys = sorted(pcm)
+    tbl = pa.table(
+        {
+            "clip_id": keys,
+            "bytes": [pcm[k].tobytes() for k in keys],
+            "sr_hz": [sr] * len(keys),
+            "dur_ms": [4000] * len(keys),
+            "codec": ["pcm_s16le"] * len(keys),
+        }
+    )
+    doc_of = {
+        k: int(d) for k, d in zip(keys, doc_ids_for_clip_ids(tbl["clip_id"]))
+    }
+    clips = rd.from_arrow(tbl)
+    got = (
+        audio_tier_report(clips, num_buckets=8)
+        .to_pandas()
+        .set_index("doc_id")["tier"]
+        .to_dict()
+    )
+    assert len(got) == len(keys)  # one row per clip
+
+    # expected labels from the three chains run independently
+    exact_m = {
+        doc_of[c]
+        for c in audio_exact_dup_groups(clips, num_buckets=8)
+        .to_pandas()["clip_id"]
+    }
+    near = audio_dup_pairs(clips, num_buckets=8).to_pandas()
+    near_m = set(near.clip_a.astype(int)) | set(near.clip_b.astype(int))
+    spans = audio_common_spans(clips, num_buckets=8).to_pandas()
+    part_m = set(spans.clip_a.astype(int)) | set(spans.clip_b.astype(int))
+    for k in keys:
+        d = doc_of[k]
+        if d in exact_m:
+            want = "exact"
+        elif d in near_m:
+            want = "near"
+        elif d in part_m:
+            want = "partial"
+        else:
+            want = "unique"
+        assert got[d] == want, (k, got[d], want)
+
+    # planted structure
+    assert got[doc_of["c2"]] == "exact" and got[doc_of["c3"]] == "exact"
+    assert got[doc_of["c4"]] == "near"
+    assert got[doc_of["c0"]] == "partial" and got[doc_of["c1"]] == "partial"
+    assert got[doc_of["c5"]] == "unique"
