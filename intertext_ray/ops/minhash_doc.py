@@ -312,13 +312,15 @@ def _jaccard_verify(
         )
         return pa.table({"doc": pa.array(d.astype(np.int64), pa.int64())})
 
+    # unique() over an all-empty dataset yields None / [None] on this Ray
+    # version — guard before the int64 cast (zero candidates is a
+    # legitimate state, e.g. re-running the detector over purge survivors)
+    _uniq = (
+        candidates.map_batches(ids_only, batch_format="pyarrow").unique("doc")
+        or []
+    )
     cand_ids = np.unique(
-        np.asarray(
-            candidates.map_batches(ids_only, batch_format="pyarrow").unique(
-                "doc"
-            ),
-            dtype=np.int64,
-        )
+        np.asarray([u for u in _uniq if u is not None], dtype=np.int64)
     )
     cand_ref = ray.put(cand_ids)
 
