@@ -1912,6 +1912,128 @@ def _tuned(fn: Callable[[str], Any]) -> Callable[[str], Any]:
     return wrapped
 
 
+def _q_norm_dedup(sf_dir: str):
+    """Normalization-folded exact dedup (the C4/Gopher "fuzzy-exact" tier,
+    `ops/norm_dedup`) over a deterministically variant-injected corpus:
+    every doc_id%5==0 doc gains a tab-prefixed SHOUTED copy with trailing
+    bangs, every doc_id%7==0 doc a hyphens-for-spaces copy — exactly the
+    casing/punctuation/whitespace families the fold collapses and raw
+    exact dedup misses.  The twin re-builds the SAME corpus in SQL
+    (chr(9)||upper(..)||' !!', replace(..,' ','-')) and re-runs the fold
+    as one RE2 regexp_replace — group keys, member counts, DISTINCT-raw
+    variant counts and folded lengths all hash-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from intertext_ray.ops.norm_dedup import norm_dedup_groups
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def inject(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = [b]
+        m5 = pa.array(did % 5 == 0)
+        v1 = b.filter(m5)
+        if v1.num_rows:
+            n = v1.num_rows
+            up = pc.utf8_upper(v1["text"])
+            if isinstance(up, pa.ChunkedArray):
+                up = up.combine_chunks()
+            shout = pc.binary_join_element_wise(
+                pa.array(["\t"] * n), up, pa.array([" !!"] * n), ""
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pc.add(v1["doc_id"], 1_000_000).cast(
+                            pa.int64()
+                        ),
+                        "text": shout,
+                    }
+                )
+            )
+        m7 = pa.array(did % 7 == 0)
+        v2 = b.filter(m7)
+        if v2.num_rows:
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pc.add(v2["doc_id"], 2_000_000).cast(
+                            pa.int64()
+                        ),
+                        "text": pc.replace_substring(
+                            v2["text"], pattern=" ", replacement="-"
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(
+            [p.select(["doc_id", "text"]) for p in parts]
+        )
+
+    corpus = docs.map_batches(inject, batch_format="pyarrow")
+    return norm_dedup_groups(corpus, num_buckets=32)
+
+
+def _q_audio_clipping(sf_dir: str):
+    """Clipping (rail-hit) gate over the standard 1/7 SQL-decodable clip
+    sample (`ops/audio_clipping`): clips numbered %3==0 pass through a
+    deliberately hot x12 preamp (`amplify_clips` — fixture peaks are
+    <=7.4k, so x12 drives every hot clip into the rails while unity-gain
+    clips never rail), then `clipping_report` counts rail samples, their
+    ppm ratio and the longest consecutive rail run.  The twin re-decodes
+    the payload in SQL, replays the x12 clamp, and recomputes the run
+    lengths via gaps-and-islands over rail rows only."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_clipping import (
+        amplify_clips,
+        clipping_report,
+    )
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    sample = clips.map_batches(samp, batch_format="pyarrow")
+
+    def hot_side(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(3) == 0))
+
+    def cold_side(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(3) != 0))
+
+    hot = amplify_clips(
+        sample.map_batches(hot_side, batch_format="pyarrow"), gain_num=12
+    )
+    cold = sample.map_batches(cold_side, batch_format="pyarrow")
+    return clipping_report(hot.union(cold), thr_ppm=500, thr_run=3)
+
+
+def _q_length_outliers(sf_dir: str):
+    """Per-source robust length-outlier gate (`ops/curate.length_outliers`):
+    discrete lower-median + MAD per source, flag = |len − med| > 3·MAD.
+    The twin IS the contract — DuckDB quantile_disc(0.5) equals the
+    engine's sorted[(n−1)//2] element-for-element, so every column is an
+    exact integer."""
+    from intertext_ray.ops.curate import length_outliers
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return length_outliers(docs, k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {k: _tuned(v) for k, v in _raw_queries().items()}
 
@@ -1960,6 +2082,11 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # full difflib matches table -- kernel driver-pinned via the in-window
     # 1/64 dedup_match_sample -- and the FFT audio family, pinned by
     # repo-local brute-force oracles) sit last.
+    # Fourth continuation session: (iii-h) norm_dedup / audio_clipping /
+    # length_outliers take window slots for their first direct rows;
+    # exact_dedup (raw-hash kernel transitively re-exercised inside
+    # norm_dedup), quality_scores and repetition_scores rotate to 51+
+    # (all r2-direct-green, kernels unchanged).
     # tools/check_entry.py checks ALL twinned queries regardless of
     # position; COVERAGE.md carries the same map.
     return {
@@ -2035,13 +2162,24 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         #         to 51+
         "dedup_tier_report": _q_dedup_tier_report,
         "tiered_purge_report": _q_tiered_purge_report,
+        # (iii-h) fourth continuation session: normalization-folded exact
+        #         dedup (the fuzzy-exact tier rung), the audio clipping
+        #         gate (preamp + rail/island detection), and the robust
+        #         per-source length-outlier gate — three NEW twins taking
+        #         their first direct rows; displaces three more r2-green
+        #         unchanged twins (exact_dedup — whose raw-hash kernel is
+        #         transitively re-exercised INSIDE norm_dedup's variant
+        #         counting — quality_scores, repetition_scores) to 51+
+        "norm_dedup": _q_norm_dedup,
+        "audio_clipping": _q_audio_clipping,
+        "length_outliers": _q_length_outliers,
         # (iv) last direct-checked in round 2, kernels unchanged
-        "exact_dedup": _q_exact_dedup,
         "incremental_dedup": _q_incremental_dedup,
         "containment_search": _q_containment,
+        # --- position 51+ starts here ---
+        "exact_dedup": _q_exact_dedup,
         "quality_scores": _q_quality,
         "repetition_scores": _q_repetition,
-        # --- position 51+ starts here ---
         "top_bigrams": _q_top_bigrams,
         "lang_id": _q_lang,
         "content_fingerprints": _q_fingerprints,
@@ -3216,6 +3354,51 @@ def _match_sample_sql() -> str:
     """
 
 
+def _audio_clipping_sql(
+    hot_mod: int = 3, gain: int = 12, thr_ppm: int = 500, thr_run: int = 3
+) -> str:
+    """Twin of ``_q_audio_clipping``: re-decode the 1/7 sample (shared
+    CTEs), replay the hot-subset integer gain + int16 clamp, count rail
+    samples per clip, and recompute the longest consecutive rail run via
+    gaps-and-islands (``i − row_number()``) over rail rows only.  Two
+    references to the decode CTE (totals + islands) — the islands side is
+    rail-filtered so its window sort is small."""
+    g, hm = int(gain), int(hot_mod)
+    tp, tr = int(thr_ppm), int(thr_run)
+    return f"""
+        WITH {_audio_decode_ctes()},
+        y AS (
+          SELECT clip_id, i,
+                 CASE WHEN CAST(regexp_extract(clip_id, '([0-9]+)$', 1)
+                            AS BIGINT) % {hm} = 0
+                      THEN least(32767, greatest(-32768, s * {g}))
+                      ELSE s END AS s
+          FROM allsamp
+        ),
+        tot AS (
+          SELECT clip_id, count(*) AS n_samples,
+                 sum(CASE WHEN s >= 32767 OR s <= -32768
+                          THEN 1 ELSE 0 END) AS n_clipped
+          FROM y GROUP BY clip_id
+        ),
+        isl AS (
+          SELECT clip_id,
+                 i - row_number() OVER (PARTITION BY clip_id ORDER BY i) AS grp
+          FROM y WHERE s >= 32767 OR s <= -32768
+        ),
+        runs AS (SELECT clip_id, count(*) AS c FROM isl GROUP BY clip_id, grp),
+        mr AS (SELECT clip_id, max(c) AS max_run FROM runs GROUP BY clip_id)
+        SELECT t.clip_id,
+               CAST(n_samples AS BIGINT) AS n_samples,
+               CAST(n_clipped AS BIGINT) AS n_clipped,
+               CAST(n_clipped * 1000000 // n_samples AS BIGINT) AS clipped_ppm,
+               CAST(coalesce(max_run, 0) AS BIGINT) AS max_run,
+               (n_clipped * 1000000 // n_samples >= {tp}
+                OR coalesce(max_run, 0) >= {tr}) AS is_clipped
+        FROM tot t LEFT JOIN mr USING (clip_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_en = _STOP_SQL["en"]
     lang_ratio_cols = ", ".join(
@@ -3249,6 +3432,55 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
         """,
+        "norm_dedup": """
+            -- fold contract: lower -> collapse [^a-z0-9]+ to ' ' -> trim;
+            -- RE2 on both sides (pyarrow replace_substring_regex / DuckDB
+            -- regexp_replace 'g').  The variant-injected corpus is
+            -- rebuilt here from the raw table (tab-prefixed SHOUTED %5
+            -- copies, hyphenated %7 copies).
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, chr(9) || upper(text) || ' !!'
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, replace(text, ' ', '-')
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            n AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS norm
+              FROM corpus
+            )
+            SELECT min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_variants,
+                   CAST(length(min(norm)) AS BIGINT) AS n_chars_norm
+            FROM n GROUP BY norm HAVING count(*) > 1
+        """,
+        "length_outliers": """
+            -- discrete lower medians: quantile_disc(0.5) ==
+            -- sorted[(n-1)//2], the engine's exact contract
+            WITH s AS (
+              SELECT source, quantile_disc(n_chars, 0.5) AS med
+              FROM documents GROUP BY source
+            ),
+            d AS (
+              SELECT doc_id, documents.source, n_chars, med,
+                     abs(n_chars - med) AS dev
+              FROM documents JOIN s USING (source)
+            ),
+            m AS (
+              SELECT source, quantile_disc(dev, 0.5) AS mad
+              FROM d GROUP BY source
+            )
+            SELECT doc_id, d.source, n_chars,
+                   CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+                   (dev > 3 * mad) AS is_outlier
+            FROM d JOIN m USING (source)
+        """,
+        "audio_clipping": _audio_clipping_sql(),
         "token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
