@@ -2019,6 +2019,75 @@ def _q_audio_clipping(sf_dir: str):
     return clipping_report(hot.union(cold), thr_ppm=500, thr_run=3)
 
 
+# deterministic mojibake damage for the _q_mojibake face: suffix A carries
+# three artifact substrings (e-acute digraph, em-dash trigraph, n-tilde
+# digraph), suffix B a U+FFFD replacement char.  Built from escapes (the
+# trigraph contains C1/cp1252 codepoints); interpolated into BOTH the
+# engine injection and the SQL twin, one source of truth.
+_MOJI_SUFFIX_A = (
+    " cafÃ© â€” seÃ±or"
+)
+_MOJI_SUFFIX_B = " bad�byte"
+
+
+def _q_mojibake(sf_dir: str):
+    """Encoding-damage gate (`ops/curate.mojibake_report`) over a
+    deterministically damaged corpus: every doc_id%9==0 doc gains a
+    three-artifact mojibake suffix, every doc_id%13==0 doc a U+FFFD
+    suffix (both, in that order, when both divide).  The twin rebuilds
+    the damage with string concatenation and recomputes every count via
+    the replace-length delta — literal substrings only, no regex."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from intertext_ray.ops.curate import mojibake_report
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def damage(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(did)
+        a = np.where(did % 9 == 0, _MOJI_SUFFIX_A, "")
+        bb = np.where(did % 13 == 0, _MOJI_SUFFIX_B, "")
+        txt = pc.binary_join_element_wise(
+            b["text"].combine_chunks()
+            if isinstance(b["text"], pa.ChunkedArray)
+            else b["text"],
+            pa.array(a.tolist(), pa.string()),
+            pa.array(bb.tolist(), pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    return mojibake_report(
+        docs.map_batches(damage, batch_format="pyarrow")
+    )
+
+
+def _q_audio_crest(sf_dir: str):
+    """Crest-factor (peak/RMS dynamic-range) report over the standard 1/7
+    SQL-decodable clip sample (`ops/audio_stats.crest_report`) — the
+    isqrt reference-level idiom makes peak*1000//isqrt(ms) exact on both
+    sides; the twin re-decodes the payload and recomputes rms_floor as
+    floor(sqrt(ms::DOUBLE)), exact for ms <= 2^30."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_stats import crest_report
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    return crest_report(clips.map_batches(samp, batch_format="pyarrow"))
+
+
 def _q_length_outliers(sf_dir: str):
     """Per-source robust length-outlier gate (`ops/curate.length_outliers`):
     discrete lower-median + MAD per source, flag = |len − med| > 3·MAD.
@@ -2083,10 +2152,11 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # 1/64 dedup_match_sample -- and the FFT audio family, pinned by
     # repo-local brute-force oracles) sit last.
     # Fourth continuation session: (iii-h) norm_dedup / audio_clipping /
-    # length_outliers take window slots for their first direct rows;
-    # exact_dedup (raw-hash kernel transitively re-exercised inside
-    # norm_dedup), quality_scores and repetition_scores rotate to 51+
-    # (all r2-direct-green, kernels unchanged).
+    # length_outliers / mojibake_report / audio_crest take window slots
+    # for their first direct rows; exact_dedup (raw-hash kernel
+    # transitively re-exercised inside norm_dedup), quality_scores,
+    # repetition_scores, incremental_dedup and containment_search rotate
+    # to 51+ (all r2-direct-green, kernels unchanged).
     # tools/check_entry.py checks ALL twinned queries regardless of
     # position; COVERAGE.md carries the same map.
     return {
@@ -2173,10 +2243,13 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "norm_dedup": _q_norm_dedup,
         "audio_clipping": _q_audio_clipping,
         "length_outliers": _q_length_outliers,
-        # (iv) last direct-checked in round 2, kernels unchanged
+        "mojibake_report": _q_mojibake,
+        "audio_crest": _q_audio_crest,
+        # --- position 51+ starts here ---
+        # (iv) last direct-checked in round 2, kernels unchanged since;
+        # displaced by the session's five first-direct-row twins
         "incremental_dedup": _q_incremental_dedup,
         "containment_search": _q_containment,
-        # --- position 51+ starts here ---
         "exact_dedup": _q_exact_dedup,
         "quality_scores": _q_quality,
         "repetition_scores": _q_repetition,
@@ -3399,6 +3472,78 @@ def _audio_clipping_sql(
     """
 
 
+def _mojibake_sql(min_artifacts: int = 2) -> str:
+    """Twin of ``_q_mojibake``: rebuild the deterministically damaged
+    corpus by concatenation, then recompute every count via the
+    replace-length delta over the SAME literal pattern table the engine
+    uses (imported, one source of truth; none contains a quote)."""
+    from intertext_ray.ops.curate import _REPLACEMENT, MOJIBAKE_PATTERNS
+
+    art_terms = "\n               + ".join(
+        f"(length(text) - length(replace(text, '{p}', ''))) // {len(p)}"
+        for p in MOJIBAKE_PATTERNS
+    )
+    ma = int(min_artifacts)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id,
+                 text
+                 || (CASE WHEN doc_id % 9 = 0
+                          THEN '{_MOJI_SUFFIX_A}' ELSE '' END)
+                 || (CASE WHEN doc_id % 13 = 0
+                          THEN '{_MOJI_SUFFIX_B}' ELSE '' END) AS text
+          FROM documents
+        ),
+        x AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 length(text) - length(replace(text, '{_REPLACEMENT}', ''))
+                   AS n_replacement,
+                 {art_terms} AS n_artifacts
+          FROM corpus
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_replacement AS BIGINT) AS n_replacement,
+               CAST(n_artifacts AS BIGINT) AS n_artifacts,
+               CAST(CASE WHEN n_chars > 0
+                         THEN n_artifacts * 1000 // n_chars
+                         ELSE 0 END AS BIGINT) AS artifacts_per_kchar,
+               (n_replacement > 0 OR n_artifacts >= {ma}) AS is_mojibake
+        FROM x
+    """
+
+
+def _audio_crest_sql(flat_milli: int = 1414, peaky_milli: int = 6000) -> str:
+    """Twin of ``_q_audio_crest``: one aggregate pass over the SQL-decoded
+    samples; rms_floor recomputed as floor(sqrt(ms::DOUBLE)) — equal to
+    the engine's isqrt for ms <= 2^30 (argument in `ops/audio_loudnorm`)."""
+    fm, pm = int(flat_milli), int(peaky_milli)
+    return f"""
+        WITH {_audio_decode_ctes()},
+        agg AS (
+          SELECT clip_id, count(*) AS n, max(abs(s)) AS peak,
+                 sum(CAST(s AS HUGEINT) * s) AS en
+          FROM allsamp GROUP BY clip_id
+        ),
+        r AS (
+          SELECT clip_id, n, peak,
+                 CAST(floor(sqrt(CAST(en // n AS DOUBLE))) AS BIGINT) AS rf
+          FROM agg
+        )
+        SELECT clip_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(peak AS BIGINT) AS peak_abs,
+               rf AS rms_floor,
+               CAST(CASE WHEN rf > 0 THEN peak * 1000 // rf
+                         ELSE 0 END AS BIGINT) AS crest_milli,
+               CASE WHEN rf = 0 THEN 'silent'
+                    WHEN peak * 1000 // rf < {fm} THEN 'flat'
+                    WHEN peak * 1000 // rf >= {pm} THEN 'peaky'
+                    ELSE 'normal' END AS dr_class
+        FROM r
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_en = _STOP_SQL["en"]
     lang_ratio_cols = ", ".join(
@@ -3481,6 +3626,8 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN m USING (source)
         """,
         "audio_clipping": _audio_clipping_sql(),
+        "audio_crest": _audio_crest_sql(),
+        "mojibake_report": _mojibake_sql(),
         "token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -223,3 +223,82 @@ def audio_payload_report(
         )
 
     return clips.map_batches(report, batch_format="pyarrow")
+
+
+def crest_report(
+    clips: ray.data.Dataset,
+    flat_milli: int = 1414,
+    peaky_milli: int = 6000,
+    codecs: tuple[str, ...] = ("pcm_s16le", "wav", "ulaw", "alaw"),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Per-clip crest factor (peak / RMS, the dynamic-range signal) —
+    integer-exact via the `ops/audio_loudnorm` isqrt idiom:
+
+        ms          = floor(energy / n)
+        rms_floor   = isqrt(ms)                (== floor(sqrt) exactly)
+        crest_milli = peak * 1000 // rms_floor
+
+    Wave-curation reads crest directly: a crest near 1000 is a flat-topped
+    (clipped / brutally compressed) signal, a sine sits near sqrt(2) ≈
+    1414, speech lives ~3000–5000, and a very high crest means impulsive
+    clicks over near-silence.  ``dr_class`` buckets it: ``silent``
+    (rms_floor == 0), ``flat`` (< flat_milli), ``normal``, ``peaky``
+    (>= peaky_milli).
+
+    The DuckDB twin re-decodes the payload (shared hex-pair/G.711 CTEs)
+    and recomputes rms_floor as floor(sqrt(ms::DOUBLE)) — exact for
+    ms <= 2^30 here (argument in `ops/audio_loudnorm`'s module doc).
+
+    Scale: stateless row-local map_batches — no exchange at any size.
+    """
+    import math
+
+    keep = set(codecs)
+    fm, pm = int(flat_milli), int(peaky_milli)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        srs = batch["sr_hz"].to_numpy(zero_copy_only=False)
+        cod = batch["codec"].to_pylist()
+        ids = batch["clip_id"].to_pylist()
+        out = {
+            "clip_id": [], "n_samples": [], "peak_abs": [],
+            "rms_floor": [], "crest_milli": [], "dr_class": [],
+        }
+        for i in range(len(batch)):
+            if cod[i] not in keep:
+                continue
+            pcm = decode_clip(blobs[i], int(srs[i]), cod[i])
+            s = pcm.astype(np.int64)
+            n = len(s)
+            peak = int(np.max(np.abs(s))) if n else 0
+            ms = (int(np.sum(s * s)) // n) if n else 0
+            r = math.isqrt(ms)
+            crest = (peak * 1000 // r) if r > 0 else 0
+            if r == 0:
+                klass = "silent"
+            elif crest < fm:
+                klass = "flat"
+            elif crest >= pm:
+                klass = "peaky"
+            else:
+                klass = "normal"
+            out["clip_id"].append(ids[i])
+            out["n_samples"].append(n)
+            out["peak_abs"].append(peak)
+            out["rms_floor"].append(r)
+            out["crest_milli"].append(crest)
+            out["dr_class"].append(klass)
+        return pa.table(
+            {
+                "clip_id": pa.array(out["clip_id"], pa.string()),
+                "n_samples": pa.array(out["n_samples"], pa.int64()),
+                "peak_abs": pa.array(out["peak_abs"], pa.int64()),
+                "rms_floor": pa.array(out["rms_floor"], pa.int64()),
+                "crest_milli": pa.array(out["crest_milli"], pa.int64()),
+                "dr_class": pa.array(out["dr_class"], pa.string()),
+            }
+        )
+
+    return clips.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

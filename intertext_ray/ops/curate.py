@@ -271,3 +271,89 @@ def length_outliers(
     return docs.select_columns(["doc_id", source_col, len_col]).map_batches(
         flag, batch_format="pyarrow"
     )
+
+
+# The classic UTF-8-read-as-latin1/cp1252 artifact substrings (accented
+# latin digraphs and smart-punctuation trigraphs), plus U+FFFD handled
+# separately — all LITERAL substrings so engine (count_substring) and SQL
+# (replace-length delta) count identically with zero regex-dialect risk.
+# The trigraphs are built from escapes: mis-decoded UTF-8 punctuation is
+# "\u00e2" followed by C1/cp1252 codepoints that must not appear raw in
+# source.
+MOJIBAKE_PATTERNS = (
+    "\u00c3\u00a9",  # mis-decoded e-acute
+    "\u00c3\u00a8",  # e-grave
+    "\u00c3\u00a1",  # a-acute
+    "\u00c3\u00b3",  # o-acute
+    "\u00c3\u00b1",  # n-tilde
+    "\u00c3\u00a7",  # c-cedilla
+    "\u00c3\u00bc",  # u-umlaut
+    "\u00c3\u00b6",  # o-umlaut
+    "\u00c3\u00a4",  # a-umlaut
+    "\u00e2\u20ac\u2122",  # right single quote via cp1252
+    "\u00e2\u20ac\u0153",  # left double quote via cp1252
+    "\u00e2\u20ac\u201c",  # en dash via cp1252
+    "\u00e2\u20ac\u201d",  # em dash via cp1252
+)
+
+_REPLACEMENT = "\ufffd"
+
+
+def mojibake_report(
+    docs: ray.data.Dataset,
+    patterns: tuple[str, ...] = MOJIBAKE_PATTERNS,
+    min_artifacts: int = 2,
+) -> ray.data.Dataset:
+    """Encoding-damage gate: flag documents carrying UTF-8-as-latin1
+    mojibake substrings or U+FFFD replacement characters — the standard
+    crawl-corpus cleanup signal (a page decoded through the wrong charset
+    is unusable even when every other quality gate passes).
+
+    Per doc: ``n_chars``, ``n_replacement`` (U+FFFD count),
+    ``n_artifacts`` (total hits over the literal pattern table),
+    ``artifacts_per_kchar`` (integer, *1000 // n_chars), and the gate
+    ``is_mojibake = n_replacement > 0 OR n_artifacts >= min_artifacts``
+    (one artifact can be a legitimate quotation OF mojibake; two or more
+    means the document itself is damaged).
+
+    Every count is a LITERAL substring count (pyarrow ``count_substring``,
+    non-overlapping), so the DuckDB twin recomputes it exactly via the
+    replace-length delta — no regex dialect in the contract.
+
+    Scale: one stateless vectorized pass, lexicon is a compile-time
+    constant — no exchange, no broadcast.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    pats = tuple(patterns)
+    ma = int(min_artifacts)
+
+    def fn(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        n_chars = pc.utf8_length(txt).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        rep = pc.count_substring(txt, _REPLACEMENT).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        art = np.zeros(len(b), dtype=np.int64)
+        for p in pats:
+            art += pc.count_substring(txt, p).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        per_k = np.where(n_chars > 0, art * 1000 // np.maximum(n_chars, 1), 0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_replacement": pa.array(rep, pa.int64()),
+                "n_artifacts": pa.array(art, pa.int64()),
+                "artifacts_per_kchar": pa.array(per_k, pa.int64()),
+                "is_mojibake": pa.array((rep > 0) | (art >= ma)),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
