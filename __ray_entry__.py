@@ -482,10 +482,11 @@ def _q_event_session_assignment(sf_dir: str):
 
 
 def _q_dedup_tier_report(sf_dir: str):
-    """Per-doc strongest dup tier (exact > near > weak > unique) — the
-    three pinned text families composed over the full corpus
+    """Per-doc strongest dup tier (exact > norm > near > weak > unique) —
+    the four pinned text families composed over the full corpus
     (`ops/tiers.dedup_tier_report`); defaults match the in-repo family
-    twins (minhash k=3/16/2/j0.5, simhash Hamming<=8)."""
+    twins (norm = the `norm_dedup` fold, minhash k=3/16/2/j0.5, simhash
+    Hamming<=8)."""
     from intertext_ray.ops.tiers import dedup_tier_report
 
     docs = _read_table(
@@ -495,8 +496,8 @@ def _q_dedup_tier_report(sf_dir: str):
 
 
 def _q_tiered_purge_report(sf_dir: str):
-    """The exact -> near -> weak cascade purge, per-doc dropped_at
-    (`ops/tiers.tiered_purge_report`)."""
+    """The exact -> norm -> near -> weak cascade purge, per-doc
+    dropped_at (`ops/tiers.tiered_purge_report`)."""
     from intertext_ray.ops.tiers import tiered_purge_report
 
     docs = _read_table(
@@ -5344,16 +5345,25 @@ def _tier_report_sql(
     k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50,
     max_hamming: int = 8,
 ) -> str:
-    """Twin of ``ops.tiers.dedup_tier_report``: the three pinned family
+    """Twin of ``ops.tiers.dedup_tier_report``: the four pinned family
     chains composed over the FULL corpus — identical-text window count
-    (exact tier), the shared minhash chain's ``mpairs`` members (near),
-    SimHash radius-pair members (weak) — folded into the strongest-tier
-    CASE ladder, one row per doc."""
+    (exact tier), normalized-fold group count (norm tier, the
+    `norm_dedup` RE2 fold), the shared minhash chain's ``mpairs``
+    members (near), SimHash radius-pair members (weak) — folded into the
+    strongest-tier CASE ladder, one row per doc."""
     return f"""
         {_minhash_doc_chain(k, n_perm, band_rows, pct)},
         exm AS (
           SELECT doc_id FROM (
             SELECT doc_id, count(*) OVER (PARTITION BY text) AS cgrp
+            FROM documents
+          ) WHERE cgrp > 1
+        ),
+        normm AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g'))) AS cgrp
             FROM documents
           ) WHERE cgrp > 1
         ),
@@ -5376,15 +5386,18 @@ def _tier_report_sql(
         )
         SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
                CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                    WHEN nm.doc_id IS NOT NULL THEN 'norm'
                     WHEN n.node IS NOT NULL THEN 'near'
                     WHEN w.node IS NOT NULL THEN 'weak'
                     ELSE 'unique' END AS tier,
-               CAST(CASE WHEN e.doc_id IS NOT NULL THEN 3
+               CAST(CASE WHEN e.doc_id IS NOT NULL THEN 4
+                         WHEN nm.doc_id IS NOT NULL THEN 3
                          WHEN n.node IS NOT NULL THEN 2
                          WHEN w.node IS NOT NULL THEN 1
                          ELSE 0 END AS BIGINT) AS tier_rank
         FROM documents dd
         LEFT JOIN exm e ON e.doc_id = dd.doc_id
+        LEFT JOIN normm nm ON nm.doc_id = dd.doc_id
         LEFT JOIN nearm n ON n.node = dd.doc_id
         LEFT JOIN weakm w ON w.node = dd.doc_id
     """
@@ -5395,17 +5408,38 @@ def _tiered_purge_sql(
     max_hamming: int = 8,
 ) -> str:
     """Twin of ``ops.tiers.tiered_purge_report``: the CASCADE replayed in
-    SQL — exact keepers (min doc_id per text group) feed the minhash chain
-    via the parameterized ``src``/``pre`` hooks, its min-label closure's
-    droppees are removed before the SimHash stage, and the three disjoint
-    drop sets fold into the per-doc ``dropped_at`` ladder."""
-    pre = """ex1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-        docs1 AS (
+    SQL — exact keepers (min doc_id per text group), then fold keepers
+    (min doc_id per normalized form, the `norm_dedup` RE2 fold) feed the
+    minhash chain via the parameterized ``src``/``pre`` hooks, its
+    min-label closure's droppees are removed before the SimHash stage,
+    and the four disjoint drop sets fold into the per-doc ``dropped_at``
+    ladder."""
+    # AS MATERIALIZED is load-bearing on every CTE a recursive closure
+    # reads (edges/wedges) and on the survivor corpora feeding chains
+    # that are referenced from inside recursion (docs1/docs1b/docs2):
+    # DuckDB inlines plain CTEs, so each closure iteration would
+    # otherwise re-evaluate the ENTIRE upstream minhash/simhash chain —
+    # and the weak closure nests over the near closure, which blows past
+    # 100 GiB even at sf0.001.  Materialization pins each chain to one
+    # evaluation.  (Safe here: no LATERAL under the recursion — the
+    # dedup_match_sample caveat does not apply; correctness re-verified
+    # against the engine and the brute-force cascade after the change.)
+    pre = """ex1 AS MATERIALIZED (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        ),
+        docs1 AS MATERIALIZED (
           SELECT d0.doc_id, d0.text FROM documents d0 JOIN ex1 USING (doc_id)
+        ),
+        nrmk AS MATERIALIZED (
+          SELECT min(doc_id) AS doc_id FROM docs1
+          GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        ),
+        docs1b AS MATERIALIZED (
+          SELECT d1.doc_id, d1.text FROM docs1 d1 JOIN nrmk USING (doc_id)
         ),"""
     return f"""
-        {_minhash_doc_chain(k, n_perm, band_rows, pct, src="docs1", pre=pre)},
-        edges AS (
+        {_minhash_doc_chain(k, n_perm, band_rows, pct, src="docs1b", pre=pre)},
+        edges AS MATERIALIZED (
           SELECT doc_a AS uu, doc_b AS vv FROM mpairs
           UNION SELECT doc_b, doc_a FROM mpairs
         ),
@@ -5417,9 +5451,9 @@ def _tiered_purge_sql(
           WHERE ccx.label < e3.vv
         ),
         nlab AS (SELECT node, min(label) AS label FROM ccx GROUP BY node),
-        ndrop AS (SELECT node FROM nlab WHERE node <> label),
-        docs2 AS (
-          SELECT d1.doc_id, d1.text FROM docs1 d1
+        ndrop AS MATERIALIZED (SELECT node FROM nlab WHERE node <> label),
+        docs2 AS MATERIALIZED (
+          SELECT d1.doc_id, d1.text FROM docs1b d1
           LEFT JOIN ndrop nd ON nd.node = d1.doc_id
           WHERE nd.node IS NULL
         ),
@@ -5429,7 +5463,9 @@ def _tiered_purge_sql(
           FROM fps a JOIN fps b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
         ),
-        wedges AS (SELECT u, v FROM wpairs UNION SELECT v, u FROM wpairs),
+        wedges AS MATERIALIZED (
+          SELECT u, v FROM wpairs UNION SELECT v, u FROM wpairs
+        ),
         wnodes AS (SELECT DISTINCT u AS node FROM wedges),
         wcc(node, label) AS (
           SELECT node, node FROM wnodes
@@ -5443,20 +5479,28 @@ def _tiered_purge_sql(
           SELECT d2.doc_id FROM documents d2
           LEFT JOIN ex1 ON ex1.doc_id = d2.doc_id
           WHERE ex1.doc_id IS NULL
+        ),
+        nrmdrop AS (
+          SELECT d1.doc_id FROM docs1 d1
+          LEFT JOIN nrmk ON nrmk.doc_id = d1.doc_id
+          WHERE nrmk.doc_id IS NULL
         )
         SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
                CASE WHEN xd.doc_id IS NOT NULL THEN 'exact'
+                    WHEN md.doc_id IS NOT NULL THEN 'norm'
                     WHEN nd2.node IS NOT NULL THEN 'near'
                     WHEN wd.node IS NOT NULL THEN 'weak'
                     ELSE 'none' END AS dropped_at,
-               CAST(CASE WHEN xd.doc_id IS NOT NULL THEN 3
+               CAST(CASE WHEN xd.doc_id IS NOT NULL THEN 4
+                         WHEN md.doc_id IS NOT NULL THEN 3
                          WHEN nd2.node IS NOT NULL THEN 2
                          WHEN wd.node IS NOT NULL THEN 1
                          ELSE 0 END AS BIGINT) AS dropped_rank,
-               (xd.doc_id IS NULL AND nd2.node IS NULL AND wd.node IS NULL)
-                   AS kept
+               (xd.doc_id IS NULL AND md.doc_id IS NULL
+                AND nd2.node IS NULL AND wd.node IS NULL) AS kept
         FROM documents dd
         LEFT JOIN exdrop xd ON xd.doc_id = dd.doc_id
+        LEFT JOIN nrmdrop md ON md.doc_id = dd.doc_id
         LEFT JOIN ndrop nd2 ON nd2.node = dd.doc_id
         LEFT JOIN wdrop wd ON wd.node = dd.doc_id
     """

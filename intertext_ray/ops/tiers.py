@@ -1,5 +1,5 @@
-"""Tiered deduplication — the exact → near → weak cascade a web-scale
-curation pipeline actually runs, composed from this repo's three
+"""Tiered deduplication — the exact → norm → near → weak cascade a
+web-scale curation pipeline actually runs, composed from this repo's four
 SQL-twinned text dedup families (reference semantics: the tier ladder is
 the production generalization of the reference's single MinHash chain,
 `/root/reference/intertext/intertext.py:353-515`).
@@ -10,7 +10,10 @@ Two faces, both one-row-per-doc and therefore driver-hashable:
   tier.  Each family runs over the whole corpus independently (this is a
   *report*, so no family's input may depend on another's output):
 
-    * ``exact``  (rank 3) — member of an identical-text group (size ≥ 2);
+    * ``exact``  (rank 4) — member of an identical-text group (size ≥ 2);
+    * ``norm``   (rank 3) — member of a normalized-form group
+      (the fuzzy-exact fold, `ops/norm_dedup.py`; exact dups are also
+      norm dups, so exact wins by rank);
     * ``near``   (rank 2) — member of a verified MinHash/LSH pair
       (word-3-gram Jaccard ≥ 0.5, `ops/minhash_doc.py`);
     * ``weak``   (rank 1) — member of a SimHash radius pair
@@ -18,14 +21,14 @@ Two faces, both one-row-per-doc and therefore driver-hashable:
     * ``unique`` (rank 0) — none of the above.
 
 - :func:`tiered_purge_report` — the production CASCADE: exact keep-one
-  (min doc_id per identical-text group), then MinHash keep-one over the
-  exact survivors, then SimHash keep-one over those survivors.  Output is
-  per-doc ``dropped_at`` ∈ {exact, near, weak, none}; survivors are the
-  ``none`` rows.  Running each stage over the previous stage's survivors
-  is semantics-preserving for the exact tier (identical text ⇒ identical
-  gram sets, so a near-pair lost to a purged copy re-forms against the
-  kept canonical) and is the *defining* semantics for the later tiers
-  (C4/RefinedWeb purge order).
+  (min doc_id per identical-text group), then fold keep-one over the
+  exact survivors, then MinHash keep-one over those, then SimHash
+  keep-one last.  Output is per-doc ``dropped_at`` ∈ {exact, norm, near,
+  weak, none}; survivors are the ``none`` rows.  Running each stage over
+  the previous stage's survivors is semantics-preserving for the exact
+  tier (identical text ⇒ identical gram sets, so a near-pair lost to a
+  purged copy re-forms against the kept canonical) and is the *defining*
+  semantics for the later tiers (C4/RefinedWeb purge order).
 
 Scale shape: every membership/drop table flows through the repo's
 slim-tagged-union + hash-bucketed co-group idiom (one shuffle per join,
@@ -47,7 +50,7 @@ from intertext_ray.functions.hashing import splitmix64
 
 _U64 = np.uint64
 
-TIER_RANKS = {"exact": 3, "near": 2, "weak": 1, "unique": 0}
+TIER_RANKS = {"exact": 4, "norm": 3, "near": 2, "weak": 1, "unique": 0}
 
 
 def exact_dup_members(
@@ -88,6 +91,64 @@ def exact_dup_members(
         run_id = np.cumsum(head) - 1
         run_sizes = np.bincount(run_id)
         run_min = si[head]  # sorted by id within run → run head is the min
+        in_dup = run_sizes[run_id] >= 2
+        return pa.table(
+            {
+                "doc_id": pa.array(si[in_dup], pa.int64()),
+                "group_min": pa.array(run_min[run_id][in_dup], pa.int64()),
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(hash_and_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(members, batch_format="pyarrow")
+    )
+
+
+def norm_dup_members(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """(doc_id, group_min) for every member of a NORMALIZED-form group of
+    size ≥ 2 — the membership face of `ops/norm_dedup.py` (the fuzzy-exact
+    fold: lower → collapse ``[^a-z0-9]+`` → trim).  Identical physical
+    plan to :func:`exact_dup_members`, hashing the fold instead of the
+    raw text."""
+    from intertext_ray.ops.norm_dedup import _sha1_pair, normalize_text
+
+    nb = _U64(num_buckets)
+
+    def hash_and_bucket(b: pa.Table) -> pa.Table:
+        norm = normalize_text(b[text_col])
+        nh = _sha1_pair(norm.to_pylist())
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "ch1": pa.array(nh[:, 0], pa.uint64()),
+                "ch2": pa.array(nh[:, 1], pa.uint64()),
+                "bucket": pa.array(
+                    (nh[:, 0] % nb).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def members(group: pa.Table) -> pa.Table:
+        h1 = group["ch1"].to_numpy(zero_copy_only=False)
+        h2 = group["ch2"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h2, h1))
+        s1, s2, si = h1[order], h2[order], ids[order]
+        head = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            head[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+        run_id = np.cumsum(head) - 1
+        run_sizes = np.bincount(run_id)
+        run_min = si[head]
         in_dup = run_sizes[run_id] >= 2
         return pa.table(
             {
@@ -219,6 +280,7 @@ def dedup_tier_report(
     from intertext_ray.ops.simhash import simhash_near_dups
 
     exact_m = exact_dup_members(docs, text_col, num_buckets=num_buckets)
+    norm_m = norm_dup_members(docs, text_col, num_buckets=num_buckets)
     near_m = _pairs_to_member_ids(
         minhash_doc_dedup(
             docs,
@@ -238,7 +300,12 @@ def dedup_tier_report(
     )
     return strongest_tier(
         docs,
-        [("exact", exact_m), ("near", near_m), ("weak", weak_m)],
+        [
+            ("exact", exact_m),
+            ("norm", norm_m),
+            ("near", near_m),
+            ("weak", weak_m),
+        ],
         num_buckets=num_buckets,
     )
 
@@ -317,7 +384,7 @@ def tiered_purge_report(
     max_hamming: int = 8,
     num_buckets: int = 32,
 ) -> ray.data.Dataset:
-    """(doc_id, dropped_at, dropped_rank, kept) — the 3-stage cascade
+    """(doc_id, dropped_at, dropped_rank, kept) — the 4-stage cascade
     purge (see module docstring).  Exactly one row per input doc;
     survivors are the ``dropped_at = 'none'`` rows.
 
@@ -345,9 +412,20 @@ def tiered_purge_report(
         docs, dropped_exact, text_col, num_buckets
     ).materialize()
 
-    # stage 2 — near: MinHash keep-one over exact survivors
+    # stage 2 — norm: fuzzy-exact (fold) keep-one over exact survivors.
+    # Exact survivors have DISTINCT raw texts, so every fold group here is
+    # a genuine casing/punctuation variant family.
+    norm_m = norm_dup_members(
+        survivors1, text_col, num_buckets=num_buckets
+    ).materialize()
+    dropped_norm = norm_m.map_batches(exact_droppees, batch_format="pyarrow")
+    survivors1b = _anti_join_docs(
+        survivors1, dropped_norm, text_col, num_buckets
+    ).materialize()
+
+    # stage 3 — near: MinHash keep-one over norm survivors
     near_clusters = minhash_doc_clusters(
-        survivors1,
+        survivors1b,
         text_col=text_col,
         k=k,
         n_perm=n_perm,
@@ -357,10 +435,10 @@ def tiered_purge_report(
     )
     dropped_near = _cluster_droppees(near_clusters)
     survivors2 = _anti_join_docs(
-        survivors1, dropped_near, text_col, num_buckets
+        survivors1b, dropped_near, text_col, num_buckets
     ).materialize()
 
-    # stage 3 — weak: SimHash keep-one over near survivors
+    # stage 4 — weak: SimHash keep-one over near survivors
     weak_clusters = simhash_clusters(
         survivors2,
         text_col=text_col,
@@ -373,6 +451,7 @@ def tiered_purge_report(
         docs,
         [
             ("exact", dropped_exact),
+            ("norm", dropped_norm),
             ("near", dropped_near),
             ("weak", dropped_weak),
         ],

@@ -88,8 +88,15 @@ def _uf_droppees(pairs):
     return {x for x in parent if find(x) != x}
 
 
+def _py_norm(t):
+    import re
+
+    return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+
 def _brute_cascade(ids, texts, max_hamming=8):
-    """Independent reference for tiered_purge_report."""
+    """Independent reference for tiered_purge_report (4-stage:
+    exact -> norm-fold -> near -> weak)."""
     by_text = {}
     for d, t in zip(ids, texts):
         by_text.setdefault(t, []).append(d)
@@ -97,10 +104,17 @@ def _brute_cascade(ids, texts, max_hamming=8):
         d for mem in by_text.values() if len(mem) > 1 for d in sorted(mem)[1:]
     }
     s1 = [(d, t) for d, t in zip(ids, texts) if d not in dropped_exact]
+    by_norm = {}
+    for d, t in s1:
+        by_norm.setdefault(_py_norm(t), []).append(d)
+    dropped_norm = {
+        d for mem in by_norm.values() if len(mem) > 1 for d in sorted(mem)[1:]
+    }
+    s1b = [(d, t) for d, t in s1 if d not in dropped_norm]
     dropped_near = _uf_droppees(
-        _brute_minhash_pairs([d for d, _ in s1], [t for _, t in s1])
+        _brute_minhash_pairs([d for d, _ in s1b], [t for _, t in s1b])
     )
-    s2 = [(d, t) for d, t in s1 if d not in dropped_near]
+    s2 = [(d, t) for d, t in s1b if d not in dropped_near]
     dropped_weak = _uf_droppees(
         _brute_simhash_pairs(
             [d for d, _ in s2], [t for _, t in s2], max_hamming
@@ -110,6 +124,8 @@ def _brute_cascade(ids, texts, max_hamming=8):
     for d in ids:
         if d in dropped_exact:
             out[d] = "exact"
+        elif d in dropped_norm:
+            out[d] = "norm"
         elif d in dropped_near:
             out[d] = "near"
         elif d in dropped_weak:
@@ -141,6 +157,10 @@ def tier_corpus():
         )
     texts.append("")                                 # id 25: empty
     texts.append("a b")                              # id 26: < k tokens
+    # id 27: SHOUTED copy of base — raw-distinct (not exact) but folds to
+    # base's normalized form; raw tokens hash differently so the minhash
+    # and simhash families never link it: the norm tier's exclusive catch
+    texts.append(base.upper() + "!!")
     ids = list(range(len(texts)))
     return ids, texts
 
@@ -171,6 +191,10 @@ def test_tier_report_matches_brute(tier_corpus, ray_session):
     for d, t in zip(ids, texts):
         by_text.setdefault(t, []).append(d)
     exact_m = {d for mem in by_text.values() if len(mem) > 1 for d in mem}
+    by_norm = {}
+    for d, t in zip(ids, texts):
+        by_norm.setdefault(_py_norm(t), []).append(d)
+    norm_m = {d for mem in by_norm.values() if len(mem) > 1 for d in mem}
     near_m = {
         d for p in _brute_minhash_pairs(ids, texts) for d in p
     }
@@ -178,6 +202,8 @@ def test_tier_report_matches_brute(tier_corpus, ray_session):
     for d in ids:
         if d in exact_m:
             want = "exact"
+        elif d in norm_m:
+            want = "norm"
         elif d in near_m:
             want = "near"
         elif d in weak_m:
@@ -185,13 +211,15 @@ def test_tier_report_matches_brute(tier_corpus, ray_session):
         else:
             want = "unique"
         assert got.loc[d, "tier"] == want, d
-    ranks = {"exact": 3, "near": 2, "weak": 1, "unique": 0}
+    from intertext_ray.ops.tiers import TIER_RANKS as ranks
+
     assert all(
         int(got.loc[d, "tier_rank"]) == ranks[got.loc[d, "tier"]] for d in ids
     )
     # planted expectations hold on this corpus
     assert {got.loc[d, "tier"] for d in (0, 1, 2)} == {"exact"}
     assert got.loc[3, "tier"] == "near"
+    assert got.loc[27, "tier"] == "norm"  # the fold's exclusive catch
     assert got.loc[25, "tier"] != "exact" or texts.count("") > 1
 
 
@@ -234,6 +262,9 @@ def test_purge_survivors_are_clean(tier_corpus, ray_session):
     s_ids = [d for d in ids if d in keep]
     s_texts = [texts[d] for d in s_ids]
     assert len({t for t in s_texts}) == len(s_texts)  # no exact dups
+    # no normalized-form dups either (the norm rung's defining property)
+    norms = [_py_norm(t) for t in s_texts]
+    assert len(set(norms)) == len(norms)
     surv = _docs_ds(s_ids, s_texts, blocks=2)
     assert minhash_doc_dedup(surv, num_buckets=8).count() == 0
     assert simhash_near_dups(surv, max_hamming=8, num_buckets=8).count() == 0
