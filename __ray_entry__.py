@@ -2089,6 +2089,37 @@ def _q_audio_crest(sf_dir: str):
     return crest_report(clips.map_batches(samp, batch_format="pyarrow"))
 
 
+def _q_audio_norm_exact(sf_dir: str):
+    """Gain-invariant exact dup groups over the 1/7 clip sample augmented
+    with lossless x2 re-gained copies of its %4 subset
+    (`ops/audio_exact.audio_norm_exact_dup_groups` — the audio analogue
+    of the text fold: peak-normalized PCM identity).  Fixture peaks are
+    <=7.4k so x2 never clips, hence each planted copy normalizes to
+    bit-identical samples.  The twin re-decodes the payload, rebuilds the
+    re-gained rows as 2*s in SQL, replays the exact peak-normalize
+    formula, and recomputes the moment checksum in wrap-mod-2^64
+    HUGEINT."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_exact import (
+        audio_norm_exact_dup_groups,
+        plant_gain_copies,
+    )
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    planted = plant_gain_copies(
+        clips.map_batches(samp, batch_format="pyarrow"), mod=4, gain_num=2
+    )
+    return audio_norm_exact_dup_groups(planted, num_buckets=16)
+
+
 def _q_length_outliers(sf_dir: str):
     """Per-source robust length-outlier gate (`ops/curate.length_outliers`):
     discrete lower-median + MAD per source, flag = |len − med| > 3·MAD.
@@ -2153,11 +2184,13 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # 1/64 dedup_match_sample -- and the FFT audio family, pinned by
     # repo-local brute-force oracles) sit last.
     # Fourth continuation session: (iii-h) norm_dedup / audio_clipping /
-    # length_outliers / mojibake_report / audio_crest take window slots
-    # for their first direct rows; exact_dedup (raw-hash kernel
-    # transitively re-exercised inside norm_dedup), quality_scores,
-    # repetition_scores, incremental_dedup and containment_search rotate
-    # to 51+ (all r2-direct-green, kernels unchanged).
+    # length_outliers / mojibake_report / audio_crest / audio_norm_exact
+    # take window slots for their first direct rows; exact_dedup
+    # (raw-hash kernel transitively re-exercised inside norm_dedup),
+    # quality_scores, repetition_scores, incremental_dedup,
+    # containment_search (all r2-direct-green, kernels unchanged) and
+    # blocklist_report (r3-direct-green; r4 change was twin-robustness
+    # only) rotate to 51+.
     # tools/check_entry.py checks ALL twinned queries regardless of
     # position; COVERAGE.md carries the same map.
     return {
@@ -2187,7 +2220,6 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "bloom_membership": _q_bloom_membership,
         "fold_diacritics": _q_fold_diacritics,
-        "blocklist_report": _q_blocklist,
         # (iii-b) NEW twins this round -> need their first direct rows
         "audio_segment_sample": _q_audio_segment_sample,
         "audio_transcode_sample": _q_audio_transcode_sample,
@@ -2246,9 +2278,14 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers": _q_length_outliers,
         "mojibake_report": _q_mojibake,
         "audio_crest": _q_audio_crest,
+        "audio_norm_exact": _q_audio_norm_exact,
         # --- position 51+ starts here ---
+        # blocklist_report: direct-green in r3; its r4 change was a twin
+        # whitespace-robustness fix only (sweep-verified), so it yields
+        # its re-check slot to audio_norm_exact's FIRST direct row
+        "blocklist_report": _q_blocklist,
         # (iv) last direct-checked in round 2, kernels unchanged since;
-        # displaced by the session's five first-direct-row twins
+        # displaced by the session's first-direct-row twins
         "incremental_dedup": _q_incremental_dedup,
         "containment_search": _q_containment,
         "exact_dedup": _q_exact_dedup,
@@ -3514,6 +3551,57 @@ def _mojibake_sql(min_artifacts: int = 2) -> str:
     """
 
 
+def _audio_norm_exact_sql(
+    gain_mod: int = 4, gain: int = 2, target_peak: int = 30000
+) -> str:
+    """Twin of ``_q_audio_norm_exact``: rebuild the planted re-gained rows
+    as ``clamp(s * gain)`` (exact when the gain never clips, which the
+    face guarantees on this fixture), replay the integer peak-normalize
+    of `_audio_gain_sql`, recompute the moment checksum over the
+    NORMALIZED samples, group on (n_samples, ck1, ck2) with >= 2."""
+    gm, g, t = int(gain_mod), int(gain), int(target_peak)
+    c1 = _sql_mod64("sum(CAST(i + 1 AS HUGEINT) * (s + 32769))")
+    c2 = _sql_mod64("sum(CAST(i + 1 AS HUGEINT) * (i + 1) * (s + 32769))")
+    return f"""
+        WITH {_audio_decode_ctes()},
+        aug AS (
+          SELECT clip_id, i, s FROM allsamp
+          UNION ALL
+          SELECT clip_id || '#gain', i,
+                 least(32767, greatest(-32768, s * {g})) AS s
+          FROM allsamp
+          WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                % {gm} = 0
+        ),
+        pk AS (
+          SELECT clip_id, max(abs(s)) AS peak FROM aug GROUP BY clip_id
+        ),
+        y AS (
+          SELECT a.clip_id, a.i,
+                 CASE WHEN pk.peak = 0 THEN a.s
+                      ELSE least(32767, greatest(-32768,
+                        (CAST(a.s AS HUGEINT) * {t} + 32768 * {t} * pk.peak)
+                          // pk.peak - 32768 * {t}))
+                 END AS s
+          FROM aug a JOIN pk USING (clip_id)
+        ),
+        ck AS (
+          SELECT clip_id, count(*) AS n_samples, {c1} AS ck1, {c2} AS ck2
+          FROM y GROUP BY clip_id
+        ),
+        grp AS (
+          SELECT n_samples, ck1, ck2,
+                 min(clip_id) AS group_id,
+                 CAST(count(*) AS BIGINT) AS group_size
+          FROM ck GROUP BY n_samples, ck1, ck2
+          HAVING count(*) >= 2
+        )
+        SELECT ck.clip_id, grp.group_id, grp.group_size,
+               CAST(ck.n_samples AS BIGINT) AS n_samples
+        FROM ck JOIN grp USING (n_samples, ck1, ck2)
+    """
+
+
 def _audio_crest_sql(flat_milli: int = 1414, peaky_milli: int = 6000) -> str:
     """Twin of ``_q_audio_crest``: one aggregate pass over the SQL-decoded
     samples; rms_floor recomputed as floor(sqrt(ms::DOUBLE)) — equal to
@@ -3628,6 +3716,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_clipping": _audio_clipping_sql(),
         "audio_crest": _audio_crest_sql(),
+        "audio_norm_exact": _audio_norm_exact_sql(),
         "mojibake_report": _mojibake_sql(),
         "token_counts": """
             SELECT doc_id,

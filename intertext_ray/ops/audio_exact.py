@@ -278,3 +278,133 @@ def plant_pcm_copies(
         return pa.concat_tables([batch, sub]).combine_chunks()
 
     return clips.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
+def norm_pcm_checksums(
+    clips: ray.data.Dataset,
+    target_peak: int = 30000,
+    codecs: tuple[str, ...] = _SQL_CODECS,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Slim GAIN-INVARIANT content keys: the moment checksum of the
+    PEAK-NORMALIZED decoded samples (`ops/audio_gain.normalize_peak_pcm`,
+    integer-exact).  Two clips that differ only by a lossless integer
+    re-gain normalize to identical sample vectors — the audio analogue of
+    the text fold in `ops/norm_dedup` (raw-exact misses them, MinHash is
+    overkill for them)."""
+    from intertext_ray.ops.audio_gain import normalize_peak_pcm
+
+    keep = set(codecs)
+    tp = int(target_peak)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        srs = batch["sr_hz"].to_numpy(zero_copy_only=False)
+        cod = batch["codec"].to_pylist()
+        ids = batch["clip_id"].to_pylist()
+        oid, on, o1, o2 = [], [], [], []
+        for i in range(len(batch)):
+            if cod[i] not in keep:
+                continue
+            pcm = normalize_peak_pcm(
+                decode_clip(blobs[i], int(srs[i]), cod[i]), tp
+            )
+            c1, c2 = pcm_checksum(pcm)
+            oid.append(ids[i])
+            on.append(len(pcm))
+            o1.append(c1)
+            o2.append(c2)
+        return pa.table(
+            {
+                "clip_id": pa.array(oid, pa.string()),
+                "n_samples": pa.array(on, pa.int64()),
+                "ck1": pa.array(np.asarray(o1, np.uint64), pa.uint64()),
+                "ck2": pa.array(np.asarray(o2, np.uint64), pa.uint64()),
+            }
+        )
+
+    return clips.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, num_cpus=1
+    )
+
+
+def audio_norm_exact_dup_groups(
+    clips: ray.data.Dataset,
+    target_peak: int = 30000,
+    num_buckets: int = 32,
+    codecs: tuple[str, ...] = _SQL_CODECS,
+) -> ray.data.Dataset:
+    """(clip_id, group_id, group_size, n_samples) for every clip whose
+    PEAK-NORMALIZED PCM is identical to another's — the gain-invariant
+    exact tier (raw-exact groups are a subset: identical samples stay
+    identical after the same normalization).  Same slim-row bucketed
+    groupby plan as :func:`audio_exact_dup_groups`."""
+    nb = np.uint64(num_buckets)
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        h = b["ck1"].to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((h % nb).astype(np.int64)))
+
+    return (
+        norm_pcm_checksums(clips, target_peak=target_peak, codecs=codecs)
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _group_summary(g.drop_columns(["bucket"]), 2),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def plant_gain_copies(
+    clips: ray.data.Dataset,
+    mod: int = 4,
+    gain_num: int = 2,
+    gain_den: int = 1,
+    codecs: tuple[str, ...] = _SQL_CODECS,
+    suffix: str = "#gain",
+) -> ray.data.Dataset:
+    """Fixture helper (tests + driver face): union the input with an
+    integer re-GAINED pcm_s16le copy of every clip whose numeric id
+    divides ``mod``.  When the gain never clips, original and copy
+    peak-normalize to bit-identical vectors (floor(g·s·T/(g·p)) ==
+    floor(s·T/p)), so each planted copy forms a NORM-exact pair with its
+    source while staying raw-exact-distinct."""
+    from intertext_ray.ops.audio_clipping import amplify_pcm
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    keep = set(codecs)
+    m = np.uint64(mod)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(batch["clip_id"])
+        sel = batch.filter(pa.array(num % m == 0))
+        blobs = sel["bytes"].to_pylist()
+        srs = sel["sr_hz"].to_numpy(zero_copy_only=False)
+        cod = sel["codec"].to_pylist()
+        ids = sel["clip_id"].to_pylist()
+        names = sel.column_names
+        ob, oc, oi, rows = [], [], [], []
+        for i in range(len(sel)):
+            if cod[i] not in keep:
+                continue
+            pcm = decode_clip(blobs[i], int(srs[i]), cod[i])
+            ob.append(
+                encode_pcm_s16le(amplify_pcm(pcm, gain_num, gain_den))
+            )
+            oc.append("pcm_s16le")
+            oi.append(ids[i] + suffix)
+            rows.append(i)
+        sub = sel.take(np.asarray(rows, np.int64))
+        sub = sub.set_column(
+            names.index("clip_id"), "clip_id", pa.array(oi, pa.string())
+        )
+        sub = sub.set_column(
+            names.index("bytes"), "bytes", pa.array(ob, pa.binary())
+        )
+        sub = sub.set_column(
+            names.index("codec"), "codec", pa.array(oc, pa.string())
+        )
+        return pa.concat_tables([batch, sub]).combine_chunks()
+
+    return clips.map_batches(fn, batch_format="pyarrow", batch_size=64)

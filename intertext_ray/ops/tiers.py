@@ -482,10 +482,14 @@ def audio_tier_report(
     num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """(doc_id, tier, tier_rank) — the audio-payload tier ladder, the
-    modality twin of :func:`dedup_tier_report`:
+    modality twin of :func:`dedup_tier_report` (now rung-for-rung: the
+    gain-invariant norm tier is the audio analogue of the text fold):
 
-      * ``exact``   (3) — decoded-PCM identity (re-container / lossless
+      * ``exact``   (4) — decoded-PCM identity (re-container / lossless
         re-encode; `ops/audio_exact.py`);
+      * ``norm``    (3) — peak-NORMALIZED PCM identity (lossless integer
+        re-gain; `audio_norm_exact_dup_groups` — exact groups are a
+        subset, so exact wins by rank);
       * ``near``    (2) — whole-clip Haitsma–Kalker fingerprint dup
         (`ops/audio_dedup.py`);
       * ``partial`` (1) — shares only a sub-span (jingle / intro;
@@ -503,7 +507,10 @@ def audio_tier_report(
         audio_fingerprints,
         verify_audio_pairs,
     )
-    from intertext_ray.ops.audio_exact import audio_exact_dup_groups
+    from intertext_ray.ops.audio_exact import (
+        audio_exact_dup_groups,
+        audio_norm_exact_dup_groups,
+    )
     from intertext_ray.ops.audio_spans import verify_audio_spans
     from intertext_ray.sources.clips import doc_ids_for_clip_ids
 
@@ -521,6 +528,11 @@ def audio_tier_report(
         clipids_to_docids, batch_format="pyarrow"
     )
     exact_m = audio_exact_dup_groups(
+        clips, num_buckets=num_buckets
+    ).select_columns(["clip_id"]).map_batches(
+        clipids_to_docids, batch_format="pyarrow"
+    )
+    norm_m = audio_norm_exact_dup_groups(
         clips, num_buckets=num_buckets
     ).select_columns(["clip_id"]).map_batches(
         clipids_to_docids, batch_format="pyarrow"
@@ -559,6 +571,11 @@ def audio_tier_report(
 
     return strongest_tier(
         corpus_ids,
-        [("exact", exact_m), ("near", near_m), ("partial", partial_m)],
+        [
+            ("exact", exact_m),
+            ("norm", norm_m),
+            ("near", near_m),
+            ("partial", partial_m),
+        ],
         num_buckets=num_buckets,
     )

@@ -122,3 +122,60 @@ def test_checksums_skip_unsupported_codecs(ray_session):
     )
     ds = ray.data.from_arrow(t)
     assert pcm_checksums(ds).count() == 0
+
+
+def test_norm_exact_catches_regained_copies(ray_session):
+    """Lossless integer re-gain: invisible to raw-exact, grouped by
+    norm-exact; unrelated clips stay ungrouped; exact groups are a
+    subset of norm groups."""
+    from intertext_ray.ops.audio_exact import (
+        audio_norm_exact_dup_groups,
+        plant_gain_copies,
+    )
+
+    base = (_rand_pcm(3, 4000).astype(np.int64) // 4).astype(np.int16)
+    rows = [
+        ("clip_0", base, 8000, "pcm_s16le"),
+        ("clip_1", _rand_pcm(7, 4000), 8000, "pcm_s16le"),
+        ("clip_2", (base.astype(np.int64) * 3).astype(np.int16), 8000, "pcm_s16le"),
+        ("clip_3", base, 8000, "wav"),  # raw-exact with clip_0 too
+    ]
+    ds = ray.data.from_arrow(_clips_table(rows))
+
+    raw = audio_exact_dup_groups(ds, num_buckets=4).to_pandas()
+    assert set(raw.clip_id) == {"clip_0", "clip_3"}
+
+    g = audio_norm_exact_dup_groups(ds, num_buckets=4).to_pandas()
+    assert set(g.clip_id) == {"clip_0", "clip_2", "clip_3"}
+    assert (g.group_id == "clip_0").all() and (g.group_size == 3).all()
+    assert set(raw.clip_id) <= set(g.clip_id)
+
+
+def test_plant_gain_copies_groups_with_sources(ray_session):
+    from intertext_ray.ops.audio_exact import (
+        audio_norm_exact_dup_groups,
+        plant_gain_copies,
+    )
+
+    rows = [
+        (f"clip_{i}", (_rand_pcm(i, 3000).astype(np.int64) // 4).astype(np.int16), 8000, "pcm_s16le")
+        for i in range(6)
+    ]
+    ds = ray.data.from_arrow(_clips_table(rows))
+    planted = plant_gain_copies(ds, mod=2, gain_num=2)
+    g = (
+        audio_norm_exact_dup_groups(planted, num_buckets=4)
+        .to_pandas()
+        .sort_values("clip_id")
+    )
+    # clips 0, 2, 4 gain re-gained copies -> three groups of two
+    assert g.clip_id.tolist() == [
+        "clip_0", "clip_0#gain", "clip_2", "clip_2#gain",
+        "clip_4", "clip_4#gain",
+    ]
+    assert (g.group_size == 2).all()
+    assert g.group_id.tolist() == [
+        "clip_0", "clip_0", "clip_2", "clip_2", "clip_4", "clip_4",
+    ]
+    # and raw-exact sees none of it
+    assert audio_exact_dup_groups(planted, num_buckets=4).count() == 0

@@ -296,13 +296,17 @@ def test_partition_invariance(tier_corpus, ray_session):
 
 def test_audio_tier_report_planted(ray_session):
     """Audio tier ladder on a planted corpus: identical PCM -> exact,
-    gain-perturbed copy -> near, spliced shared bed only -> partial,
-    unrelated -> unique; and the composed labels equal the strongest
-    membership of the three chains run separately."""
+    lossless x2 re-gain -> norm, gain-perturbed-with-noise copy -> near,
+    spliced shared bed only -> partial, unrelated -> unique; and the
+    composed labels equal the strongest membership of the four chains
+    run separately."""
     from intertext_ray.fixtures.gen_audio import base_signal
     from intertext_ray.functions.audio_fp import HOP
     from intertext_ray.ops.audio_dedup import audio_dup_pairs
-    from intertext_ray.ops.audio_exact import audio_exact_dup_groups
+    from intertext_ray.ops.audio_exact import (
+        audio_exact_dup_groups,
+        audio_norm_exact_dup_groups,
+    )
     from intertext_ray.ops.audio_spans import audio_common_spans
     from intertext_ray.ops.tiers import audio_tier_report
     from intertext_ray.sources.clips import doc_ids_for_clip_ids
@@ -326,6 +330,11 @@ def test_audio_tier_report_planted(ray_session):
     pcm["c3"] = pcm["c2"].copy()                       # exact PCM copy
     pert = sigs["c2"] * 1.06 + rng.normal(0, 0.004, n)  # near dup
     pcm["c4"] = np.clip(pert * 8192.0, -32768, 32767).astype(np.int16)
+    # lossless x2 re-gain of c5: raw-exact-distinct, but peak-normalizes
+    # to bit-identical samples -> the norm rung's exclusive catch
+    _c6 = pcm["c5"].astype(np.int64) * 2
+    assert int(np.max(np.abs(_c6))) < 32768  # gain never clips
+    pcm["c6"] = _c6.astype(np.int16)
 
     keys = sorted(pcm)
     tbl = pa.table(
@@ -349,10 +358,15 @@ def test_audio_tier_report_planted(ray_session):
     )
     assert len(got) == len(keys)  # one row per clip
 
-    # expected labels from the three chains run independently
+    # expected labels from the four chains run independently
     exact_m = {
         doc_of[c]
         for c in audio_exact_dup_groups(clips, num_buckets=8)
+        .to_pandas()["clip_id"]
+    }
+    norm_m = {
+        doc_of[c]
+        for c in audio_norm_exact_dup_groups(clips, num_buckets=8)
         .to_pandas()["clip_id"]
     }
     near = audio_dup_pairs(clips, num_buckets=8).to_pandas()
@@ -363,6 +377,8 @@ def test_audio_tier_report_planted(ray_session):
         d = doc_of[k]
         if d in exact_m:
             want = "exact"
+        elif d in norm_m:
+            want = "norm"
         elif d in near_m:
             want = "near"
         elif d in part_m:
@@ -375,4 +391,8 @@ def test_audio_tier_report_planted(ray_session):
     assert got[doc_of["c2"]] == "exact" and got[doc_of["c3"]] == "exact"
     assert got[doc_of["c4"]] == "near"
     assert got[doc_of["c0"]] == "partial" and got[doc_of["c1"]] == "partial"
-    assert got[doc_of["c5"]] == "unique"
+    # the re-gained pair is invisible to raw-exact but caught by the fold
+    assert got[doc_of["c5"]] == "norm" and got[doc_of["c6"]] == "norm"
+    assert doc_of["c5"] not in exact_m and doc_of["c6"] not in exact_m
+    # exact groups are a subset of norm groups
+    assert exact_m <= norm_m
