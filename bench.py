@@ -420,6 +420,41 @@ def run_bench() -> dict:
     assign_audio_packs(ameta, budget_ms=30000).count()
     queries["pack_assignment"] = round(time.time() - t0, 3)
 
+    # ---- fold/gate family (fourth continuation ops): normalization-fold
+    # dedup, mojibake gate, robust length outliers, and the 4-rung tier
+    # report composing all four dedup families ----
+    from intertext_ray.ops.curate import length_outliers, mojibake_report
+    from intertext_ray.ops.norm_dedup import norm_dedup_groups
+    from intertext_ray.ops.tiers import dedup_tier_report
+
+    t0 = time.time()
+    norm_dedup_groups(read_documents(SF_DIR)).count()
+    mojibake_report(read_documents(SF_DIR)).count()
+    length_outliers(
+        _read_table(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+    ).count()
+    queries["fold_ops"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup_tier_report(read_documents(SF_DIR)).count()
+    queries["tier_report"] = round(time.time() - t0, 3)
+
+    # ---- rail/crest wave gates (decode-bound, row-local) ----
+    from intertext_ray.ops.audio_clipping import clipping_report
+    from intertext_ray.ops.audio_stats import crest_report
+
+    t0 = time.time()
+    aclips4 = _read_clips(
+        _os.path.join(acache, "clips"),
+        columns=["clip_id", "bytes", "sr_hz", "codec"],
+    )
+    clipping_report(aclips4).count()
+    crest_report(aclips4).count()
+    queries["wave_gates"] = round(time.time() - t0, 3)
+
     # ---- IVF ANN (scale path) ----
     from intertext_ray.ops.embeddings import ann_topk_ivf
 
