@@ -436,3 +436,77 @@ def test_cdc_chunks_partition_doc_and_are_layout_invariant(
             )
         )
         assert srows == rows
+
+
+# ---- fourth-continuation kernels: fold, gain floor, rail runs ----
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="aBc01 .,;!\t\n-_/", max_size=160))
+def test_normalize_text_matches_re_reference(text):
+    import re
+
+    import pyarrow as pa
+
+    from intertext_ray.ops.norm_dedup import normalize_text
+
+    got = normalize_text(pa.array([text], pa.string())).to_pylist()[0]
+    want = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    assert got == want
+    # idempotence: folding a folded string is a no-op
+    assert (
+        normalize_text(pa.array([got], pa.string())).to_pylist()[0] == got
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), max_size=120),
+    st.integers(1, 12),
+    st.integers(1, 7),
+)
+def test_amplify_pcm_is_exact_floor(samples, num, den):
+    import math
+
+    from intertext_ray.ops.audio_clipping import amplify_pcm
+
+    pcm = np.asarray(samples, np.int16)
+    got = amplify_pcm(pcm, num, den).tolist()
+    want = [
+        min(32767, max(-32768, math.floor(int(x) * num / den))) for x in pcm
+    ]
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from([32767, -32768, 0, 5, -7]), max_size=80))
+def test_rail_stats_matches_brute(samples):
+    from intertext_ray.ops.audio_clipping import rail_stats
+
+    pcm = np.asarray(samples, np.int16)
+    n, mr = rail_stats(pcm)
+    mask = [(x >= 32767 or x <= -32768) for x in samples]
+    assert n == sum(mask)
+    best = cur = 0
+    for m in mask:
+        cur = cur + 1 if m else 0
+        best = max(best, cur)
+    assert mr == best
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(-8000, 8000), min_size=1, max_size=100),
+    st.integers(2, 4),
+)
+def test_gain_invariance_of_normalized_pcm(samples, g):
+    """The audio-fold contract: a never-clipping integer re-gain does not
+    change the peak-normalized signal."""
+    from intertext_ray.ops.audio_clipping import amplify_pcm
+    from intertext_ray.ops.audio_gain import normalize_peak_pcm
+
+    pcm = np.asarray(samples, np.int16)
+    regained = amplify_pcm(pcm, g, 1)
+    assert (
+        normalize_peak_pcm(pcm, 30000).tolist()
+        == normalize_peak_pcm(regained, 30000).tolist()
+    )
