@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--mode",
         choices=["text", "audio", "spans", "joint", "preprocess", "pack",
-                 "chunks"],
+                 "chunks", "tiers"],
         default="text",
         help="text: reference transcript dedup (default); audio: "
         "audio-payload fingerprint dedup; joint: both chains + per-clip "
@@ -58,7 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
         "non-audio columns passed through; pack: fixed-duration training-"
         "window assignment (+ optional payload materialization); chunks: "
         "content-defined chunk dedup over --documents (dup-mass report + "
-        "keep-one-copy purge rewrite)",
+        "keep-one-copy purge rewrite); tiers: the 4-rung cascade purge "
+        "over --documents (exact > fold > MinHash > SimHash keep-one) + "
+        "per-doc strongest-tier report, survivors written as parquet",
     )
     p.add_argument("--cdc-k", type=int, default=4,
                    help="chunks mode: cut-rule word-gram size")
@@ -259,6 +261,56 @@ def main(argv: list[str] | None = None) -> int:
                     "docs": cleaned.count(),
                     "docs_cut": n_cut,
                     "tokens_removed": removed,
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+
+    if args.mode == "tiers":
+        if not args.documents:
+            print("error: --mode tiers requires --documents", file=sys.stderr)
+            return 2
+        from intertext_ray.ops.tiers import (
+            dedup_tier_report,
+            tiered_purge_report,
+        )
+        from intertext_ray.sources.clips import read_table
+
+        os.makedirs(args.output, exist_ok=True)
+        nb = args.num_buckets
+        docs = read_table(args.documents, columns=["doc_id", "text"])
+        report = dedup_tier_report(docs, num_buckets=nb).materialize()
+        report.write_parquet(os.path.join(args.output, "tier_report"))
+        docs2 = read_table(args.documents, columns=["doc_id", "text"])
+        purge = tiered_purge_report(docs2, num_buckets=nb).materialize()
+        purge.write_parquet(os.path.join(args.output, "purge_report"))
+        # survivors with text: one bucketed anti-join (broadcast-free)
+        from intertext_ray.ops.tiers import _anti_join_docs
+
+        dropped = purge.filter(expr="kept == False").select_columns(
+            ["doc_id"]
+        )
+        docs3 = read_table(args.documents, columns=["doc_id", "text"])
+        survivors = _anti_join_docs(docs3, dropped, "text", nb).materialize()
+        survivors.write_parquet(os.path.join(args.output, "survivors"))
+
+        tiers_hist = {
+            str(r["tier"]): int(r["count()"])
+            for r in report.groupby("tier").count().take_all()
+        }
+        drop_hist = {
+            str(r["dropped_at"]): int(r["count()"])
+            for r in purge.groupby("dropped_at").count().take_all()
+        }
+        print(
+            json.dumps(
+                {
+                    "mode": "tiers",
+                    "docs": purge.count(),
+                    "tier_report": tiers_hist,
+                    "dropped_at": drop_hist,
+                    "survivors": survivors.count(),
                     "output": args.output,
                 }
             )

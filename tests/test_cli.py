@@ -250,3 +250,58 @@ def test_cli_chunks_mode(ray_session, tmp_path, capsys):
 
     # chunks mode requires --documents
     assert main(["--clips", "x", "--output", out, "--mode", "chunks"]) == 2
+
+
+def test_cli_tiers_mode(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from intertext_ray.cli import main
+
+    rng = np.random.default_rng(23)
+    vocab = [f"v{i}" for i in range(50)]
+    base = " ".join(rng.choice(vocab, size=30))
+    near = base.split()
+    near[4] = "zz"
+    texts = [
+        base,
+        base,                    # exact dup of 0
+        base.upper() + "!!",     # fold dup of 0 (raw-distinct)
+        " ".join(near),          # near dup of 0
+    ] + [
+        " ".join(rng.choice(vocab, size=25)) for _ in range(12)
+    ]
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+            }
+        ),
+        docs,
+    )
+    out = str(tmp_path / "tiers_out")
+    rc = main(
+        [
+            "--documents", docs,
+            "--output", out,
+            "--mode", "tiers",
+            "--num-buckets", "4",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs"] == len(texts)
+    assert summary["dropped_at"].get("exact", 0) >= 1
+    assert summary["dropped_at"].get("norm", 0) >= 1
+    assert summary["survivors"] == summary["dropped_at"].get("none", 0)
+    # survivors parquet has the raw texts of kept docs only
+    import glob as _glob
+
+    surv = pa.concat_tables(
+        [pq.read_table(f) for f in _glob.glob(f"{out}/survivors/*.parquet")]
+    )
+    assert surv.num_rows == summary["survivors"]
+    assert base in surv["text"].to_pylist()
