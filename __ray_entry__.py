@@ -2120,6 +2120,25 @@ def _q_audio_norm_exact(sf_dir: str):
     return audio_norm_exact_dup_groups(planted, num_buckets=16)
 
 
+def _q_leakage_safe_split(sf_dir: str):
+    """Leakage-safe train/val split (`ops/sampling.leakage_safe_split`):
+    the split key is the doc's MinHash dup-CLUSTER label, so near-dup
+    pairs can never straddle the boundary.  The twin re-derives the
+    clusters from the raw table (shared minhash chain + min-label
+    closure) and replays the splitmix threshold on the same key."""
+    from intertext_ray.ops.minhash_doc import minhash_doc_clusters
+    from intertext_ray.ops.sampling import leakage_safe_split
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    clusters = minhash_doc_clusters(
+        docs, k=3, n_perm=16, band_rows=2, min_jaccard=0.5
+    )
+    ids = _read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return leakage_safe_split(ids, clusters, permille_train=900, salt=0)
+
+
 def _q_length_outliers(sf_dir: str):
     """Per-source robust length-outlier gate (`ops/curate.length_outliers`):
     discrete lower-median + MAD per source, flag = |len − med| > 3·MAD.
@@ -2280,6 +2299,10 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_crest": _q_audio_crest,
         "audio_norm_exact": _q_audio_norm_exact,
         # --- position 51+ starts here ---
+        # leakage_safe_split: NEW twin added after the window filled —
+        # sweep-verified this session; FIRST candidate for the round-5
+        # window rotation
+        "leakage_safe_split": _q_leakage_safe_split,
         # blocklist_report: direct-green in r3; its r4 change was a twin
         # whitespace-robustness fix only (sweep-verified), so it yields
         # its re-check slot to audio_norm_exact's FIRST direct row
@@ -3718,6 +3741,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_crest": _audio_crest_sql(),
         "audio_norm_exact": _audio_norm_exact_sql(),
         "mojibake_report": _mojibake_sql(),
+        "leakage_safe_split": _leakage_safe_split_sql(),
         "token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -5287,6 +5311,38 @@ def _minhash_doc_clusters_sql(
         SELECT CAST(node AS BIGINT) AS doc_id,
                CAST(min(label) AS BIGINT) AS dup_cluster_id
         FROM ccx GROUP BY node
+    """
+
+
+def _leakage_safe_split_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50,
+    permille_train: int = 900,
+) -> str:
+    """Twin of ``_q_leakage_safe_split``: clusters re-derived from the raw
+    table (shared chain + min-label closure; ``edges`` materialized so
+    the closure never re-evaluates the chain), split key = cluster label
+    else own id, splitmix threshold replayed."""
+    pt = int(permille_train)
+    key = "CAST(coalesce(nlab.label, d.doc_id) AS UBIGINT)"
+    return f"""
+        {_minhash_doc_chain(k, n_perm, band_rows, pct)},
+        edges AS MATERIALIZED (
+          SELECT doc_a AS uu, doc_b AS vv FROM mpairs
+          UNION SELECT doc_b, doc_a FROM mpairs
+        ),
+        cnodes AS (SELECT DISTINCT uu AS node FROM edges),
+        ccx(node, label) AS (
+          SELECT node, node FROM cnodes
+          UNION
+          SELECT e3.vv, ccx.label FROM ccx JOIN edges e3 ON e3.uu = ccx.node
+          WHERE ccx.label < e3.vv
+        ),
+        nlab AS (SELECT node, min(label) AS label FROM ccx GROUP BY node)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(nlab.label, d.doc_id) AS BIGINT) AS split_key,
+               CASE WHEN {_sql_splitmix(key)} % 1000 < {pt}
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents d LEFT JOIN nlab ON nlab.node = d.doc_id
     """
 
 

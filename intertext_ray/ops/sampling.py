@@ -231,3 +231,60 @@ def uniform_sample_k(
     return combined.repartition(1).map_batches(
         topk, batch_format="pyarrow", batch_size=None
     )
+
+
+def leakage_safe_split(
+    docs: ray.data.Dataset,
+    clusters: pa.Table,
+    id_col: str = "doc_id",
+    permille_train: int = 900,
+    salt: int = 0,
+) -> ray.data.Dataset:
+    """Train/val split that can never leak near-duplicates across the
+    boundary: the split is decided by ``splitmix64(split_key ^ salt)``
+    where ``split_key`` is the doc's dup-CLUSTER label (min member id,
+    from `ops/minhash_doc.minhash_doc_clusters` or any (doc_id,
+    dup_cluster_id) table) for clustered docs and the doc's own id
+    otherwise — every member of a near-dup cluster therefore lands in
+    the SAME split.  A plain `hash_split` puts ~2·p·(1−p) of each dup
+    pair across the boundary (18 % at 90/10), silently contaminating
+    eval; this op makes that fraction exactly zero while staying a pure
+    function of the keys (re-runs and resumed partitions agree).
+
+    Scale shape: the cluster table is dup-pair-proportional (≪ corpus
+    after LSH thinning + verification — the `minhash_doc_survivors`
+    broadcast-budget argument), broadcast once via ``ray.put`` as two
+    sorted int64 arrays; the split pass is row-local searchsorted +
+    splitmix — no shuffle at any corpus size."""
+    import ray
+
+    ids = clusters[clusters.column_names[0]].to_numpy(zero_copy_only=False)
+    labs = clusters[clusters.column_names[1]].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    lut_ref = ray.put(
+        (ids[order].astype(np.int64), labs[order].astype(np.int64))
+    )
+    s = np.uint64(salt)
+    pt = int(permille_train)
+
+    def fn(b: pa.Table) -> pa.Table:
+        cid, clab = ray.get(lut_ref)
+        d = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = d.copy()
+        if len(cid):
+            pos = np.searchsorted(cid, d)
+            hit = (pos < len(cid)) & (cid[np.minimum(pos, len(cid) - 1)] == d)
+            key[hit] = clab[pos[hit]]
+        h = splitmix64(key.astype(np.uint64) ^ s) % np.uint64(1000)
+        split = np.where(h < pt, "train", "val")
+        return pa.table(
+            {
+                id_col: pa.array(d, pa.int64()),
+                "split_key": pa.array(key, pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return docs.select_columns([id_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -270,3 +270,68 @@ def test_quality_topk_per_source(ray_session):
         .reset_index(drop=True)
     )
     assert sorted(got2.doc_id) == sorted(got.doc_id)
+
+
+def test_leakage_safe_split_never_straddles(ray_session):
+    """Every member of a dup cluster lands in the same split, and
+    unclustered docs reproduce plain hash_split at the same salt."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.minhash_doc import minhash_doc_clusters
+    from intertext_ray.ops.sampling import hash_split, leakage_safe_split
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    base = " ".join(rng.choice(vocab, size=30))
+    texts, ids = [], []
+    for i in range(60):
+        if i % 6 == 0:  # ten near-dup copies of base (1-token edits)
+            t = base.split()
+            t[i % len(t)] = f"edit{i}"
+            texts.append(" ".join(t))
+        else:
+            texts.append(" ".join(rng.choice(vocab, size=25)))
+        ids.append(i)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(4)
+    clusters = minhash_doc_clusters(
+        docs, k=3, n_perm=16, band_rows=2, min_jaccard=0.5
+    )
+    assert clusters.num_rows >= 2  # the planted family clustered
+    got = (
+        leakage_safe_split(docs, clusters, permille_train=700, salt=1)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert len(got) == 60
+    # no-straddle invariant
+    lab = dict(
+        zip(
+            clusters["doc_id"].to_pylist(),
+            clusters["dup_cluster_id"].to_pylist(),
+        )
+    )
+    by_cluster = {}
+    for d, c in lab.items():
+        by_cluster.setdefault(c, set()).add(got.loc[d, "split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # split_key is the cluster label for members, own id otherwise
+    for d in ids:
+        assert got.loc[d, "split_key"] == lab.get(d, d)
+    # unclustered docs agree with plain hash_split at the same salt
+    plain = (
+        hash_split(docs, permille_train=700, salt=1)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for d in ids:
+        if d not in lab:
+            assert got.loc[d, "split"] == plain.loc[d, "split"]
