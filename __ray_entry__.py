@@ -2120,6 +2120,50 @@ def _q_audio_norm_exact(sf_dir: str):
     return audio_norm_exact_dup_groups(planted, num_buckets=16)
 
 
+def _q_gopher_rules(sf_dir: str):
+    """The Gopher quality-rule bundle (`ops/curate.gopher_rules`) over a
+    corpus deterministically spiked with rule violations: %11 docs get a
+    hash-run suffix (symbol rule), %17 docs a bullet-list suffix, %19
+    docs ellipsis line endings — so every rule fires on real rows.  The
+    twin rebuilds the damage by concatenation and replays each integer
+    cross-multiplied rule."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from intertext_ray.ops.curate import gopher_rules
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def spike(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s1 = np.where(did % 11 == 0, _GOPHER_SYM_SUFFIX, "")
+        s2 = np.where(did % 17 == 0, _GOPHER_BULLET_SUFFIX, "")
+        s3 = np.where(did % 19 == 0, _GOPHER_ELLIPSIS_SUFFIX, "")
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        out = pc.binary_join_element_wise(
+            txt,
+            pa.array(s1.tolist(), pa.string()),
+            pa.array(s2.tolist(), pa.string()),
+            pa.array(s3.tolist(), pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": out})
+
+    return gopher_rules(docs.map_batches(spike, batch_format="pyarrow"))
+
+
+# deterministic rule-violation suffixes for _q_gopher_rules (shared with
+# the twin; no quotes inside)
+_GOPHER_SYM_SUFFIX = " " + "# " * 12          # 12 hash tokens
+_GOPHER_BULLET_SUFFIX = ("\n- item" * 9) + "\n"  # 9 bullet lines
+_GOPHER_ELLIPSIS_SUFFIX = "\nwait...\nmore...\nend..."
+
+
 def _q_leakage_safe_split(sf_dir: str):
     """Leakage-safe train/val split (`ops/sampling.leakage_safe_split`):
     the split key is the doc's MinHash dup-CLUSTER label, so near-dup
@@ -2299,10 +2343,11 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_crest": _q_audio_crest,
         "audio_norm_exact": _q_audio_norm_exact,
         # --- position 51+ starts here ---
-        # leakage_safe_split: NEW twin added after the window filled —
-        # sweep-verified this session; FIRST candidate for the round-5
-        # window rotation
+        # leakage_safe_split / gopher_rules: NEW twins added after the
+        # window filled — sweep-verified this session; FIRST candidates
+        # for the round-5 window rotation
         "leakage_safe_split": _q_leakage_safe_split,
+        "gopher_rules": _q_gopher_rules,
         # blocklist_report: direct-green in r3; its r4 change was a twin
         # whitespace-robustness fix only (sweep-verified), so it yields
         # its re-check slot to audio_norm_exact's FIRST direct row
@@ -3742,6 +3787,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_norm_exact": _audio_norm_exact_sql(),
         "mojibake_report": _mojibake_sql(),
         "leakage_safe_split": _leakage_safe_split_sql(),
+        "gopher_rules": _gopher_rules_sql(),
         "token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -5311,6 +5357,103 @@ def _minhash_doc_clusters_sql(
         SELECT CAST(node AS BIGINT) AS doc_id,
                CAST(min(label) AS BIGINT) AS dup_cluster_id
         FROM ccx GROUP BY node
+    """
+
+
+def _gopher_rules_sql(
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_ml: int = 300,
+    max_ml: int = 1000,
+    max_sym: int = 100,
+    max_bullet: int = 900,
+    max_ell: int = 300,
+    min_alpha: int = 800,
+) -> str:
+    """Twin of ``_q_gopher_rules``: rebuild the spiked corpus by
+    concatenation, re-tokenize with the empty-filtered ``\\s+`` idiom
+    (full-whitespace-class robust — the blocklist ADVICE lesson), and
+    replay every rule as the same integer cross-multiplied comparison."""
+    bullet, ell = "•", "…"
+    sym = _GOPHER_SYM_SUFFIX
+    bl = _GOPHER_BULLET_SUFFIX
+    el = _GOPHER_ELLIPSIS_SUFFIX
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id,
+                 text
+                 || (CASE WHEN doc_id % 11 = 0 THEN '{sym}' ELSE '' END)
+                 || (CASE WHEN doc_id % 17 = 0 THEN '{bl}' ELSE '' END)
+                 || (CASE WHEN doc_id % 19 = 0 THEN '{el}' ELSE '' END)
+                   AS text
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM corpus
+          ) WHERE w <> ''
+        ),
+        tstat AS (
+          SELECT doc_id, count(*) AS n, sum(length(w)) AS tl,
+                 sum(CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                          THEN 1 ELSE 0 END) AS na
+          FROM tok GROUP BY doc_id
+        ),
+        lstat AS (
+          SELECT doc_id, count(*) AS nl,
+                 sum(CASE WHEN starts_with(ltrim(l, ' '), '-')
+                           OR starts_with(ltrim(l, ' '), '*')
+                           OR starts_with(ltrim(l, ' '), '{bullet}')
+                          THEN 1 ELSE 0 END) AS nb,
+                 sum(CASE WHEN ends_with(rtrim(l, ' '), '...')
+                           OR ends_with(rtrim(l, ' '), '{ell}')
+                          THEN 1 ELSE 0 END) AS ne
+          FROM (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+            FROM corpus
+          ) GROUP BY doc_id
+        ),
+        sym AS (
+          SELECT doc_id,
+                 (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '{ell}', ''))) AS ns
+          FROM corpus
+        ),
+        x AS (
+          SELECT c.doc_id,
+                 coalesce(t.n, 0) AS n,
+                 CASE WHEN coalesce(t.n, 0) > 0
+                      THEN t.tl * 100 // t.n ELSE 0 END AS ml,
+                 coalesce(t.na, 0) AS na,
+                 s.ns, l.nl, l.nb, l.ne
+          FROM corpus c
+          LEFT JOIN tstat t ON t.doc_id = c.doc_id
+          JOIN lstat l ON l.doc_id = c.doc_id
+          JOIN sym s ON s.doc_id = c.doc_id
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(ml AS BIGINT) AS mean_tok_len_x100,
+               CAST(ns AS BIGINT) AS n_symbol_chars,
+               CAST(na AS BIGINT) AS n_alpha_tokens,
+               CAST(nl AS BIGINT) AS n_lines,
+               CAST(nb AS BIGINT) AS n_bullet_lines,
+               CAST(ne AS BIGINT) AS n_ellipsis_lines,
+               (n >= {min_tokens} AND n <= {max_tokens}) AS length_ok,
+               (n > 0 AND ml >= {min_ml} AND ml <= {max_ml}) AS tok_len_ok,
+               (n > 0 AND ns * 1000 <= {max_sym} * n) AS symbol_ok,
+               (nb * 1000 <= {max_bullet} * nl) AS bullet_ok,
+               (ne * 1000 <= {max_ell} * nl) AS ellipsis_ok,
+               (n > 0 AND na * 1000 >= {min_alpha} * n) AS alpha_ok,
+               (n >= {min_tokens} AND n <= {max_tokens}
+                AND n > 0 AND ml >= {min_ml} AND ml <= {max_ml}
+                AND ns * 1000 <= {max_sym} * n
+                AND nb * 1000 <= {max_bullet} * nl
+                AND ne * 1000 <= {max_ell} * nl
+                AND na * 1000 >= {min_alpha} * n) AS gopher_pass
+        FROM x
     """
 
 

@@ -357,3 +357,133 @@ def mojibake_report(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+
+def gopher_rules(
+    docs: ray.data.Dataset,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_len_x100: int = 300,
+    max_mean_len_x100: int = 1000,
+    max_symbol_x1000: int = 100,
+    max_bullet_x1000: int = 900,
+    max_ellipsis_x1000: int = 300,
+    min_alpha_x1000: int = 800,
+) -> ray.data.Dataset:
+    """The Gopher quality-rule bundle (Rae et al. 2021, "Scaling Language
+    Models" C.1) as exact integer signals + per-rule flags — the standard
+    pre-training heuristic gate between language-ID and dedup:
+
+    - ``n_tokens`` in [min_tokens, max_tokens];
+    - mean token length in [3, 10] chars (x100 contract of
+      `quality_scores`);
+    - symbol-to-word ratio (# and ellipsis chars per token) <= 0.1;
+    - <= 90 % of lines start with a bullet (- * \u2022), after a
+      space-ltrim;
+    - <= 30 %% of lines end with an ellipsis (... or \u2026), after a
+      space-rtrim;
+    - >= 80 %% of tokens contain at least one ASCII letter.
+
+    ``gopher_pass`` ANDs them.  Every ratio is an exact cross-multiplied
+    integer comparison; every count is a vectorized Arrow kernel over the
+    whole batch (token path shares `_flat_tokens`'s str.split contract
+    with the quality twins), so the DuckDB twin replays each rule
+    exactly.  One stateless pass — no exchange at any scale.
+    """
+    import pyarrow.compute as pc
+
+    from intertext_ray.ops.text_stats import _flat_tokens
+
+    def fn(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        texts = b["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        nd = len(texts)
+        flat, dix, n = _flat_tokens(texts)
+        tok_len = np.asarray(
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False), np.int64
+        )
+        total_len = np.bincount(dix, weights=tok_len, minlength=nd).astype(
+            np.int64
+        )
+        alpha = np.asarray(
+            pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(
+                zero_copy_only=False
+            )
+        )
+        n_alpha = np.bincount(dix[alpha], minlength=nd).astype(np.int64)
+        n_hash = pc.count_substring(texts, "#").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_ell_char = pc.count_substring(texts, "\u2026").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_sym = n_hash + n_ell_char
+
+        lines = pc.split_pattern(texts, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        lflat = lines.flatten()
+        lcounts = np.asarray(
+            pc.list_value_length(lines).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        ldix = np.repeat(np.arange(nd), lcounts)
+        lt = pc.utf8_ltrim(lflat, characters=" ")
+        bullet = np.zeros(len(lflat), dtype=bool)
+        for pref in ("-", "*", "\u2022"):
+            bullet |= np.asarray(
+                pc.starts_with(lt, pref).to_numpy(zero_copy_only=False)
+            )
+        rt = pc.utf8_rtrim(lflat, characters=" ")
+        ell = np.zeros(len(lflat), dtype=bool)
+        for suf in ("...", "\u2026"):
+            ell |= np.asarray(
+                pc.ends_with(rt, suf).to_numpy(zero_copy_only=False)
+            )
+        n_lines = np.bincount(ldix, minlength=nd).astype(np.int64)
+        n_bullet = np.bincount(ldix[bullet], minlength=nd).astype(np.int64)
+        n_ell = np.bincount(ldix[ell], minlength=nd).astype(np.int64)
+
+        mean_len_x100 = np.zeros(nd, np.int64)
+        nz = n > 0
+        mean_len_x100[nz] = total_len[nz] * 100 // n[nz]
+
+        length_ok = (n >= min_tokens) & (n <= max_tokens)
+        tok_len_ok = nz & (mean_len_x100 >= min_mean_len_x100) & (
+            mean_len_x100 <= max_mean_len_x100
+        )
+        symbol_ok = nz & (n_sym * 1000 <= max_symbol_x1000 * n)
+        bullet_ok = n_bullet * 1000 <= max_bullet_x1000 * n_lines
+        ellipsis_ok = n_ell * 1000 <= max_ellipsis_x1000 * n_lines
+        alpha_ok = nz & (n_alpha * 1000 >= min_alpha_x1000 * n)
+        gopher_pass = (
+            length_ok & tok_len_ok & symbol_ok & bullet_ok & ellipsis_ok
+            & alpha_ok
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "mean_tok_len_x100": pa.array(mean_len_x100, pa.int64()),
+                "n_symbol_chars": pa.array(n_sym, pa.int64()),
+                "n_alpha_tokens": pa.array(n_alpha, pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_bullet_lines": pa.array(n_bullet, pa.int64()),
+                "n_ellipsis_lines": pa.array(n_ell, pa.int64()),
+                "length_ok": pa.array(length_ok),
+                "tok_len_ok": pa.array(tok_len_ok),
+                "symbol_ok": pa.array(symbol_ok),
+                "bullet_ok": pa.array(bullet_ok),
+                "ellipsis_ok": pa.array(ellipsis_ok),
+                "alpha_ok": pa.array(alpha_ok),
+                "gopher_pass": pa.array(gopher_pass),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -86,3 +86,44 @@ def test_single_doc_source_not_outlier(ray_session):
     # med == its own length, mad == 0, dev == 0 -> 0 > 0 is False
     assert got["med"] == 123 and got["mad"] == 0
     assert not bool(got["is_outlier"])
+
+
+def test_gopher_rules_each_rule_fires(ray_session):
+    """One planted violation per rule trips exactly that rule."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.curate import gopher_rules
+
+    texts = [
+        " ".join(["word"] * 60),                        # clean
+        "short doc",                                    # length
+        " ".join(["a"] * 60),                           # mean token len
+        " ".join(["word"] * 50) + " " + "# " * 15,      # symbol ratio
+        "\n".join(["- bullet point here"] * 10),        # bullets
+        ("line one...\nline two...\nplain line\n" * 4), # ellipsis lines
+        " ".join(["123"] * 60),                         # alpha fraction
+        "",                                             # empty
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = (
+        gopher_rules(ds).to_pandas().sort_values("doc_id").set_index("doc_id")
+    )
+    assert got["gopher_pass"].tolist() == [True] + [False] * 7
+    assert not got.loc[1, "length_ok"]
+    assert not got.loc[2, "tok_len_ok"]
+    assert not got.loc[3, "symbol_ok"] and got.loc[3, "length_ok"]
+    assert not got.loc[4, "bullet_ok"]
+    assert not got.loc[5, "ellipsis_ok"]
+    assert not got.loc[6, "alpha_ok"] and got.loc[6, "tok_len_ok"]
+    # clean doc passes every individual rule
+    flags = ["length_ok", "tok_len_ok", "symbol_ok", "bullet_ok",
+             "ellipsis_ok", "alpha_ok"]
+    assert got.loc[0, flags].all()
