@@ -2120,6 +2120,25 @@ def _q_audio_norm_exact(sf_dir: str):
     return audio_norm_exact_dup_groups(planted, num_buckets=16)
 
 
+def _q_audio_profile(sf_dir: str):
+    """Corpus-shape rollup per (codec, sr_hz) over the FULL audiodup
+    clips table (`ops/audio_stats.audio_corpus_profile`): counts, bytes,
+    and exact discrete-median durations.  The payload column is read
+    only for its length; the twin recomputes everything from the raw
+    table with octet_length + quantile_disc."""
+    import os
+
+    from intertext_ray.fixtures.gen_audio import audio_dup_corpus_for_sf
+    from intertext_ray.ops.audio_stats import audio_corpus_profile
+    from intertext_ray.sources.clips import read_clips
+
+    clips = read_clips(
+        os.path.join(audio_dup_corpus_for_sf(sf_dir), "clips"),
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"],
+    )
+    return audio_corpus_profile(clips)
+
+
 def _q_gopher_rules(sf_dir: str):
     """The Gopher quality-rule bundle (`ops/curate.gopher_rules`) over a
     corpus deterministically spiked with rule violations: %11 docs get a
@@ -2343,11 +2362,12 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_crest": _q_audio_crest,
         "audio_norm_exact": _q_audio_norm_exact,
         # --- position 51+ starts here ---
-        # leakage_safe_split / gopher_rules: NEW twins added after the
-        # window filled — sweep-verified this session; FIRST candidates
-        # for the round-5 window rotation
+        # leakage_safe_split / gopher_rules / audio_corpus_profile: NEW
+        # twins added after the window filled — sweep-verified this
+        # session; FIRST candidates for the round-5 window rotation
         "leakage_safe_split": _q_leakage_safe_split,
         "gopher_rules": _q_gopher_rules,
+        "audio_corpus_profile": _q_audio_profile,
         # blocklist_report: direct-green in r3; its r4 change was a twin
         # whitespace-robustness fix only (sweep-verified), so it yields
         # its re-check slot to audio_norm_exact's FIRST direct row
@@ -3788,6 +3808,17 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_report": _mojibake_sql(),
         "leakage_safe_split": _leakage_safe_split_sql(),
         "gopher_rules": _gopher_rules_sql(),
+        "audio_corpus_profile": f"""
+            SELECT codec, CAST(sr_hz AS BIGINT) AS sr_hz,
+                   CAST(count(*) AS BIGINT) AS n_clips,
+                   CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes,
+                   CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+                   CAST(min(dur_ms) AS BIGINT) AS min_dur_ms,
+                   CAST(quantile_disc(dur_ms, 0.5) AS BIGINT) AS med_dur_ms,
+                   CAST(max(dur_ms) AS BIGINT) AS max_dur_ms
+            FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+            GROUP BY codec, sr_hz
+        """,
         "token_counts": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

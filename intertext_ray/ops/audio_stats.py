@@ -302,3 +302,64 @@ def crest_report(
         )
 
     return clips.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def audio_corpus_profile(
+    clips: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Corpus-shape rollup per (codec, sr_hz): clip count, payload bytes,
+    total / min / max / median duration — the "what is actually in this
+    bucket" profiling pass a 100 TB ingest runs BEFORE committing to a
+    decode plan (it reads ONLY metadata columns; payload bytes never
+    leave storage when the caller pruned them at the read).
+
+    The median is the DISCRETE lower median — ``sorted(x)[(n-1)//2]`` ==
+    DuckDB ``quantile_disc(0.5)`` — so every output column is an exact
+    integer (same contract as `ops/curate.length_outliers`).
+
+    Scale: ships (codec, sr_hz, dur_ms, n_bytes) int/short-string rows
+    into a low-cardinality groupby (codec x rate combos ~tens); one
+    group task holds one combo's durations as int64 — same partitioning
+    note as length_outliers."""
+
+    def rollup(tbl: pa.Table) -> pa.Table:
+        d = np.sort(
+            tbl["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        nb = tbl["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "codec": pa.array([tbl["codec"][0].as_py()], pa.string()),
+                "sr_hz": pa.array(
+                    [int(tbl["sr_hz"][0].as_py())], pa.int64()
+                ),
+                "n_clips": pa.array([len(d)], pa.int64()),
+                "total_bytes": pa.array([int(nb.sum())], pa.int64()),
+                "total_dur_ms": pa.array([int(d.sum())], pa.int64()),
+                "min_dur_ms": pa.array([int(d[0])], pa.int64()),
+                "med_dur_ms": pa.array(
+                    [int(d[(len(d) - 1) // 2])], pa.int64()
+                ),
+                "max_dur_ms": pa.array([int(d[-1])], pa.int64()),
+            }
+        )
+
+    def slim(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "codec": b["codec"],
+                "sr_hz": pc.cast(b["sr_hz"], pa.int64()),
+                "dur_ms": pc.cast(b["dur_ms"], pa.int64()),
+                "n_bytes": pc.cast(
+                    pc.binary_length(b["bytes"]), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        clips.map_batches(slim, batch_format="pyarrow")
+        .groupby(["codec", "sr_hz"])
+        .map_groups(rollup, batch_format="pyarrow")
+    )
