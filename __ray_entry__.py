@@ -2120,6 +2120,20 @@ def _q_audio_norm_exact(sf_dir: str):
     return audio_norm_exact_dup_groups(planted, num_buckets=16)
 
 
+def _q_dedup_savings(sf_dir: str):
+    """Per-tier purge savings rollup (`ops/tiers.dedup_savings_report`):
+    docs / tokens / chars removable at each rung of the cascade — the
+    decision face of the tier family.  The twin re-runs the ENTIRE
+    cascade (shared perdoc CTE of the tiered_purge twin) and joins
+    token/char counts."""
+    from intertext_ray.ops.tiers import dedup_savings_report
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_savings_report(docs)
+
+
 def _q_audio_profile(sf_dir: str):
     """Corpus-shape rollup per (codec, sr_hz) over the FULL audiodup
     clips table (`ops/audio_stats.audio_corpus_profile`): counts, bytes,
@@ -2368,6 +2382,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "gopher_rules": _q_gopher_rules,
         "audio_corpus_profile": _q_audio_profile,
+        "dedup_savings": _q_dedup_savings,
         # blocklist_report: direct-green in r3; its r4 change was a twin
         # whitespace-robustness fix only (sweep-verified), so it yields
         # its re-check slot to audio_norm_exact's FIRST direct row
@@ -3808,6 +3823,7 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_report": _mojibake_sql(),
         "leakage_safe_split": _leakage_safe_split_sql(),
         "gopher_rules": _gopher_rules_sql(),
+        "dedup_savings": _dedup_savings_sql(),
         "audio_corpus_profile": f"""
             SELECT codec, CAST(sr_hz AS BIGINT) AS sr_hz,
                    CAST(count(*) AS BIGINT) AS n_clips,
@@ -5725,6 +5741,7 @@ def _tier_report_sql(
 def _tiered_purge_sql(
     k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50,
     max_hamming: int = 8,
+    final: str = "SELECT doc_id, dropped_at, dropped_rank, kept FROM perdoc",
 ) -> str:
     """Twin of ``ops.tiers.tiered_purge_report``: the CASCADE replayed in
     SQL — exact keepers (min doc_id per text group), then fold keepers
@@ -5732,7 +5749,9 @@ def _tiered_purge_sql(
     minhash chain via the parameterized ``src``/``pre`` hooks, its
     min-label closure's droppees are removed before the SimHash stage,
     and the four disjoint drop sets fold into the per-doc ``dropped_at``
-    ladder."""
+    ladder (the ``perdoc`` CTE).  ``final`` parameterizes the top-level
+    SELECT so derived twins (`_dedup_savings_sql`) reuse the whole
+    cascade."""
     # AS MATERIALIZED is load-bearing on every CTE a recursive closure
     # reads (edges/wedges) and on the survivor corpora feeding chains
     # that are referenced from inside recursion (docs1/docs1b/docs2):
@@ -5803,26 +5822,56 @@ def _tiered_purge_sql(
           SELECT d1.doc_id FROM docs1 d1
           LEFT JOIN nrmk ON nrmk.doc_id = d1.doc_id
           WHERE nrmk.doc_id IS NULL
+        ),
+        perdoc AS (
+          SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
+                 CASE WHEN xd.doc_id IS NOT NULL THEN 'exact'
+                      WHEN md.doc_id IS NOT NULL THEN 'norm'
+                      WHEN nd2.node IS NOT NULL THEN 'near'
+                      WHEN wd.node IS NOT NULL THEN 'weak'
+                      ELSE 'none' END AS dropped_at,
+                 CAST(CASE WHEN xd.doc_id IS NOT NULL THEN 4
+                           WHEN md.doc_id IS NOT NULL THEN 3
+                           WHEN nd2.node IS NOT NULL THEN 2
+                           WHEN wd.node IS NOT NULL THEN 1
+                           ELSE 0 END AS BIGINT) AS dropped_rank,
+                 (xd.doc_id IS NULL AND md.doc_id IS NULL
+                  AND nd2.node IS NULL AND wd.node IS NULL) AS kept
+          FROM documents dd
+          LEFT JOIN exdrop xd ON xd.doc_id = dd.doc_id
+          LEFT JOIN nrmdrop md ON md.doc_id = dd.doc_id
+          LEFT JOIN ndrop nd2 ON nd2.node = dd.doc_id
+          LEFT JOIN wdrop wd ON wd.node = dd.doc_id
         )
-        SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
-               CASE WHEN xd.doc_id IS NOT NULL THEN 'exact'
-                    WHEN md.doc_id IS NOT NULL THEN 'norm'
-                    WHEN nd2.node IS NOT NULL THEN 'near'
-                    WHEN wd.node IS NOT NULL THEN 'weak'
-                    ELSE 'none' END AS dropped_at,
-               CAST(CASE WHEN xd.doc_id IS NOT NULL THEN 4
-                         WHEN md.doc_id IS NOT NULL THEN 3
-                         WHEN nd2.node IS NOT NULL THEN 2
-                         WHEN wd.node IS NOT NULL THEN 1
-                         ELSE 0 END AS BIGINT) AS dropped_rank,
-               (xd.doc_id IS NULL AND md.doc_id IS NULL
-                AND nd2.node IS NULL AND wd.node IS NULL) AS kept
-        FROM documents dd
-        LEFT JOIN exdrop xd ON xd.doc_id = dd.doc_id
-        LEFT JOIN nrmdrop md ON md.doc_id = dd.doc_id
-        LEFT JOIN ndrop nd2 ON nd2.node = dd.doc_id
-        LEFT JOIN wdrop wd ON wd.node = dd.doc_id
+        {final}
     """
+
+
+def _dedup_savings_sql(
+    k: int = 3, n_perm: int = 16, band_rows: int = 2, pct: int = 50,
+    max_hamming: int = 8,
+) -> str:
+    """Twin of ``ops.tiers.dedup_savings_report``: the full purge cascade
+    (shared ``perdoc`` CTE) joined with per-doc token/char counts
+    (empty-filtered ``\\s+`` idiom), rolled up per dropped_at tier."""
+    final = """
+        , tokc AS (
+          SELECT doc_id, count(*) AS n FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents
+          ) WHERE w <> '' GROUP BY doc_id
+        )
+        SELECT p.dropped_at,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(tk.n, 0)) AS BIGINT) AS total_tokens,
+               CAST(sum(length(d.text)) AS BIGINT) AS total_chars
+        FROM perdoc p
+        JOIN documents d ON d.doc_id = p.doc_id
+        LEFT JOIN tokc tk ON tk.doc_id = p.doc_id
+        GROUP BY p.dropped_at
+    """
+    return _tiered_purge_sql(k, n_perm, band_rows, pct, max_hamming, final)
 
 
 def _substring_pairs_sql(k: int = 8) -> str:

@@ -579,3 +579,116 @@ def audio_tier_report(
         ],
         num_buckets=num_buckets,
     )
+
+
+def dedup_savings_report(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 3,
+    n_perm: int = 16,
+    band_rows: int = 2,
+    min_jaccard: float = 0.5,
+    max_hamming: int = 8,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(dropped_at, n_docs, total_tokens, total_chars) — what each rung
+    of the cascade purge actually BUYS, the decision-making rollup a
+    pipeline owner reads before paying for a tier at 100 TB ("exact
+    removes 34 % of tokens, the SimHash rung only 2 % more — is the
+    extra shuffle worth it?").  Composes :func:`tiered_purge_report`
+    with per-doc token/char counts through ONE bucketed co-group (both
+    sides are corpus-sized, so no broadcast), then a 5-row groupby.
+
+    Token contract: str.split() semantics (`text_stats._flat_tokens`);
+    chars = codepoint length — both twin-exact."""
+    import pyarrow.compute as pc
+
+    from intertext_ray.ops.text_stats import _flat_tokens
+
+    report = tiered_purge_report(
+        docs,
+        text_col=text_col,
+        k=k,
+        n_perm=n_perm,
+        band_rows=band_rows,
+        min_jaccard=min_jaccard,
+        max_hamming=max_hamming,
+        num_buckets=num_buckets,
+    )
+    nb = _U64(num_buckets)
+
+    def stat_side(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        _, _, n = _flat_tokens(texts)
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(d.astype(_U64)) % nb).astype(np.int64)
+                ),
+                "doc_id": pa.array(d, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "n_chars": pc.utf8_length(texts).cast(pa.int64()),
+                "dropped_at": pa.array([""] * len(d), pa.string()),
+            }
+        )
+
+    def report_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(d.astype(_U64)) % nb).astype(np.int64)
+                ),
+                "doc_id": pa.array(d, pa.int64()),
+                "n_tokens": pa.array(np.full(len(d), -1), pa.int64()),
+                "n_chars": pa.array(np.full(len(d), -1), pa.int64()),
+                "dropped_at": b["dropped_at"],
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False)
+        nc = g["n_chars"].to_numpy(zero_copy_only=False)
+        lab = np.asarray(g["dropped_at"].to_pylist(), dtype=object)
+        stat = nt >= 0
+        order = np.argsort(d[stat], kind="stable")
+        sd, st_nt, st_nc = d[stat][order], nt[stat][order], nc[stat][order]
+        rd, rlab = d[~stat], lab[~stat]
+        pos = np.searchsorted(sd, rd)
+        ok = (pos < len(sd)) & (sd[np.minimum(pos, len(sd) - 1)] == rd)
+        return pa.table(
+            {
+                "dropped_at": pa.array(rlab[ok].tolist(), pa.string()),
+                "n_tokens": pa.array(st_nt[pos[ok]], pa.int64()),
+                "n_chars": pa.array(st_nc[pos[ok]], pa.int64()),
+            }
+        )
+
+    tagged = docs.select_columns(["doc_id", text_col]).map_batches(
+        stat_side, batch_format="pyarrow"
+    ).union(report.map_batches(report_side, batch_format="pyarrow"))
+    joined = tagged.groupby("bucket").map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+    def rollup(g: pa.Table) -> pa.Table:
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False)
+        nc = g["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dropped_at": pa.array(
+                    [g["dropped_at"][0].as_py()], pa.string()
+                ),
+                "n_docs": pa.array([g.num_rows], pa.int64()),
+                "total_tokens": pa.array([int(nt.sum())], pa.int64()),
+                "total_chars": pa.array([int(nc.sum())], pa.int64()),
+            }
+        )
+
+    return joined.groupby("dropped_at").map_groups(
+        rollup, batch_format="pyarrow"
+    )

@@ -396,3 +396,32 @@ def test_audio_tier_report_planted(ray_session):
     assert doc_of["c5"] not in exact_m and doc_of["c6"] not in exact_m
     # exact groups are a subset of norm groups
     assert exact_m <= norm_m
+
+
+def test_savings_report_accounts_every_doc(tier_corpus, ray_session):
+    """Savings rollup equals the brute per-doc cascade joined with
+    str.split token counts; every doc is accounted exactly once."""
+    from intertext_ray.ops.tiers import dedup_savings_report
+
+    ids, texts = tier_corpus
+    got = (
+        dedup_savings_report(_docs_ds(ids, texts), num_buckets=8)
+        .to_pandas()
+        .set_index("dropped_at")
+        .sort_index()
+    )
+    want = _brute_cascade(ids, texts)
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for d, t in zip(ids, texts):
+        a = agg[want[d]]
+        a[0] += 1
+        a[1] += len(t.split())
+        a[2] += len(t)
+    assert set(got.index) == set(agg)
+    for tier, (nd, nt, nc) in agg.items():
+        assert int(got.loc[tier, "n_docs"]) == nd, tier
+        assert int(got.loc[tier, "total_tokens"]) == nt, tier
+        assert int(got.loc[tier, "total_chars"]) == nc, tier
+    assert int(got["n_docs"].sum()) == len(ids)
