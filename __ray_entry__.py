@@ -2120,6 +2120,24 @@ def _q_audio_norm_exact(sf_dir: str):
     return audio_norm_exact_dup_groups(planted, num_buckets=16)
 
 
+def _q_eval_leak_report(sf_dir: str):
+    """Per-eval-doc leakage report (`ops/decontam.eval_leak_report`, the
+    flip side of `decontaminate`): eval = source 'src0', train = the
+    rest, k=4 word grams — counts of each benchmark doc's distinct grams
+    found anywhere in the training side.  Broadcast eval grams; corpus
+    contributes one streamed hit pass."""
+    from intertext_ray.ops.decontam import eval_leak_report
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return eval_leak_report(
+        docs.filter(expr="source != 'src0'"),
+        docs.filter(expr="source == 'src0'"),
+        k=4,
+    )
+
+
 def _q_dedup_savings(sf_dir: str):
     """Per-tier purge savings rollup (`ops/tiers.dedup_savings_report`):
     docs / tokens / chars removable at each rung of the cascade — the
@@ -2383,6 +2401,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "audio_corpus_profile": _q_audio_profile,
         "dedup_savings": _q_dedup_savings,
+        "eval_leak_report": _q_eval_leak_report,
         # blocklist_report: direct-green in r3; its r4 change was a twin
         # whitespace-robustness fix only (sweep-verified), so it yields
         # its re-check slot to audio_norm_exact's FIRST direct row
@@ -3824,6 +3843,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _leakage_safe_split_sql(),
         "gopher_rules": _gopher_rules_sql(),
         "dedup_savings": _dedup_savings_sql(),
+        "eval_leak_report": _eval_leak_sql(),
         "audio_corpus_profile": f"""
             SELECT codec, CAST(sr_hz AS BIGINT) AS sr_hz,
                    CAST(count(*) AS BIGINT) AS n_clips,
@@ -5912,6 +5932,44 @@ def _decontam_sql(k: int = 4) -> str:
                coalesce(h.n, 0) > 0 AS contaminated
         FROM documents t LEFT JOIN hits h ON h.doc_id = t.doc_id
         WHERE t.source <> 'src0'
+    """
+
+
+def _eval_leak_sql(k: int = 4) -> str:
+    """Twin of ``_q_eval_leak_report``: per-eval-doc distinct grams LEFT
+    JOINed against the distinct train-side gram set; sub-k eval docs
+    surface with zero counts via the outer join on the raw table."""
+    return f"""
+        {_gram_fpr_prefix(k)},
+        dfp AS (SELECT DISTINCT doc_id, f FROM fpr),
+        ev AS (
+          SELECT dfp.doc_id, dfp.f
+          FROM dfp JOIN documents USING (doc_id)
+          WHERE source = 'src0'
+        ),
+        corp AS (
+          SELECT DISTINCT dfp.f
+          FROM dfp JOIN documents d2 ON d2.doc_id = dfp.doc_id
+          WHERE d2.source <> 'src0'
+        ),
+        agg AS (
+          SELECT ev.doc_id,
+                 count(*) AS n_grams,
+                 sum(CASE WHEN corp.f IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_leaked
+          FROM ev LEFT JOIN corp ON corp.f = ev.f
+          GROUP BY ev.doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(a.n_leaked, 0) AS BIGINT) AS n_leaked,
+               CAST(CASE WHEN coalesce(a.n_grams, 0) > 0
+                         THEN a.n_leaked * 1000 // a.n_grams
+                         ELSE 0 END AS BIGINT) AS leak_x1000,
+               (coalesce(a.n_grams, 0) > 0
+                AND coalesce(a.n_leaked, 0) = a.n_grams) AS fully_leaked
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        WHERE d.source = 'src0'
     """
 
 

@@ -303,3 +303,121 @@ def fuzzy_decontam_survivors(
         return pa.table({"doc_id": pa.array(d[~hit], pa.int64())})
 
     return train_docs.map_batches(keep, batch_format="pyarrow")
+
+
+def eval_leak_report(
+    train_docs: ray.data.Dataset,
+    eval_docs: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 8,
+) -> ray.data.Dataset:
+    """Per-EVAL-doc leakage report — the flip side of
+    :func:`decontaminate`: for each benchmark document, how many of its
+    distinct k-gram hashes appear ANYWHERE in the training corpus
+    (``n_grams``, ``n_leaked``, ``leak_x1000``, ``fully_leaked``).  A
+    benchmark owner reads THIS table to decide whether an eval is still
+    trustworthy after training; `decontaminate` answers the dual
+    question (which training docs to drop).
+
+    Scale shape: the eval gram set is broadcast once (eval-suite-sized,
+    the module's standard argument); the corpus contributes one
+    streamed pass emitting only the eval grams it HITS, deduped per
+    batch — the hit stream is bounded by the eval gram count, never
+    corpus-sized, and one `unique()` reduces it.  Zero corpus
+    shuffles.  Per-eval counting happens on the driver over
+    eval-suite-sized arrays."""
+    import ray
+
+    # (eval-suite-sized) per-eval-doc distinct gram lists on the driver
+    ev_docs, ev_grams = [], []
+    for b in eval_docs.select_columns(["doc_id", text_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        g = gram_positions_batch(b, text_col, k)
+        d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = g["f"].to_numpy(zero_copy_only=False)
+        ev_docs.append(d)
+        ev_grams.append(f)
+        # docs with < k tokens contribute no grams; track them via the
+        # id column directly
+        ev_docs.append(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ev_grams.append(np.full(len(b), np.uint64(0)))
+    if ev_docs:
+        d_all = np.concatenate(ev_docs)
+        f_all = np.concatenate(ev_grams)
+    else:
+        d_all = np.empty(0, np.int64)
+        f_all = np.empty(0, np.uint64)
+    # the sentinel gram 0 marks "doc exists" rows; real gram hashes are
+    # splitmix outputs (0 occurs with probability 2^-64 — never on real
+    # data, and a collision would only add a phantom gram to the count)
+    uniq_grams = np.unique(f_all[f_all != np.uint64(0)])
+    grams_ref = ray.put(uniq_grams)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        ug = ray.get(grams_ref)
+        g = gram_positions_batch(batch, text_col, k)
+        f = np.unique(g["f"].to_numpy(zero_copy_only=False))
+        if len(ug) == 0 or len(f) == 0:
+            return pa.table({"f": pa.array([], pa.int64())})
+        pos = np.searchsorted(ug, f)
+        ok = (pos < len(ug)) & (ug[np.minimum(pos, len(ug) - 1)] == f)
+        # ship as two's-complement int64: unique()'s aggregate would
+        # otherwise overflow Arrow int64 on high-bit hashes and fall back
+        # to pickled blocks (the ops/sketches bloom lesson)
+        return pa.table({"f": pa.array(f[ok].view(np.int64), pa.int64())})
+
+    leaked_vals = (
+        train_docs.select_columns(["doc_id", text_col])
+        .map_batches(hits, batch_format="pyarrow", zero_copy_batch=True)
+        .unique("f")
+        or []
+    )
+    leaked = np.sort(
+        np.unique(
+            np.asarray(
+                [v for v in leaked_vals if v is not None], dtype=np.int64
+            )
+        ).view(np.uint64)
+    )
+
+    # driver-side per-eval-doc rollup (eval-suite-sized)
+    real = f_all != np.uint64(0)
+    d_r, f_r = d_all[real], f_all[real]
+    order = np.lexsort((f_r, d_r))
+    d_r, f_r = d_r[order], f_r[order]
+    keep = np.ones(len(d_r), dtype=bool)
+    keep[1:] = (d_r[1:] != d_r[:-1]) | (f_r[1:] != f_r[:-1])
+    d_r, f_r = d_r[keep], f_r[keep]
+    is_leak = np.zeros(len(f_r), dtype=bool)
+    if len(leaked) and len(f_r):
+        pos = np.searchsorted(leaked, f_r)
+        is_leak = (pos < len(leaked)) & (
+            leaked[np.minimum(pos, len(leaked) - 1)] == f_r
+        )
+    all_ids = np.unique(d_all)
+    n_grams = np.zeros(len(all_ids), np.int64)
+    n_leak = np.zeros(len(all_ids), np.int64)
+    if len(d_r):
+        idx = np.searchsorted(all_ids, d_r)
+        np.add.at(n_grams, idx, 1)
+        np.add.at(n_leak, idx, is_leak.astype(np.int64))
+    leak_x1000 = np.where(
+        n_grams > 0, n_leak * 1000 // np.maximum(n_grams, 1), 0
+    )
+    out = pa.table(
+        {
+            "doc_id": pa.array(all_ids, pa.int64()),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_leaked": pa.array(n_leak, pa.int64()),
+            "leak_x1000": pa.array(leak_x1000, pa.int64()),
+            "fully_leaked": pa.array(
+                (n_grams > 0) & (n_leak == n_grams)
+            ),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(out)

@@ -568,3 +568,60 @@ def test_blocklist_report(ray_session):
         and out.loc[4, "n_blocked"] == 0
         and out.loc[4, "kept"]
     )
+
+
+def test_eval_leak_report_planted(ray_session):
+    """Planted leakage: one eval doc fully copied into train (leak 1000),
+    one partially quoted, one untouched (leak 0), one sub-k (zero
+    grams, not fully_leaked)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.decontam import eval_leak_report
+
+    rng = np.random.default_rng(9)
+    vocab = [f"t{i}" for i in range(60)]
+    ev_full = " ".join(rng.choice(vocab, size=20))
+    ev_part = " ".join(rng.choice(vocab, size=20))
+    ev_clean = " ".join(f"only{i}" for i in range(20))
+    evals = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101, 102, 103], pa.int64()),
+                "text": pa.array(
+                    [ev_full, ev_part, ev_clean, "too short"], pa.string()
+                ),
+            }
+        )
+    )
+    train_texts = [
+        "prefix words " + ev_full + " suffix words",       # full copy
+        " ".join(ev_part.split()[:8]),                      # 8-token quote
+    ] + [" ".join(rng.choice(vocab, size=15)) for _ in range(5)]
+    train = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(train_texts)), pa.int64()),
+                "text": pa.array(train_texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = (
+        eval_leak_report(train, evals, k=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got.index) == [100, 101, 102, 103]
+    assert got.loc[100, "leak_x1000"] == 1000
+    assert bool(got.loc[100, "fully_leaked"])
+    # the 8-token quote leaks exactly 5 of the doc's 17 distinct grams
+    # (assuming no accidental overlap; check bounds instead of exact)
+    assert 0 < got.loc[101, "n_leaked"] < got.loc[101, "n_grams"]
+    assert got.loc[102, "n_leaked"] == 0 and not bool(
+        got.loc[102, "fully_leaked"]
+    )
+    assert got.loc[103, "n_grams"] == 0 and not bool(
+        got.loc[103, "fully_leaked"]
+    )
