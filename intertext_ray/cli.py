@@ -283,7 +283,12 @@ def main(argv: list[str] | None = None) -> int:
         report = dedup_tier_report(docs, num_buckets=nb).materialize()
         report.write_parquet(os.path.join(args.output, "tier_report"))
         docs2 = read_table(args.documents, columns=["doc_id", "text"])
-        purge = tiered_purge_report(docs2, num_buckets=nb).materialize()
+        purge = tiered_purge_report(
+            docs2,
+            num_buckets=nb,
+            work_dir=args.checkpoint_dir
+            or os.path.join(args.output, "cache", "tiers"),
+        ).materialize()
         purge.write_parquet(os.path.join(args.output, "purge_report"))
         # survivors with text: one bucketed anti-join (broadcast-free)
         from intertext_ray.ops.tiers import _anti_join_docs

@@ -383,6 +383,7 @@ def tiered_purge_report(
     min_jaccard: float = 0.5,
     max_hamming: int = 8,
     num_buckets: int = 32,
+    work_dir: str | None = None,
 ) -> ray.data.Dataset:
     """(doc_id, dropped_at, dropped_rank, kept) — the 4-stage cascade
     purge (see module docstring).  Exactly one row per input doc;
@@ -391,14 +392,45 @@ def tiered_purge_report(
     Per-stage inputs are the previous stage's SURVIVORS (each detector
     runs over a shrinking corpus — at web scale the exact tier removes
     30–50 % of rows before the MinHash shuffle ever sees them), filtered
-    through the bucketed anti-join (never a broadcast drop set)."""
+    through the bucketed anti-join (never a broadcast drop set).
+
+    With ``work_dir`` set, every cascade boundary (each tier's drop set
+    and each survivor corpus) checkpoints through
+    `state.checkpoint.CheckpointStore` under a semantic config hash —
+    a re-run after a crash resumes at the first unfinished tier, and a
+    knob change invalidates exactly the stages whose semantics changed
+    (the north-rule resumability contract, same pattern as the flagship
+    and `ops/audio_dedup`).  Without it, stages materialize in the
+    object store as before."""
+    import hashlib
+
     from intertext_ray.ops.minhash_doc import minhash_doc_clusters
     from intertext_ray.ops.simhash import simhash_clusters
 
+    if work_dir is not None:
+        from intertext_ray.state.checkpoint import CheckpointStore
+
+        sem = (
+            f"tiers:v1:col={text_col}:k={k}:np={n_perm}:br={band_rows}"
+            f":j={min_jaccard}:h={max_hamming}:nb={num_buckets}"
+        )
+        store = CheckpointStore(
+            work_dir, hashlib.sha256(sem.encode()).hexdigest()[:16]
+        )
+
+        def _ckpt(stage, factory, upstream):
+            return store.get_or_compute(stage, factory, upstream=upstream)
+    else:
+
+        def _ckpt(stage, factory, upstream):
+            return factory().materialize()
+
     # stage 1 — exact: drop non-min members of identical-text groups
-    exact_m = exact_dup_members(
-        docs, text_col, num_buckets=num_buckets
-    ).materialize()
+    exact_m = _ckpt(
+        "exact_members",
+        lambda: exact_dup_members(docs, text_col, num_buckets=num_buckets),
+        ["docs"],
+    )
 
     def exact_droppees(b: pa.Table) -> pa.Table:
         d = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -408,44 +440,64 @@ def tiered_purge_report(
     dropped_exact = exact_m.map_batches(
         exact_droppees, batch_format="pyarrow"
     )
-    survivors1 = _anti_join_docs(
-        docs, dropped_exact, text_col, num_buckets
-    ).materialize()
+    survivors1 = _ckpt(
+        "survivors_exact",
+        lambda: _anti_join_docs(docs, dropped_exact, text_col, num_buckets),
+        ["exact_members"],
+    )
 
     # stage 2 — norm: fuzzy-exact (fold) keep-one over exact survivors.
     # Exact survivors have DISTINCT raw texts, so every fold group here is
     # a genuine casing/punctuation variant family.
-    norm_m = norm_dup_members(
-        survivors1, text_col, num_buckets=num_buckets
-    ).materialize()
+    norm_m = _ckpt(
+        "norm_members",
+        lambda: norm_dup_members(survivors1, text_col, num_buckets=num_buckets),
+        ["survivors_exact"],
+    )
     dropped_norm = norm_m.map_batches(exact_droppees, batch_format="pyarrow")
-    survivors1b = _anti_join_docs(
-        survivors1, dropped_norm, text_col, num_buckets
-    ).materialize()
+    survivors1b = _ckpt(
+        "survivors_norm",
+        lambda: _anti_join_docs(
+            survivors1, dropped_norm, text_col, num_buckets
+        ),
+        ["norm_members"],
+    )
 
     # stage 3 — near: MinHash keep-one over norm survivors
-    near_clusters = minhash_doc_clusters(
-        survivors1b,
-        text_col=text_col,
-        k=k,
-        n_perm=n_perm,
-        band_rows=band_rows,
-        min_jaccard=min_jaccard,
-        num_buckets=num_buckets,
+    def _near_droppees():
+        return _cluster_droppees(
+            minhash_doc_clusters(
+                survivors1b,
+                text_col=text_col,
+                k=k,
+                n_perm=n_perm,
+                band_rows=band_rows,
+                min_jaccard=min_jaccard,
+                num_buckets=num_buckets,
+            )
+        )
+
+    dropped_near = _ckpt("near_droppees", _near_droppees, ["survivors_norm"])
+    survivors2 = _ckpt(
+        "survivors_near",
+        lambda: _anti_join_docs(
+            survivors1b, dropped_near, text_col, num_buckets
+        ),
+        ["near_droppees"],
     )
-    dropped_near = _cluster_droppees(near_clusters)
-    survivors2 = _anti_join_docs(
-        survivors1b, dropped_near, text_col, num_buckets
-    ).materialize()
 
     # stage 4 — weak: SimHash keep-one over near survivors
-    weak_clusters = simhash_clusters(
-        survivors2,
-        text_col=text_col,
-        max_hamming=max_hamming,
-        num_buckets=num_buckets,
-    )
-    dropped_weak = _cluster_droppees(weak_clusters)
+    def _weak_droppees():
+        return _cluster_droppees(
+            simhash_clusters(
+                survivors2,
+                text_col=text_col,
+                max_hamming=max_hamming,
+                num_buckets=num_buckets,
+            )
+        )
+
+    dropped_weak = _ckpt("weak_droppees", _weak_droppees, ["survivors_near"])
 
     report = strongest_tier(
         docs,

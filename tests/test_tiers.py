@@ -425,3 +425,57 @@ def test_savings_report_accounts_every_doc(tier_corpus, ray_session):
         assert int(got.loc[tier, "total_tokens"]) == nt, tier
         assert int(got.loc[tier, "total_chars"]) == nc, tier
     assert int(got["n_docs"].sum()) == len(ids)
+
+
+def test_purge_checkpoint_resume(tier_corpus, ray_session, tmp_path):
+    """With work_dir, every cascade boundary checkpoints; a second run
+    resumes from the finished stages and returns identical rows; a knob
+    change recomputes (the manifest's config hash no longer matches, so
+    the stage is rebuilt and atomically swapped in)."""
+    import os
+
+    from intertext_ray.ops.tiers import tiered_purge_report
+
+    ids, texts = tier_corpus
+    wd = str(tmp_path / "tiers_ckpt")
+    r1 = (
+        tiered_purge_report(_docs_ds(ids, texts), num_buckets=8, work_dir=wd)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    stages = [
+        "exact_members", "survivors_exact", "norm_members",
+        "survivors_norm", "near_droppees", "survivors_near",
+        "weak_droppees",
+    ]
+    for s in stages:
+        assert os.path.exists(os.path.join(wd, s, "_MANIFEST.json")), s
+    # resume: identical output, no recompute (manifests untouched)
+    mtimes = {
+        s: os.path.getmtime(os.path.join(wd, s, "_MANIFEST.json"))
+        for s in stages
+    }
+    r2 = (
+        tiered_purge_report(_docs_ds(ids, texts), num_buckets=8, work_dir=wd)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert r1.equals(r2)
+    for s in stages:
+        assert mtimes[s] == os.path.getmtime(
+            os.path.join(wd, s, "_MANIFEST.json")
+        ), s
+    # a semantic knob change uses a different hash -> fresh compute, and
+    # the result still matches the in-memory path
+    r3 = tiered_purge_report(
+        _docs_ds(ids, texts), num_buckets=8, max_hamming=0, work_dir=wd
+    ).to_pandas()
+    r3m = tiered_purge_report(
+        _docs_ds(ids, texts), num_buckets=8, max_hamming=0
+    ).to_pandas()
+    assert (
+        r3.sort_values("doc_id").reset_index(drop=True)
+        .equals(r3m.sort_values("doc_id").reset_index(drop=True))
+    )
