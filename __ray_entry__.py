@@ -2138,6 +2138,56 @@ def _q_eval_leak_report(sf_dir: str):
     )
 
 
+def _q_audio_eval_leak(sf_dir: str):
+    """Per-eval-clip PCM leakage report (`ops/audio_exact.
+    audio_eval_leak_report`): eval = the %13 subset of the 1/7 sample;
+    corpus = the rest of the sample plus planted raw-pcm re-containers
+    of the %26 eval clips (so half the eval set leaks with exactly one
+    copy).  The twin re-decodes everything, rebuilds the same corpus in
+    SQL, and counts checksum-identical corpus clips per eval clip."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from intertext_ray.ops.audio_exact import (
+        audio_eval_leak_report,
+        plant_pcm_copies,
+    )
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    sample = clips.map_batches(samp, batch_format="pyarrow")
+
+    def ev_side(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(13) == 0))
+
+    def corp_side(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(13) != 0))
+
+    def ev26(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(26) == 0))
+
+    ev = sample.map_batches(ev_side, batch_format="pyarrow")
+    copies = plant_pcm_copies(
+        sample.map_batches(ev26, batch_format="pyarrow"), mod=1
+    ).map_batches(
+        lambda t: t.filter(pc.match_substring(t["clip_id"], "#pcm")),
+        batch_format="pyarrow",
+    )
+    corpus = sample.map_batches(corp_side, batch_format="pyarrow").union(
+        copies
+    )
+    return audio_eval_leak_report(corpus, ev)
+
+
 def _q_dedup_savings(sf_dir: str):
     """Per-tier purge savings rollup (`ops/tiers.dedup_savings_report`):
     docs / tokens / chars removable at each rung of the cascade — the
@@ -2402,6 +2452,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "audio_corpus_profile": _q_audio_profile,
         "dedup_savings": _q_dedup_savings,
         "eval_leak_report": _q_eval_leak_report,
+        "audio_eval_leak": _q_audio_eval_leak,
         # blocklist_report: direct-green in r3; its r4 change was a twin
         # whitespace-robustness fix only (sweep-verified), so it yields
         # its re-check slot to audio_norm_exact's FIRST direct row
@@ -3673,6 +3724,34 @@ def _mojibake_sql(min_artifacts: int = 2) -> str:
     """
 
 
+def _audio_eval_leak_sql(eval_mod: int = 13, copy_mod: int = 26) -> str:
+    """Twin of ``_q_audio_eval_leak``: checksums over the SQL-decoded 1/7
+    sample; corpus = non-eval rows plus virtual ``#pcm`` re-containers of
+    the %copy_mod eval clips; per-eval-clip copy counts via a LEFT JOIN
+    on the checksum triple."""
+    em, cm = int(eval_mod), int(copy_mod)
+    num = "CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)"
+    return f"""
+        WITH {_audio_decode_ctes()},
+        {_audio_ck_ctes()},
+        ev AS (SELECT * FROM ck WHERE {num} % {em} = 0),
+        corp AS (
+          SELECT * FROM ck WHERE {num} % {em} <> 0
+          UNION ALL
+          SELECT clip_id || '#pcm', n_samples, ck1, ck2
+          FROM ck WHERE {num} % {cm} = 0
+        )
+        SELECT ev.clip_id,
+               CAST(ev.n_samples AS BIGINT) AS n_samples,
+               CAST(count(corp.clip_id) AS BIGINT) AS n_corpus_copies,
+               (count(corp.clip_id) > 0) AS leaked
+        FROM ev LEFT JOIN corp
+          ON corp.n_samples = ev.n_samples
+         AND corp.ck1 = ev.ck1 AND corp.ck2 = ev.ck2
+        GROUP BY ev.clip_id, ev.n_samples
+    """
+
+
 def _audio_norm_exact_sql(
     gain_mod: int = 4, gain: int = 2, target_peak: int = 30000
 ) -> str:
@@ -3844,6 +3923,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _gopher_rules_sql(),
         "dedup_savings": _dedup_savings_sql(),
         "eval_leak_report": _eval_leak_sql(),
+        "audio_eval_leak": _audio_eval_leak_sql(),
         "audio_corpus_profile": f"""
             SELECT codec, CAST(sr_hz AS BIGINT) AS sr_hz,
                    CAST(count(*) AS BIGINT) AS n_clips,

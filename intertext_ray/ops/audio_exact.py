@@ -408,3 +408,119 @@ def plant_gain_copies(
         return pa.concat_tables([batch, sub]).combine_chunks()
 
     return clips.map_batches(fn, batch_format="pyarrow", batch_size=64)
+
+
+def audio_eval_leak_report(
+    corpus_clips: ray.data.Dataset,
+    eval_clips: ray.data.Dataset,
+    codecs: tuple[str, ...] = _SQL_CODECS,
+) -> ray.data.Dataset:
+    """Per-EVAL-clip leakage report — the audio flip side of
+    :func:`audio_decontam` (which drops corpus clips): for each
+    benchmark clip, how many corpus clips decode to EXACTLY its PCM
+    (``n_corpus_copies``, ``leaked``).  The wave-benchmark owner's
+    integrity table.
+
+    Scale shape: eval checksums are collected once on the driver
+    (benchmark-sized) and broadcast as sorted key arrays; the corpus
+    contributes one streamed checksum pass emitting per-batch PARTIAL
+    hit counts (eval-key-indexed, so the exchange is bounded by
+    eval_size x n_blocks, never corpus-sized); one small groupby sums
+    them.  The corpus payload is decoded once and dropped in-batch."""
+    import ray
+    import ray.data as rd
+
+    ev_id, ev_n, ev_1, ev_2 = [], [], [], []
+    for b in pcm_checksums(eval_clips, codecs=codecs).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ev_id.extend(b["clip_id"].to_pylist())
+        ev_n.append(b["n_samples"].to_numpy(zero_copy_only=False))
+        ev_1.append(b["ck1"].to_numpy(zero_copy_only=False))
+        ev_2.append(b["ck2"].to_numpy(zero_copy_only=False))
+    if ev_n:
+        ev_n = np.concatenate(ev_n).astype(np.int64)
+        ev_1 = np.concatenate(ev_1).astype(np.uint64)
+        ev_2 = np.concatenate(ev_2).astype(np.uint64)
+    else:
+        ev_n = np.empty(0, np.int64)
+        ev_1 = np.empty(0, np.uint64)
+        ev_2 = np.empty(0, np.uint64)
+    order = np.lexsort((ev_2, ev_1, ev_n))
+    inv = np.empty(len(order), np.int64)
+    inv[order] = np.arange(len(order))
+    keys_ref = ray.put((ev_n[order], ev_1[order], ev_2[order]))
+
+    def partial_hits(batch: pa.Table) -> pa.Table:
+        kn, k1, k2 = ray.get(keys_ref)
+        ck = pcm_checksums_batch(batch, codecs)
+        if len(kn) == 0 or ck is None or len(ck[0]) == 0:
+            return pa.table(
+                {
+                    "key_idx": pa.array([], pa.int64()),
+                    "hits": pa.array([], pa.int64()),
+                }
+            )
+        cn, c1, c2 = ck
+        # binary search the sorted (n, ck1, ck2) key triples
+        lo = np.searchsorted(kn, cn, side="left")
+        counts = np.zeros(len(kn), np.int64)
+        for i in range(len(cn)):  # per corpus clip in batch (<= batch_size)
+            j = lo[i]
+            while j < len(kn) and kn[j] == cn[i]:
+                if k1[j] == c1[i] and k2[j] == c2[i]:
+                    counts[j] += 1
+                j += 1
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "key_idx": pa.array(nz.astype(np.int64), pa.int64()),
+                "hits": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = corpus_clips.map_batches(
+        partial_hits, batch_format="pyarrow", batch_size=64, num_cpus=1
+    )
+    totals = np.zeros(len(ev_n), np.int64)
+    agg = parts.groupby("key_idx").aggregate(Sum("hits"))
+    for row in agg.iter_rows():
+        totals[int(row["key_idx"])] = int(row["sum(hits)"])
+    per_eval = totals[inv]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "clip_id": pa.array(ev_id, pa.string()),
+                "n_samples": pa.array(ev_n, pa.int64()),
+                "n_corpus_copies": pa.array(per_eval, pa.int64()),
+                "leaked": pa.array(per_eval > 0),
+            }
+        )
+    )
+
+
+def pcm_checksums_batch(
+    batch: pa.Table, codecs
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """In-batch checksum arrays (n, ck1, ck2) for the supported codecs —
+    the kernel of :func:`pcm_checksums` exposed for per-batch callers."""
+    keep = set(codecs)
+    blobs = batch["bytes"].to_pylist()
+    srs = batch["sr_hz"].to_numpy(zero_copy_only=False)
+    cod = batch["codec"].to_pylist()
+    on, o1, o2 = [], [], []
+    for i in range(len(batch)):
+        if cod[i] not in keep:
+            continue
+        pcm = decode_clip(blobs[i], int(srs[i]), cod[i])
+        c1, c2 = pcm_checksum(pcm)
+        on.append(len(pcm))
+        o1.append(c1)
+        o2.append(c2)
+    return (
+        np.asarray(on, np.int64),
+        np.asarray(o1, np.uint64),
+        np.asarray(o2, np.uint64),
+    )

@@ -179,3 +179,36 @@ def test_plant_gain_copies_groups_with_sources(ray_session):
     ]
     # and raw-exact sees none of it
     assert audio_exact_dup_groups(planted, num_buckets=4).count() == 0
+
+
+def test_audio_eval_leak_report(ray_session):
+    """Planted PCM copies: eval clips with a corpus copy report exactly
+    one; untouched eval clips report zero."""
+    from intertext_ray.ops.audio_exact import audio_eval_leak_report
+
+    ev_rows = [
+        ("ev_0", _rand_pcm(1, 2000), 8000, "pcm_s16le"),
+        ("ev_1", _rand_pcm(2, 2000), 8000, "pcm_s16le"),
+        ("ev_2", _rand_pcm(3, 2500), 8000, "ulaw"),
+    ]
+    corpus_rows = [
+        ("c_0", _rand_pcm(10, 2000), 8000, "pcm_s16le"),
+        ("c_1", ev_rows[0][1], 8000, "wav"),     # re-container of ev_0
+        ("c_2", ev_rows[0][1], 8000, "pcm_s16le"),  # second copy of ev_0
+        ("c_3", _rand_pcm(11, 1500), 8000, "pcm_s16le"),
+    ]
+    got = (
+        audio_eval_leak_report(
+            ray.data.from_arrow(_clips_table(corpus_rows)).repartition(2),
+            ray.data.from_arrow(_clips_table(ev_rows)),
+        )
+        .to_pandas()
+        .set_index("clip_id")
+    )
+    assert got.loc["ev_0", "n_corpus_copies"] == 2
+    assert bool(got.loc["ev_0", "leaked"])
+    assert got.loc["ev_1", "n_corpus_copies"] == 0
+    assert not bool(got.loc["ev_1", "leaked"])
+    # the ulaw eval clip's checksum is over its DECODED (companded)
+    # samples — no corpus clip matches
+    assert got.loc["ev_2", "n_corpus_copies"] == 0
