@@ -2138,6 +2138,47 @@ def _q_eval_leak_report(sf_dir: str):
     )
 
 
+# deterministic markup damage for _q_strip_markup (no single quotes —
+# these are inlined into SQL literals)
+_MK_PRE = '<p class="x">'
+_MK_SUF = "</p> books &amp; covers &lt;3 <br/>"
+
+
+def _q_strip_markup(sf_dir: str):
+    """Markup-residue cleanup (`ops/curate.strip_markup`) over a corpus
+    whose %23 docs are wrapped in HTML fragments (3 tags + 2 entities
+    each).  The twin rebuilds the damage, strips tags with the same RE2
+    pattern, and decodes entities through the SAME ordered chain —
+    counts taken at each intermediate state, &amp; last."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from intertext_ray.ops.curate import strip_markup
+
+    docs = _read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def damage(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = did % 23 == 0
+        pre = np.where(hit, _MK_PRE, "")
+        suf = np.where(hit, _MK_SUF, "")
+        txt = b["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        out = pc.binary_join_element_wise(
+            pa.array(pre.tolist(), pa.string()),
+            txt,
+            pa.array(suf.tolist(), pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": out})
+
+    return strip_markup(docs.map_batches(damage, batch_format="pyarrow"))
+
+
 def _q_audio_eval_leak(sf_dir: str):
     """Per-eval-clip PCM leakage report (`ops/audio_exact.
     audio_eval_leak_report`): eval = the %13 subset of the 1/7 sample;
@@ -2453,6 +2494,7 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_savings": _q_dedup_savings,
         "eval_leak_report": _q_eval_leak_report,
         "audio_eval_leak": _q_audio_eval_leak,
+        "strip_markup": _q_strip_markup,
         # blocklist_report: direct-green in r3; its r4 change was a twin
         # whitespace-robustness fix only (sweep-verified), so it yields
         # its re-check slot to audio_norm_exact's FIRST direct row
@@ -3724,6 +3766,55 @@ def _mojibake_sql(min_artifacts: int = 2) -> str:
     """
 
 
+def _strip_markup_sql() -> str:
+    """Twin of ``_q_strip_markup``: the chained entity decode replayed
+    CTE-by-CTE in the engine's exact order (counts taken on each
+    intermediate string, the contract of `ops/curate.MARKUP_ENTITIES`).
+    Built programmatically from the same table — one source of truth."""
+    from intertext_ray.ops.curate import MARKUP_ENTITIES
+
+    steps = []
+    prev = "s0"
+    count_cols = []
+    for i, (ent, rep) in enumerate(MARKUP_ENTITIES):
+        cur = f"s{i + 1}"
+        rep_sql = rep.replace("'", "''")
+        count_cols.append(f"c{i}")
+        steps.append(
+            f"""{cur} AS (
+              SELECT doc_id, n_tags,
+                     {', '.join(count_cols[:-1] + []) + ', ' if count_cols[:-1] else ''}
+                     (length(t) - length(replace(t, '{ent}', '')))
+                       // {len(ent)} AS c{i},
+                     replace(t, '{ent}', '{rep_sql}') AS t
+              FROM {prev}
+            )"""
+        )
+        prev = cur
+    total = " + ".join(count_cols)
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 23 = 0
+                      THEN '{_MK_PRE}' || text || '{_MK_SUF}'
+                      ELSE text END AS text
+          FROM documents
+        ),
+        s0 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT)
+                   AS n_tags,
+                 regexp_replace(text, '<[^>]*>', ' ', 'g') AS t
+          FROM corpus
+        ),
+        {','.join(steps)}
+        SELECT doc_id, t AS text,
+               n_tags,
+               CAST({total} AS BIGINT) AS n_entities
+        FROM {prev}
+    """
+
+
 def _audio_eval_leak_sql(eval_mod: int = 13, copy_mod: int = 26) -> str:
     """Twin of ``_q_audio_eval_leak``: checksums over the SQL-decoded 1/7
     sample; corpus = non-eval rows plus virtual ``#pcm`` re-containers of
@@ -3924,6 +4015,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_savings": _dedup_savings_sql(),
         "eval_leak_report": _eval_leak_sql(),
         "audio_eval_leak": _audio_eval_leak_sql(),
+        "strip_markup": _strip_markup_sql(),
         "audio_corpus_profile": f"""
             SELECT codec, CAST(sr_hz AS BIGINT) AS sr_hz,
                    CAST(count(*) AS BIGINT) AS n_clips,

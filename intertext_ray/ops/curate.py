@@ -487,3 +487,67 @@ def gopher_rules(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+# entity decode table for strip_markup — ORDER IS THE CONTRACT: tags are
+# stripped first, then non-ampersand entities, then &amp; LAST (decoding
+# it earlier would resurrect entities from double-escaped text, and
+# decoding &lt;/&gt; before tag removal would fabricate tags)
+MARKUP_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Markup-residue cleanup — the light-weight tag/entity pass a crawl
+    pipeline runs on extractor output that still carries HTML fragments
+    (the reference strips XML with a tag allowlist,
+    `reference/intertext/intertext.py` get_words; this is the generic
+    crawl-side sibling):
+
+    - every ``<...>`` tag (RE2 ``<[^>]*>``) becomes one space, so word
+      boundaries survive ``word<br>word``;
+    - the standard entities decode in the fixed table order with
+      ``&amp;`` LAST (see ``MARKUP_ENTITIES``).
+
+    Returns (doc_id, text, n_tags, n_entities).  Both the tag regex
+    (RE2 on both engines) and the literal entity replaces are
+    twin-exact.  One stateless vectorized pass — no exchange."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def fn(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n_tags = pc.count_substring_regex(txt, "<[^>]*>").cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        out = pc.replace_substring_regex(txt, pattern="<[^>]*>", replacement=" ")
+        n_ent = np.zeros(len(b), dtype=np.int64)
+        for ent, rep in MARKUP_ENTITIES:
+            n_ent += pc.count_substring(out, ent).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            out = pc.replace_substring(out, pattern=ent, replacement=rep)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "text": out,
+                "n_tags": pa.array(n_tags, pa.int64()),
+                "n_entities": pa.array(n_ent, pa.int64()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -127,3 +127,47 @@ def test_gopher_rules_each_rule_fires(ray_session):
     flags = ["length_ok", "tok_len_ok", "symbol_ok", "bullet_ok",
              "ellipsis_ok", "alpha_ok"]
     assert got.loc[0, flags].all()
+
+
+def test_strip_markup_order_contract(ray_session):
+    """Tags strip first (word boundaries preserved), entities decode in
+    table order with &amp; last — double-escaped text does NOT double-
+    decode, and &lt; never fabricates a tag."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.curate import strip_markup
+
+    texts = [
+        'word<br>word <p class="a">para</p>',
+        "a &amp;lt; b",           # decodes to 'a &lt; b' — NOT 'a < b'
+        "x &lt;b&gt; y",          # decodes to 'x <b> y' — tag survives
+        "Tom &amp; Jerry &quot;quoted&quot;",
+        "plain",
+        "",
+    ]
+    got = (
+        strip_markup(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts, pa.string()),
+                    }
+                )
+            ).repartition(2)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert got.loc[0, "text"] == "word word  para "
+    assert got.loc[0, "n_tags"] == 3 and got.loc[0, "n_entities"] == 0
+    assert got.loc[1, "text"] == "a &lt; b"
+    assert got.loc[1, "n_entities"] == 1  # only the &amp;
+    assert got.loc[2, "text"] == "x <b> y"
+    assert got.loc[2, "n_tags"] == 0 and got.loc[2, "n_entities"] == 2
+    assert got.loc[3, "text"] == 'Tom & Jerry "quoted"'
+    assert got.loc[3, "n_entities"] == 3
+    assert got.loc[4, "text"] == "plain"
+    assert got.loc[5, "text"] == ""
