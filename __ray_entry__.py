@@ -2138,6 +2138,36 @@ def _q_eval_leak_report(sf_dir: str):
     )
 
 
+def _q_audio_tier_ladder(sf_dir: str):
+    """The audio tier ladder over the full audiodup corpus
+    (`ops/tiers.audio_tier_report`): per-clip strongest tier among
+    exact (PCM identity) > norm (gain-invariant identity) > near
+    (fingerprint dup) > partial (shared sub-span).  Rows-only: the
+    near/partial rungs are FFT chains; the composition is test-pinned
+    against the planted-corpus ladder (tests/test_tiers)."""
+    from intertext_ray.ops.tiers import audio_tier_report
+
+    return audio_tier_report(_audio_dup_clips(sf_dir), num_buckets=16)
+
+
+def _q_audio_savings(sf_dir: str):
+    """Per-tier audio duplicate mass (`ops/tiers.audio_savings_report`):
+    clips / milliseconds / stored bytes removable at each rung of the
+    audio ladder — the modality twin of `dedup_savings`.  Rows-only
+    (FFT chains); composition test-pinned."""
+    import os
+
+    from intertext_ray.fixtures.gen_audio import audio_dup_corpus_for_sf
+    from intertext_ray.ops.tiers import audio_savings_report
+    from intertext_ray.sources.clips import read_clips
+
+    clips = read_clips(
+        os.path.join(audio_dup_corpus_for_sf(sf_dir), "clips"),
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec"],
+    )
+    return audio_savings_report(clips, num_buckets=16)
+
+
 # deterministic markup damage for _q_strip_markup (no single quotes —
 # these are inlined into SQL literals)
 _MK_PRE = '<p class="x">'
@@ -2584,6 +2614,8 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "remove_audio_spans": _q_remove_audio_spans,
         "joint_dup_report": _q_joint_dup_report,
         "audio_cluster_canonicals": _q_audio_canonicals,
+        "audio_tier_ladder": _q_audio_tier_ladder,
+        "audio_savings": _q_audio_savings,
         "image_features_stub": _q_image_features,
     }
 

@@ -744,3 +744,100 @@ def dedup_savings_report(
     return joined.groupby("dropped_at").map_groups(
         rollup, batch_format="pyarrow"
     )
+
+
+def audio_savings_report(
+    clips: ray.data.Dataset,
+    num_buckets: int = 32,
+    **ladder_kwargs,
+) -> ray.data.Dataset:
+    """(tier, n_clips, total_dur_ms, total_bytes) — what each rung of the
+    AUDIO ladder could remove, the modality twin of
+    :func:`dedup_savings_report` (per-tier duplicate mass in clips,
+    seconds and stored bytes; a wave-corpus owner reads this before
+    paying for the fingerprint shuffle at 10^12 clips).
+
+    Composes :func:`audio_tier_report` with decode-free per-clip
+    metadata through one bucketed co-group (doc-id keyed, both sides
+    corpus-sized) and a 5-row rollup.  Rows-only driver check (the
+    near/partial rungs are FFT chains); the composition is test-pinned
+    against the planted-corpus ladder."""
+    import pyarrow.compute as pc
+
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    report = audio_tier_report(
+        clips, num_buckets=num_buckets, **ladder_kwargs
+    )
+    nb = _U64(num_buckets)
+
+    def meta_side(b: pa.Table) -> pa.Table:
+        d = doc_ids_for_clip_ids(b["clip_id"]).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(d.astype(_U64)) % nb).astype(np.int64)
+                ),
+                "doc_id": pa.array(d, pa.int64()),
+                "dur_ms": pc.cast(b["dur_ms"], pa.int64()),
+                "n_bytes": pc.cast(pc.binary_length(b["bytes"]), pa.int64()),
+                "tier": pa.array([""] * len(b), pa.string()),
+            }
+        )
+
+    def report_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(d.astype(_U64)) % nb).astype(np.int64)
+                ),
+                "doc_id": pa.array(d, pa.int64()),
+                "dur_ms": pa.array(np.full(len(d), -1), pa.int64()),
+                "n_bytes": pa.array(np.full(len(d), -1), pa.int64()),
+                "tier": b["tier"],
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        dur = g["dur_ms"].to_numpy(zero_copy_only=False)
+        nb_ = g["n_bytes"].to_numpy(zero_copy_only=False)
+        lab = np.asarray(g["tier"].to_pylist(), dtype=object)
+        stat = dur >= 0
+        order = np.argsort(d[stat], kind="stable")
+        sd = d[stat][order]
+        sdur, sb = dur[stat][order], nb_[stat][order]
+        rd_, rlab = d[~stat], lab[~stat]
+        pos = np.searchsorted(sd, rd_)
+        ok = (pos < len(sd)) & (sd[np.minimum(pos, len(sd) - 1)] == rd_)
+        return pa.table(
+            {
+                "tier": pa.array(rlab[ok].tolist(), pa.string()),
+                "dur_ms": pa.array(sdur[pos[ok]], pa.int64()),
+                "n_bytes": pa.array(sb[pos[ok]], pa.int64()),
+            }
+        )
+
+    tagged = clips.select_columns(
+        ["clip_id", "bytes", "dur_ms"]
+    ).map_batches(meta_side, batch_format="pyarrow").union(
+        report.map_batches(report_side, batch_format="pyarrow")
+    )
+    joined = tagged.groupby("bucket").map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+    def rollup(g: pa.Table) -> pa.Table:
+        dur = g["dur_ms"].to_numpy(zero_copy_only=False)
+        nb_ = g["n_bytes"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tier": pa.array([g["tier"][0].as_py()], pa.string()),
+                "n_clips": pa.array([g.num_rows], pa.int64()),
+                "total_dur_ms": pa.array([int(dur.sum())], pa.int64()),
+                "total_bytes": pa.array([int(nb_.sum())], pa.int64()),
+            }
+        )
+
+    return joined.groupby("tier").map_groups(rollup, batch_format="pyarrow")

@@ -479,3 +479,65 @@ def test_purge_checkpoint_resume(tier_corpus, ray_session, tmp_path):
         r3.sort_values("doc_id").reset_index(drop=True)
         .equals(r3m.sort_values("doc_id").reset_index(drop=True))
     )
+
+
+def test_audio_savings_matches_ladder(ray_session):
+    """Savings rollup equals the per-clip ladder joined with metadata —
+    every clip accounted once, totals add up."""
+    from intertext_ray.fixtures.gen_audio import base_signal
+    from intertext_ray.functions.audio import encode_clip
+    from intertext_ray.ops.tiers import audio_savings_report, audio_tier_report
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    sr = 8000
+    n = sr * 2
+    pcm = {}
+    for i in range(4):
+        pcm[f"s{i}"] = np.clip(
+            base_signal(40 + i, i, sr, n) * 8000.0, -32768, 32767
+        ).astype(np.int16)
+    pcm["s4"] = pcm["s0"].copy()  # exact copy
+    keys = sorted(pcm)
+    tbl = pa.table(
+        {
+            "clip_id": keys,
+            "bytes": [encode_clip(pcm[k], sr, "pcm_s16le") for k in keys],
+            "sr_hz": pa.array([sr] * len(keys), pa.int32()),
+            "dur_ms": pa.array([2000] * len(keys), pa.int32()),
+            "codec": ["pcm_s16le"] * len(keys),
+        }
+    )
+    clips = rd.from_arrow(tbl)
+    ladder = (
+        audio_tier_report(clips, num_buckets=8)
+        .to_pandas()
+        .set_index("doc_id")["tier"]
+        .to_dict()
+    )
+    got = (
+        audio_savings_report(clips, num_buckets=8)
+        .to_pandas()
+        .set_index("tier")
+    )
+    import collections
+
+    nbytes = {
+        int(d): len(b)
+        for d, b in zip(
+            doc_ids_for_clip_ids(tbl["clip_id"]).astype(np.int64),
+            tbl["bytes"].to_pylist(),
+        )
+    }
+    want = collections.defaultdict(lambda: [0, 0, 0])
+    for d, t in ladder.items():
+        want[t][0] += 1
+        want[t][1] += 2000
+        want[t][2] += nbytes[d]
+    assert set(got.index) == set(want)
+    for tier, (nc, dur, byt) in want.items():
+        assert int(got.loc[tier, "n_clips"]) == nc
+        assert int(got.loc[tier, "total_dur_ms"]) == dur
+        assert int(got.loc[tier, "total_bytes"]) == byt
+    assert int(got["n_clips"].sum()) == len(keys)
+    # the exact pair is visible in the rollup
+    assert int(got.loc["exact", "n_clips"]) >= 2
