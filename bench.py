@@ -423,13 +423,20 @@ def run_bench() -> dict:
     # ---- fold/gate family (fourth continuation ops): normalization-fold
     # dedup, mojibake gate, robust length outliers, and the 4-rung tier
     # report composing all four dedup families ----
-    from intertext_ray.ops.curate import length_outliers, mojibake_report
+    from intertext_ray.ops.curate import (
+        gopher_rules,
+        length_outliers,
+        mojibake_report,
+        strip_markup,
+    )
     from intertext_ray.ops.norm_dedup import norm_dedup_groups
-    from intertext_ray.ops.tiers import dedup_tier_report
+    from intertext_ray.ops.tiers import dedup_savings_report, dedup_tier_report
 
     t0 = time.time()
     norm_dedup_groups(read_documents(SF_DIR)).count()
     mojibake_report(read_documents(SF_DIR)).count()
+    gopher_rules(read_documents(SF_DIR)).count()
+    strip_markup(read_documents(SF_DIR)).count()
     length_outliers(
         _read_table(
             f"{SF_DIR}/documents.parquet",
@@ -441,6 +448,10 @@ def run_bench() -> dict:
     t0 = time.time()
     dedup_tier_report(read_documents(SF_DIR)).count()
     queries["tier_report"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup_savings_report(read_documents(SF_DIR)).count()
+    queries["tier_savings"] = round(time.time() - t0, 3)
 
     # ---- rail/crest wave gates (decode-bound, row-local) ----
     from intertext_ray.ops.audio_clipping import clipping_report
