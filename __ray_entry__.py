@@ -2376,67 +2376,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _raw_queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST 50
-    # entries.  Window policy (round 4 -- the closing rotation): after this
-    # round EVERY SQL twin in the repo has had a direct green driver row
-    # at least once.  The 50 slots:
-    #   (i)  positions 1-7: the seven twins that have NEVER had a direct
-    #        driver row (sweep-verified only; VERDICT r3 "What's missing"
-    #        #1): csv_token_counts, sorted_neighbor_multi,
-    #        audio_invariant_summary, audio_decontam,
-    #        fuzzy_decontam_survivors, minhash_doc_survivors,
-    #        perplexity_filter;
-    #   (ii) positions 8-19: the flagship dedup chain (north rule) --
-    #        in-window every round, every link;
-    #   (iii) positions 20-24: every query whose kernel or twin CHANGED
-    #        this round (lsh_cosine_dup_pairs: hot-bucket cap; ann_topk:
-    #        distributed top-k merge; bloom_membership: int64 aggregate;
-    #        fold_diacritics: CJK/Arabic tables + extended injection twin;
-    #        blocklist_report: whitespace-class twin fix);
-    #   (iii-b) positions 25-26: twins ADDED this round, taking their
-    #        first direct rows -- audio_segment_sample (segmentation face;
-    #        SQL re-decode + frame-RMS gate + island merge) and
-    #        audio_transcode_sample (FLAC round-trip pin; SQL re-decode of
-    #        the source + sample-exact round-trip metadata);
-    #   (iv) positions 27-50: twenty-four of the twenty-seven remaining
-    #        twins, all last direct-checked in round 2
-    #        (CORRECTNESS_r02.json) with kernels unchanged since.
-    # The three r2-green twins left at 51+: window_counts -- a bare count
-    # over the SAME windows table whose full contents are hash-checked
-    # in-window at position 8 (the strongest transitive pin in the repo) --
-    # and simhash_fingerprints / rolling_fingerprints, which yielded their
-    # slots to the new twins.
-    # Also rotated out (all direct-green in round 3, kernels unchanged
-    # since CORRECTNESS_r03.json): the r3 re-check set -- minhash_doc_dedup,
-    # source_dup_report, simhash_near_dups/clusters, sorted_neighbor_dups,
-    # ngram_jaccard_pairs, substring_dup_pairs, duplicate_spans,
-    # decontaminate, line_dedup, remove_dup_spans, char_entropy_scores,
-    # cosine_dup_pairs, cosine_text_pairs, bpe_token_counts,
-    # bpe_merge_pairs, doc_top_terms, perplexity_scores, the seven audio
-    # faces, temperature_resample, uniform_sample, the three event twins,
-    # and the three reader-path twins.
-    # Non-SQL-expressible queries (approx-by-design ANN/semdedup, the
-    # full difflib matches table -- kernel driver-pinned via the in-window
-    # 1/64 dedup_match_sample -- and the FFT audio family, pinned by
-    # repo-local brute-force oracles) sit last.
-    # Fourth continuation session: (iii-h) norm_dedup / audio_clipping /
-    # length_outliers / mojibake_report / audio_crest / audio_norm_exact
-    # take window slots for their first direct rows; exact_dedup
-    # (raw-hash kernel transitively re-exercised inside norm_dedup),
-    # quality_scores, repetition_scores, incremental_dedup,
-    # containment_search (all r2-direct-green, kernels unchanged) and
-    # blocklist_report (r3-direct-green; r4 change was twin-robustness
-    # only) rotate to 51+.
+    # entries.  Window policy (round 5): VERDICT r4 "Next round" #1 asks
+    # for direct rows on the seven twins that landed after the round-4
+    # window froze; after THIS window, every SQL twin in the repo has had
+    # a direct green driver row at least once (for the third time running
+    # the rotation closes the previous round's additions).  The 50 slots:
+    #   (i)   positions 1-7: the seven late round-4 twins taking their
+    #         FIRST direct rows — leakage_safe_split, gopher_rules,
+    #         dedup_savings, eval_leak_report, audio_eval_leak (whose
+    #         collision kernel was ALSO vectorized this round — double
+    #         reason), strip_markup, audio_corpus_profile;
+    #   (ii)  positions 8-19: the flagship dedup chain (north rule) —
+    #         in-window every round, every link.  dedup_match_sample's
+    #         difflib pin densified 1/64 -> full-table this round
+    #         (VERDICT #5), and the matches-stage scorer gained per-bucket
+    #         content-hash dedup (VERDICT #3) — the chain re-check covers
+    #         both changes;
+    #   (iii) positions 20-23: kernels that CHANGED this round and must
+    #         re-earn green — minhash_doc_survivors /
+    #         doc_cluster_canonicals / doc_canonical_survivors (drop-set
+    #         broadcast replaced by the bucketed anti-join, VERDICT #2)
+    #         and fold_diacritics (hanzi fold table widened, VERDICT #7);
+    #   (iv)  positions 24-50: the twenty-seven stalest twins — every
+    #         remaining query last direct-checked in round 2
+    #         (CORRECTNESS_r02.json) plus blocklist_report (r3) — so the
+    #         oldest evidence in the repo is refreshed.  After this round
+    #         no twin's most recent direct row is older than round 3.
+    # Rotated out (ALL direct-green in round 4, kernels unchanged since
+    # CORRECTNESS_r04.json): csv_token_counts, sorted_neighbor_multi,
+    # audio_invariant_summary, audio_decontam, fuzzy_decontam_survivors,
+    # perplexity_filter, lsh_cosine_dup_pairs, ann_topk, bloom_membership,
+    # the audio hygiene family (loudnorm/dc/trim/clipping/crest/
+    # norm_exact/segment/transcode/speech_rate/pack_assignment), the
+    # winnow + CDC + tier + fold families (winnow_*, cdc_*,
+    # remove_dup_chunks, gram_novelty, length_sorted_packs,
+    # dedup_tier_report, tiered_purge_report, norm_dedup, mojibake_report,
+    # length_outliers), jaccard_histogram, quality_topk_per_source,
+    # rolling_fingerprints.
+    # Non-SQL-expressible queries (approx-by-design ANN/semdedup and the
+    # FFT audio family, pinned by repo-local brute-force oracles) sit
+    # last.  dedup_matches itself is now fully twinned (VERDICT #5) but
+    # rides at 51+ because the flagship chain already hash-checks its
+    # kernel in-window via the full-density dedup_match_sample.
     # tools/check_entry.py checks ALL twinned queries regardless of
-    # position; COVERAGE.md carries the same map.
+    # position (plus a seeded --random mode, VERDICT #8); COVERAGE.md
+    # carries the same map.
     return {
-        # (i) the seven never-driver-checked twins
-        "csv_token_counts": _q_csv_token_counts,
-        "sorted_neighbor_multi": _q_sorted_neighbor_multi,
-        "audio_invariant_summary": _q_audio_invariant_summary,
-        "audio_decontam": _q_audio_decontam,
-        "fuzzy_decontam_survivors": _q_fuzzy_decontam_survivors,
-        "minhash_doc_survivors": _q_minhash_doc_survivors,
-        "perplexity_filter": _q_perplexity_filter,
+        # (i) the seven late round-4 twins -> first direct rows
+        "leakage_safe_split": _q_leakage_safe_split,
+        "gopher_rules": _q_gopher_rules,
+        "dedup_savings": _q_dedup_savings,
+        "eval_leak_report": _q_eval_leak_report,
+        "audio_eval_leak": _q_audio_eval_leak,
+        "strip_markup": _q_strip_markup,
+        "audio_corpus_profile": _q_audio_profile,
         # (ii) flagship dedup chain (north rule)
         "windows": _q_windows,
         "lsh_candidates": _q_lsh_candidates,
@@ -2450,87 +2443,12 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "match_scatterplots": _q_scatterplots,
         "clips_pipeline": _q_clips_pipeline,
         "audio_validate": _q_audio_validate,
-        # (iii) kernel/twin changed this round -> re-checked
-        "lsh_cosine_dup_pairs": _q_lsh_cosine_pairs,
-        "ann_topk": _q_ann_topk,
-        "bloom_membership": _q_bloom_membership,
-        "fold_diacritics": _q_fold_diacritics,
-        # (iii-b) NEW twins this round -> need their first direct rows
-        "audio_segment_sample": _q_audio_segment_sample,
-        "audio_transcode_sample": _q_audio_transcode_sample,
-        # (iii-c) NEW twins from the round-4 continuation session -> need
-        #         their first direct rows (displace six r2-green twins
-        #         with unchanged kernels to 51+; see COVERAGE.md)
-        "audio_loudnorm": _q_audio_loudnorm,
-        "audio_dc_offset": _q_audio_dc,
-        "speech_rate_report": _q_speech_rate,
+        # (iii) kernels changed this round -> re-checked
+        "minhash_doc_survivors": _q_minhash_doc_survivors,
         "doc_cluster_canonicals": _q_doc_canonicals,
         "doc_canonical_survivors": _q_doc_canonical_survivors,
-        "audio_pack_assignment": _q_audio_packs,
-        "audio_trim_stats": _q_audio_trim,
-        "jaccard_histogram": _q_jaccard_histogram,
-        "quality_topk_per_source": _q_quality_topk,
-        # (iii-d) winnowing family, added later in the round-4
-        #         continuation: the two NEW twins take their first direct
-        #         rows, and rolling_fingerprints returns in-window because
-        #         its kernel was REFACTORED this session (the k-gram hash
-        #         now lives in text_stats.kgram_hashes, shared with
-        #         winnowing — values unchanged, but changed code gets a
-        #         direct re-check per the round-3 policy).  Displaces
-        #         three r2-green unchanged twins to 51+ (cms_word_counts,
-        #         minhash_doc_clusters, suffix_repeat_spans).
-        "winnow_fingerprints": _q_winnow_fps,
-        "winnow_dup_pairs": _q_winnow_pairs,
-        "rolling_fingerprints": _q_rolling_fp,
-        # (iii-e) content-defined chunking family (NEW, same session):
-        #         LBFS/FastCDC cut rule + chunk-content hash, twinned
-        #         end-to-end; displaces two more r2-green unchanged
-        #         twins (token_quantiles, hll_distinct) to 51+
-        "cdc_chunks": _q_cdc_chunks,
-        "cdc_dup_chunks": _q_cdc_dups,
-        "remove_dup_chunks": _q_remove_dup_chunks,
-        # (iii-f) gram-novelty curation rank + length-sorted packing
-        #         (NEW, same session)
-        "gram_novelty": _q_gram_novelty,
-        "length_sorted_packs": _q_length_sorted_packs,
-        # (iii-g) tiered dedup (NEW, third continuation session): the
-        #         exact/near/weak tier report + the cascade purge, both
-        #         composed from the pinned family chains; displaces two
-        #         more r2-green unchanged twins (top_bigrams, lang_id)
-        #         to 51+
-        "dedup_tier_report": _q_dedup_tier_report,
-        "tiered_purge_report": _q_tiered_purge_report,
-        # (iii-h) fourth continuation session: normalization-folded exact
-        #         dedup (the fuzzy-exact tier rung), the audio clipping
-        #         gate (preamp + rail/island detection), and the robust
-        #         per-source length-outlier gate — three NEW twins taking
-        #         their first direct rows; displaces three more r2-green
-        #         unchanged twins (exact_dedup — whose raw-hash kernel is
-        #         transitively re-exercised INSIDE norm_dedup's variant
-        #         counting — quality_scores, repetition_scores) to 51+
-        "norm_dedup": _q_norm_dedup,
-        "audio_clipping": _q_audio_clipping,
-        "length_outliers": _q_length_outliers,
-        "mojibake_report": _q_mojibake,
-        "audio_crest": _q_audio_crest,
-        "audio_norm_exact": _q_audio_norm_exact,
-        # --- position 51+ starts here ---
-        # leakage_safe_split / gopher_rules / audio_corpus_profile: NEW
-        # twins added after the window filled — sweep-verified this
-        # session; FIRST candidates for the round-5 window rotation
-        "leakage_safe_split": _q_leakage_safe_split,
-        "gopher_rules": _q_gopher_rules,
-        "audio_corpus_profile": _q_audio_profile,
-        "dedup_savings": _q_dedup_savings,
-        "eval_leak_report": _q_eval_leak_report,
-        "audio_eval_leak": _q_audio_eval_leak,
-        "strip_markup": _q_strip_markup,
-        # blocklist_report: direct-green in r3; its r4 change was a twin
-        # whitespace-robustness fix only (sweep-verified), so it yields
-        # its re-check slot to audio_norm_exact's FIRST direct row
-        "blocklist_report": _q_blocklist,
-        # (iv) last direct-checked in round 2, kernels unchanged since;
-        # displaced by the session's first-direct-row twins
+        "fold_diacritics": _q_fold_diacritics,
+        # (iv) the 27 stalest twins (r2-green ×26 + blocklist_report r3)
         "incremental_dedup": _q_incremental_dedup,
         "containment_search": _q_containment,
         "exact_dedup": _q_exact_dedup,
@@ -2555,10 +2473,46 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "word_counts": _q_word_counts,
         "token_counts": _q_token_counts,
-        # simhash_fingerprints is direct-green in round 2 with kernel
-        # unchanged since; rolling_fingerprints moved back IN-window
-        # ((iii-d) above) after its kgram_hashes refactor
         "simhash_fingerprints": _q_simhash,
+        "window_counts": _q_window_counts,
+        "blocklist_report": _q_blocklist,
+        # --- position 51+ starts here ---
+        # direct-green in round 4 (CORRECTNESS_r04.json), kernels
+        # unchanged since that check
+        "csv_token_counts": _q_csv_token_counts,
+        "sorted_neighbor_multi": _q_sorted_neighbor_multi,
+        "audio_invariant_summary": _q_audio_invariant_summary,
+        "audio_decontam": _q_audio_decontam,
+        "fuzzy_decontam_survivors": _q_fuzzy_decontam_survivors,
+        "perplexity_filter": _q_perplexity_filter,
+        "lsh_cosine_dup_pairs": _q_lsh_cosine_pairs,
+        "ann_topk": _q_ann_topk,
+        "bloom_membership": _q_bloom_membership,
+        "audio_segment_sample": _q_audio_segment_sample,
+        "audio_transcode_sample": _q_audio_transcode_sample,
+        "audio_loudnorm": _q_audio_loudnorm,
+        "audio_dc_offset": _q_audio_dc,
+        "speech_rate_report": _q_speech_rate,
+        "audio_pack_assignment": _q_audio_packs,
+        "audio_trim_stats": _q_audio_trim,
+        "jaccard_histogram": _q_jaccard_histogram,
+        "quality_topk_per_source": _q_quality_topk,
+        "winnow_fingerprints": _q_winnow_fps,
+        "winnow_dup_pairs": _q_winnow_pairs,
+        "rolling_fingerprints": _q_rolling_fp,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dup_chunks": _q_cdc_dups,
+        "remove_dup_chunks": _q_remove_dup_chunks,
+        "gram_novelty": _q_gram_novelty,
+        "length_sorted_packs": _q_length_sorted_packs,
+        "dedup_tier_report": _q_dedup_tier_report,
+        "tiered_purge_report": _q_tiered_purge_report,
+        "norm_dedup": _q_norm_dedup,
+        "audio_clipping": _q_audio_clipping,
+        "length_outliers": _q_length_outliers,
+        "mojibake_report": _q_mojibake,
+        "audio_crest": _q_audio_crest,
+        "audio_norm_exact": _q_audio_norm_exact,
         # --- direct-green in round 3 (CORRECTNESS_r03),
         # kernels unchanged since that check
         "minhash_doc_dedup": _q_minhash_doc,
@@ -2594,7 +2548,6 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_token_counts": _q_jsonl_token_counts,
         "fuzzy_decontam": _q_fuzzy_decontam,
         "textdir_window_counts": _q_textdir_window_counts,
-        "window_counts": _q_window_counts,
         # --- non-SQL-expressible (approx-by-design / difflib / FFT)
         "dedup_matches": _q_matches,
         "ann_topk_ivf": _q_ann_topk_ivf,
