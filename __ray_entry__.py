@@ -542,18 +542,16 @@ def _q_doc_canonicals(sf_dir: str):
     """Policy survivor selection per doc-level dup cluster (keep the
     longest member, tiebreak min id) — the twin re-derives the whole
     chain from the raw table then replays the argmax with a window
-    function."""
-    import ray.data
-
+    function.  Round 5: the argmax now runs inside a
+    groupby(dup_cluster_id) co-group and membership resolution is
+    knob-gated broadcast/anti-join (VERDICT r4 #2)."""
     from intertext_ray.ops.minhash_doc import minhash_doc_canonicals
 
     docs = _read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return ray.data.from_arrow(
-        minhash_doc_canonicals(
-            docs, k=3, n_perm=16, band_rows=2, min_jaccard=0.5
-        )
+    return minhash_doc_canonicals(
+        docs, k=3, n_perm=16, band_rows=2, min_jaccard=0.5
     )
 
 

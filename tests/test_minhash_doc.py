@@ -364,7 +364,7 @@ def test_minhash_doc_canonicals_policy(ray_session):
         ]
     )
     got = (
-        rd.from_arrow(minhash_doc_canonicals(docs))
+        minhash_doc_canonicals(docs)
         .to_pandas()
         .set_index("dup_cluster_id")
         .sort_index()
@@ -436,3 +436,73 @@ def test_jaccard_histogram_matches_pairs(ray_session):
     assert got.index.tolist() == want.index.tolist()
     assert got.tolist() == want.tolist()
     assert int(got.sum()) == len(pairs)
+
+
+def test_doc_faces_anti_join_path(ray_session, monkeypatch):
+    """VERDICT r4 #2: above the broadcast knob the survivor/canonical
+    faces must use the bucketed anti-join and NEVER build a driver-side
+    broadcast set.  Forced-high dup rate corpus (every doc clustered);
+    knob forced to 0; ``_broadcast`` patched to explode if touched."""
+    import ray.data as rd
+
+    import intertext_ray.ops.minhash_doc as M
+
+    # 3 clusters x 4 near-identical members + 2 singletons = 12/14 dup
+    # rate (≫ any web crawl) — the regime the anti-join exists for
+    rows = []
+    for c in range(3):
+        base = " ".join(f"w{c}_{i}" for i in range(12))
+        for m in range(4):
+            rows.append(
+                {
+                    "doc_id": 10 * c + m,
+                    # vary length so the canonical argmax is non-trivial
+                    "text": base + " pad" * m,
+                }
+            )
+    rows.append({"doc_id": 100, "text": "lone a b c d e f g"})
+    rows.append({"doc_id": 101, "text": "solo p q r s t u v"})
+    docs = rd.from_items(rows)
+
+    kw = dict(k=3, n_perm=16, band_rows=2, min_jaccard=0.5)
+    want_surv = set(M.minhash_doc_survivors(docs, **kw).to_pandas().doc_id)
+    want_canon = (
+        M.minhash_doc_canonicals(docs, **kw)
+        .to_pandas()
+        .sort_values("dup_cluster_id", ignore_index=True)
+    )
+    want_cs = set(
+        M.minhash_doc_canonical_survivors(docs, **kw).to_pandas().doc_id
+    )
+    # sanity: the dup rate really is high and the policy argmax differs
+    # from min-id (longest member wins)
+    assert len(want_canon) == 3
+    assert set(want_canon.survivor_doc_id) == {3, 13, 23}
+    assert want_surv == {0, 10, 20, 100, 101}
+    assert want_cs == {3, 13, 23, 100, 101}
+
+    monkeypatch.setattr(
+        M,
+        "_broadcast",
+        lambda obj: (_ for _ in ()).throw(
+            AssertionError("driver-side set broadcast above the knob")
+        ),
+    )
+    got_surv = set(
+        M.minhash_doc_survivors(docs, broadcast_threshold=0, **kw)
+        .to_pandas()
+        .doc_id
+    )
+    got_canon = (
+        M.minhash_doc_canonicals(docs, broadcast_threshold=0, **kw)
+        .to_pandas()
+        .sort_values("dup_cluster_id", ignore_index=True)
+    )
+    got_cs = set(
+        M.minhash_doc_canonical_survivors(docs, broadcast_threshold=0, **kw)
+        .to_pandas()
+        .doc_id
+    )
+    assert got_surv == want_surv
+    assert got_canon.equals(want_canon)
+    assert got_cs == want_cs
