@@ -44,8 +44,11 @@ def verify_pair(
     return int(sim)
 
 
+_MISS = object()
+
+
 class BatchVerifier:
-    """Vector verifier with three EXACT-semantics accelerations over naive
+    """Vector verifier with EXACT-semantics accelerations over naive
     per-pair difflib (scores identical to the reference, only work is saved):
 
     - memoized distinct (a, b) text pairs and per-text junk flags — candidate
@@ -55,7 +58,16 @@ class BatchVerifier:
     - difflib's own ``real_quick_ratio``/``quick_ratio`` cascade — both are
       documented UPPER BOUNDS on ``ratio``, so rejecting when the bound is
       already below ``min_sim`` never changes the result; identical strings
-      short-circuit to 100.
+      short-circuit to 100;
+    - ``verify_arrow`` (round 5, VERDICT r4 #3) lifts the identical / junk /
+      real_quick / quick checks OUT of the per-pair Python loop into numpy
+      over the whole batch — quick_ratio's char-multiset bound becomes one
+      ``np.minimum(Ca, Cb).sum(axis=1)`` over per-distinct-text bincount
+      rows (ASCII fast path; non-ASCII texts fall back to difflib's own
+      cascade in the loop) — so the Python loop runs ``ratio()`` and the
+      memo only.  Bound arithmetic is the same IEEE ``2.0*M/T`` as
+      difflib's ``_calculate_ratio``, so accept/reject decisions are
+      bit-identical (pinned by ``test_verify_arrow_parity``).
     """
 
     def __init__(self, min_sim: int = 50, window_length: int = 14,
@@ -111,5 +123,113 @@ class BatchVerifier:
                 memo[key] = None
                 continue
             memo[key] = sim
+            out[i] = sim
+        return out
+
+    def verify_arrow(self, arr_a, arr_b):
+        """Vectorized verify over two Arrow string arrays.  Returns an
+        int32 numpy array of similarities with -1 for rejected pairs —
+        decision-identical to ``verify_many`` (same memo, same difflib
+        cascade semantics), with the bound checks batched in numpy."""
+        import numpy as np
+
+        n = len(arr_a)
+        out = np.full(n, -1, np.int32)
+        if n == 0:
+            return out
+        ta = arr_a.to_pylist()
+        tb = arr_b.to_pylist()
+
+        import pandas as pd
+
+        codes, uniques = pd.factorize(
+            np.array(ta + tb, dtype=object), sort=False
+        )
+        ia, ib = codes[:n], codes[n:]
+        uniq = uniques.tolist()
+        nu = len(uniq)
+
+        junk = np.fromiter((self._junk(t) for t in uniq), bool, nu)
+        ulen = np.fromiter((len(t) for t in uniq), np.int64, nu)
+        la, lb = ulen[ia], ulen[ib]
+        T = la + lb
+        alive = ~(junk[ia] | junk[ib])
+
+        # identical texts (same factorize code) short-circuit to 100 —
+        # difflib ratio of equal strings is 1.0
+        ident = alive & (ia == ib) & (ulen[ia] > 0)
+        out[ident] = 100
+        alive &= ~ident
+        # two empty strings: ratio is defined 1.0 by _calculate_ratio
+        both_empty = alive & (T == 0)
+        out[both_empty] = 100
+        alive &= ~both_empty
+
+        # real_quick_ratio bound: 2*min(la,lb)/T — same float ops as difflib
+        rq = (2.0 * np.minimum(la, lb)) / np.maximum(T, 1)
+        alive &= ~(rq * 100 < self.min_sim)
+
+        # quick_ratio bound via per-distinct-text char bincounts (ASCII
+        # fast path; non-ASCII / very long texts take difflib's own
+        # cascade inside the loop below)
+        if alive.any():
+            C = np.zeros((nu, 256), np.uint16)
+            plain = np.zeros(nu, bool)
+            for i, t in enumerate(uniq):
+                if len(t) > 60000:
+                    continue
+                b = t.encode("utf-8")
+                if len(b) != len(t):
+                    continue
+                plain[i] = True
+                C[i] = np.bincount(
+                    np.frombuffer(b, np.uint8), minlength=256
+                ).astype(np.uint16)
+            fast = alive & plain[ia] & plain[ib]
+            idx = np.flatnonzero(fast)
+            if len(idx):
+                M = np.minimum(C[ia[idx]], C[ib[idx]]).sum(
+                    axis=1, dtype=np.int64
+                )
+                qr = (2.0 * M) / T[idx]
+                alive[idx[qr * 100 < self.min_sim]] = False
+            bounded = fast  # pairs whose bounds are fully pre-checked
+        else:
+            bounded = np.zeros(n, bool)
+
+        # the lean loop: memo + set_seq2 reuse + ratio() on survivors only
+        surv = np.flatnonzero(alive)
+        if len(surv) == 0:
+            return out
+        order = surv[np.argsort(ib[surv], kind="stable")]
+        sm = SequenceMatcher(None, autojunk=False)
+        last_ib = -1
+        memo = self._pair_memo
+        min_sim = self.min_sim
+        for i in order:
+            a, b = ta[i], tb[i]
+            hit = memo.get((a, b), _MISS)
+            if hit is not _MISS:
+                if hit is not None:
+                    out[i] = hit
+                continue
+            cur_ib = ib[i]
+            if cur_ib != last_ib:
+                sm.set_seq2(b)
+                last_ib = cur_ib
+            sm.set_seq1(a)
+            if not bounded[i]:
+                if sm.real_quick_ratio() * 100 < min_sim:
+                    memo[(a, b)] = None
+                    continue
+                if sm.quick_ratio() * 100 < min_sim:
+                    memo[(a, b)] = None
+                    continue
+            r = sm.ratio() * 100
+            if r < min_sim:
+                memo[(a, b)] = None
+                continue
+            sim = int(r)
+            memo[(a, b)] = sim
             out[i] = sim
         return out

@@ -32,19 +32,36 @@ from intertext_ray.functions.similarity import BatchVerifier
 
 _U64 = np.uint64
 
+# per-worker-process verifier cache: one BatchVerifier per distinct config,
+# reused across every task the worker runs so the pair/junk memos compound
+# for the whole job (bounded: memos cleared past 2M entries)
+_PROC_VERIFIERS: dict[tuple, BatchVerifier] = {}
+
+
+def _proc_verifier(cfg: IntertextConfig) -> BatchVerifier:
+    key = (cfg.min_sim, cfg.window_length, cfg.junk_single_char_frac)
+    v = _PROC_VERIFIERS.get(key)
+    if v is None:
+        v = BatchVerifier(*key)
+        _PROC_VERIFIERS[key] = v
+    if len(v._pair_memo) > 2_000_000:
+        v._pair_memo.clear()
+    if len(v._junk_memo) > 2_000_000:
+        v._junk_memo.clear()
+    return v
+
 
 def _verify_batch(
     batch: pa.Table, cfg: IntertextConfig, verifier: BatchVerifier | None = None
 ) -> pa.Table:
     """(doc_a, doc_b, win_a, win_b, text_a, text_b) -> matches rows."""
-    ta = batch["text_a"].to_pylist()
-    tb = batch["text_b"].to_pylist()
     v = verifier or BatchVerifier(
         cfg.min_sim, cfg.window_length, cfg.junk_single_char_frac
     )
-    res = v.verify_many(ta, tb)
-    sims = np.array([s if s is not None else 0 for s in res], dtype=np.int32)
-    keep = np.array([s is not None for s in res], dtype=bool)
+    sims = v.verify_arrow(
+        batch["text_a"].combine_chunks(), batch["text_b"].combine_chunks()
+    )
+    keep = sims >= 0
     out = batch.select(["doc_a", "doc_b", "win_a", "win_b"]).filter(
         pa.array(keep)
     )
@@ -199,20 +216,22 @@ def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int
             "pbucket", pa.array((key % nb_pivot).astype(np.int64))
         )
 
-    def pivot_and_verify(g: pa.Table) -> pa.Table:
+    def pivot_pairs(g: pa.Table) -> pa.Table:
+        # keys-only pandas merge (ints + row positions); texts attached via
+        # Arrow take() so strings never round-trip through pandas.
+        # Candidate dedup stays fused into this pair co-group: the same
+        # candidate reached via bands in different buckets arrives here
+        # multiple times (candidates_stage(dedup=False) streaming path) —
+        # all copies share this pbucket, so a per-side drop_duplicates IS
+        # the exact global dedup (reference A3) at no extra exchange
         df = g.to_pandas()
         keys = ["doc_a", "doc_b", "win_a", "win_b"]
         a = df[df["side"] == 0].rename(columns={"text": "text_a"})
         b = df[df["side"] == 1][keys + ["text"]].rename(columns={"text": "text_b"})
-        # candidate dedup fused into the pair co-group: the same candidate
-        # reached via bands in different buckets arrives here multiple times
-        # (candidates_stage(dedup=False) streaming path) — all copies share
-        # this pbucket, so a per-side drop_duplicates IS the exact global
-        # dedup (reference A3) at no extra exchange
         a = a.drop_duplicates(subset=keys)
         b = b.drop_duplicates(subset=keys)
         merged = a.merge(b, on=keys, how="inner")
-        t = pa.table(
+        return pa.table(
             {
                 "doc_a": pa.array(merged["doc_a"].to_numpy(np.uint64), pa.uint64()),
                 "doc_b": pa.array(merged["doc_b"].to_numpy(np.uint64), pa.uint64()),
@@ -222,15 +241,30 @@ def verify_hash_join(candidates, windows, cfg: IntertextConfig, num_buckets: int
                 "text_b": pa.array(merged["text_b"].tolist(), pa.string()),
             }
         )
-        return _verify_batch(t, cfg)
+
+    # scoring runs as a fixed-batch TASK map stage AFTER the pivot
+    # co-group, not inside it (round 5, VERDICT r4 #3): per-pair difflib
+    # cost is highly variable, so fixed-size batches schedule far smoother
+    # than 4*num_buckets variable-cost reduce groups.  Stateless tasks, not
+    # an actor pool — a pool in this 15-op DAG starves the shuffle stages
+    # (measured here: actor-pool scorer 28 s vs task scorer, see
+    # BASELINE.md; same pathology as the bench.py reservation-ratio note).
+    # The verifier is PROCESS-GLOBAL (_proc_verifier): Ray worker
+    # processes outlive tasks, so the (text_a, text_b) memo persists
+    # across every batch a worker scores — repeated pairs on near-dup
+    # corpora (1.33x repetition at sf0.1) score once per WORKER, strictly
+    # better reuse than the old once-per-pivot-group scope.  Scores are
+    # exact difflib either way.
+    def score(batch: pa.Table) -> pa.Table:
+        return _verify_batch(batch, cfg, _proc_verifier(cfg))
 
     paired = resolved.map_batches(add_pair_bucket, batch_format="pyarrow")
     if pre_split:
         paired = maybe_split(paired, num_buckets)
-    return (
-        paired.groupby("pbucket")
-        .map_groups(pivot_and_verify, batch_format="pyarrow")
+    pairs = paired.groupby("pbucket").map_groups(
+        pivot_pairs, batch_format="pyarrow"
     )
+    return pairs.map_batches(score, batch_format="pyarrow", batch_size=4096)
 
 
 def matches_stage(

@@ -123,3 +123,31 @@ def test_strip_diacritics_cjk_arabic():
     assert sd("中国 学生") == "zhongguo xuesheng"
     # mixed-script strings fold script-by-script
     assert sd("café Москва 한국 中") == "cafe Moskva hangug zhong"
+
+
+def test_verify_arrow_parity():
+    """verify_arrow (vectorized bounds + lean difflib loop) is
+    decision-identical to verify_many on adversarial inputs: unicode,
+    empties, identical pairs, junk windows, near-misses around min_sim."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.functions.similarity import BatchVerifier
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "g", "x", "y", "été", "漢字", "word", "z", "qq"]
+    pool = [
+        " ".join(rng.choice(vocab, rng.integers(1, 16))) for _ in range(800)
+    ]
+    pool += ["", "a", "a b c d", "é" * 5, "x " * 14]  # junk candidate
+    ta = [pool[rng.integers(0, len(pool))] for _ in range(3000)]
+    tb = [pool[rng.integers(0, len(pool))] for _ in range(3000)]
+    for i in range(0, 3000, 4):  # plant identical + near-identical pairs
+        tb[i] = ta[i] if i % 8 else ta[i] + " tail"
+    want = BatchVerifier(50, 14, 0.75).verify_many(ta, tb)
+    got = BatchVerifier(50, 14, 0.75).verify_arrow(
+        pa.array(ta, pa.string()), pa.array(tb, pa.string())
+    )
+    for i in range(3000):
+        w = want[i] if want[i] is not None else -1
+        assert w == got[i], (i, ta[i], tb[i], w, got[i])
