@@ -449,12 +449,23 @@ def audio_eval_leak_report(
     order = np.lexsort((ev_2, ev_1, ev_n))
     inv = np.empty(len(order), np.int64)
     inv[order] = np.arange(len(order))
-    keys_ref = ray.put((ev_n[order], ev_1[order], ev_2[order]))
+    # composite-key triples as ONE sorted structured array (VERDICT r4
+    # #6): lexsort order (n, ck1, ck2) == numpy's lexicographic struct
+    # order, so the corpus side resolves collisions with two structured
+    # searchsorted calls — no per-row Python loop
+    triple_dt = np.dtype(
+        [("n", np.int64), ("c1", np.uint64), ("c2", np.uint64)]
+    )
+    ev_keys = np.empty(len(ev_n), triple_dt)
+    ev_keys["n"] = ev_n[order]
+    ev_keys["c1"] = ev_1[order]
+    ev_keys["c2"] = ev_2[order]
+    keys_ref = ray.put(ev_keys)
 
     def partial_hits(batch: pa.Table) -> pa.Table:
-        kn, k1, k2 = ray.get(keys_ref)
+        ev = ray.get(keys_ref)
         ck = pcm_checksums_batch(batch, codecs)
-        if len(kn) == 0 or ck is None or len(ck[0]) == 0:
+        if len(ev) == 0 or ck is None or len(ck[0]) == 0:
             return pa.table(
                 {
                     "key_idx": pa.array([], pa.int64()),
@@ -462,15 +473,25 @@ def audio_eval_leak_report(
                 }
             )
         cn, c1, c2 = ck
-        # binary search the sorted (n, ck1, ck2) key triples
-        lo = np.searchsorted(kn, cn, side="left")
-        counts = np.zeros(len(kn), np.int64)
-        for i in range(len(cn)):  # per corpus clip in batch (<= batch_size)
-            j = lo[i]
-            while j < len(kn) and kn[j] == cn[i]:
-                if k1[j] == c1[i] and k2[j] == c2[i]:
-                    counts[j] += 1
-                j += 1
+        q = np.empty(len(cn), ev.dtype)
+        q["n"] = np.asarray(cn, np.int64)
+        q["c1"] = np.asarray(c1, np.uint64)
+        q["c2"] = np.asarray(c2, np.uint64)
+        lo = np.searchsorted(ev, q, side="left")
+        hi = np.searchsorted(ev, q, side="right")
+        hit = hi > lo  # exact triple present (run covers duplicate keys)
+        reps = (hi - lo)[hit]
+        starts = lo[hit]
+        total = int(reps.sum())
+        # expand each [lo, hi) run to its member indices, crediting every
+        # duplicate eval key exactly as the old per-row walk did
+        idx = (
+            np.repeat(starts, reps)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        counts = np.zeros(len(ev), np.int64)
+        np.add.at(counts, idx, 1)
         nz = np.nonzero(counts)[0]
         return pa.table(
             {

@@ -212,3 +212,34 @@ def test_audio_eval_leak_report(ray_session):
     # the ulaw eval clip's checksum is over its DECODED (companded)
     # samples — no corpus clip matches
     assert got.loc["ev_2", "n_corpus_copies"] == 0
+
+
+def test_audio_eval_leak_duplicate_eval_keys(ray_session):
+    """Two eval clips with IDENTICAL PCM must EACH be credited with every
+    corpus copy (the duplicate-key run in the composite searchsorted)."""
+    import ray
+
+    from intertext_ray.ops.audio_exact import audio_eval_leak_report
+
+    shared = _rand_pcm(21, 1800)
+    ev_rows = [
+        ("ev_a", shared, 8000, "pcm_s16le"),
+        ("ev_b", shared, 8000, "pcm_s16le"),  # same PCM as ev_a
+        ("ev_c", _rand_pcm(22, 900), 8000, "pcm_s16le"),
+    ]
+    corpus_rows = [
+        ("c_0", shared, 8000, "pcm_s16le"),
+        ("c_1", shared, 8000, "wav"),  # re-container, same decoded PCM
+        ("c_2", _rand_pcm(23, 1100), 8000, "pcm_s16le"),
+    ]
+    got = (
+        audio_eval_leak_report(
+            ray.data.from_arrow(_clips_table(corpus_rows)).repartition(2),
+            ray.data.from_arrow(_clips_table(ev_rows)),
+        )
+        .to_pandas()
+        .set_index("clip_id")
+    )
+    assert got.loc["ev_a", "n_corpus_copies"] == 2
+    assert got.loc["ev_b", "n_corpus_copies"] == 2
+    assert got.loc["ev_c", "n_corpus_copies"] == 0
