@@ -930,12 +930,16 @@ def _q_fold_diacritics(sf_dir: str):
     CJK/Arabic romanization, NFKD+strip, Greek/Cyrillic romanization —
     reference intertext.py:1143-1144): inject known chars from EVERY
     covered script family into the raw text (a->á e->έ o->ø c->ç s->ш
-    p->ψ t->ث d->ذ k->か r->ル h->한 z->中 m->م b->ب — all vectorized),
-    fold with the REAL kernel.  Each injected char is a pure function of
-    one raw ASCII char, so the net effect is a simultaneous per-char map
-    (s->sh p->ps t->th d->dh k->ka r->ru h->han z->zhong; a e o c m b are
-    identity) that the twin replicates with an ordered replace() chain
-    (an output never contains a pattern replaced later) — value-hash
+    p->ψ t->ث d->ذ k->か r->ル h->한 z->中 m->م b->ب, plus — round 5,
+    sampling the WIDENED hanzi table (VERDICT r4 #7) — n->南 u->雨
+    f->飞 x->西 g->贵 l->龙 q->青 w->王, all vectorized), fold with the
+    REAL kernel.  Each injected char is a pure function of one raw ASCII
+    char, so the net effect is a simultaneous per-char map (s->sh p->ps
+    t->th d->dh k->ka r->ru h->han z->zhong n->nan u->yu f->fei x->xi
+    g->gui l->long q->qing w->wang; a e o c m b are identity) that the
+    twin replicates with an ordered replace() chain (an output never
+    contains a pattern replaced LATER — order n,u,f,x,g,l,q,w,h,s,t,d,
+    z,p,k,r is verified pairwise in the twin comment) — value-hash
     equality certifies every hop (extras table, Arabic/kana/hanzi tables,
     algorithmic Hangul, decomposition, romanization) byte-for-byte."""
     import pyarrow as pa
@@ -951,7 +955,11 @@ def _q_fold_diacritics(sf_dir: str):
                          ("c", "ç"), ("s", "ш"), ("p", "ψ"),
                          ("t", "ث"), ("d", "ذ"), ("k", "か"),
                          ("r", "ル"), ("h", "한"), ("z", "中"),
-                         ("m", "م"), ("b", "ب")]:
+                         ("m", "م"), ("b", "ب"),
+                         # round-5 probes into the widened hanzi table
+                         ("n", "南"), ("u", "雨"), ("f", "飞"),
+                         ("x", "西"), ("g", "贵"), ("l", "龙"),
+                         ("q", "青"), ("w", "王")]:
             t = pc.replace_substring(t, pattern=src, replacement=dst)
         folded = pa.array(
             [strip_diacritics(x) for x in t.to_pylist()], pa.string()
@@ -4667,16 +4675,24 @@ def oracle_sql() -> dict[str, str]:
         # fold_diacritics: engine injects chars from every covered script
         # family then folds with the real kernel; the net per-char map on
         # the raw ASCII (see _q_fold_diacritics) is replicated as an
-        # ordered replace chain — h first (its output 'han' contains no
-        # later pattern), then s/t/d/z (outputs contain 'h', already
-        # replaced), then p (output contains 's', already replaced), then
-        # k/r (outputs contain only unmapped chars)
+        # ordered replace chain.  Order n,u,f,x,g,l,q,w,h,s,t,d,z,p,k,r —
+        # verified pairwise: no step's output contains a pattern replaced
+        # LATER (nan/yu/fei/xi precede everything that could touch them;
+        # gui needs u done; long/qing/wang/zhong need n and g done;
+        # han needs n; sh/th/dh need h; ps needs s; ru needs u).
+        # Outputs MAY contain earlier patterns (e.g. 'u' in 'gui') — those
+        # stay literal on both sides, matching the engine's simultaneous
+        # per-char translate.
         "fold_diacritics": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    replace(replace(replace(replace(replace(replace(replace(
-                     replace(text, 'h', 'han'),
-                     's', 'sh'), 't', 'th'), 'd', 'dh'), 'z', 'zhong'),
-                     'p', 'ps'), 'k', 'ka'), 'r', 'ru') AS text
+                   replace(replace(replace(replace(replace(replace(replace(
+                   replace(replace(text,
+                     'n', 'nan'), 'u', 'yu'), 'f', 'fei'), 'x', 'xi'),
+                     'g', 'gui'), 'l', 'long'), 'q', 'qing'), 'w', 'wang'),
+                     'h', 'han'), 's', 'sh'), 't', 'th'), 'd', 'dh'),
+                     'z', 'zhong'), 'p', 'ps'), 'k', 'ka'), 'r', 'ru')
+                   AS text
             FROM documents
         """,
         "fuzzy_decontam": _fuzzy_decontam_sql(k=3, pct=50),

@@ -121,6 +121,16 @@ def test_strip_diacritics_cjk_arabic():
     assert sd("서울 대학교") == "seoul daehaggyo"
     # hanzi pinned subset
     assert sd("中国 学生") == "zhongguo xuesheng"
+    # round-5 widened hanzi entries (VERDICT r4 #7): nature, numerals,
+    # colors, verbs — all beyond the original ~130-char subset
+    assert sd("南北 东西") == "nanbei dongxi"
+    assert sd("风雨 雷电") == "fengyu leidian"
+    assert sd("四五六七八九") == "siwuliuqibajiu"
+    assert sd("红黄蓝绿") == "honghuanglanlv"
+    assert sd("龙飞") == "longfei"
+    assert sd("春夏秋冬") == "chunxiaqiudong"
+    # uncommon hanzi outside the pinned set still passes through
+    assert sd("鬱") == "鬱"
     # mixed-script strings fold script-by-script
     assert sd("café Москва 한국 中") == "cafe Moskva hangug zhong"
 
