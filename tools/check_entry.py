@@ -2,8 +2,15 @@
 against ``oracle_sql()`` via DuckDB the way the grader does (row count +
 order-insensitive value comparison, columns sorted by name).
 
-Usage: python tools/check_entry.py [sf_dir] [query ...]
-"""
+Usage:
+    python tools/check_entry.py [sf_dir] [query ...]
+    python tools/check_entry.py [sf_dir] --random N --seed S
+
+``--random N --seed S`` (VERDICT r4 #8) draws a reproducible N-twin
+sample from the SQL-twinned queries (sorted name list, seeded
+``random.Random(S).sample``) — the per-round out-of-window evidence
+sweep recorded in COVERAGE.md, reproducible by the judge with the same
+seed."""
 
 from __future__ import annotations
 
@@ -43,8 +50,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    rand_n = rand_seed = None
+    if "--random" in args:
+        i = args.index("--random")
+        rand_n = int(args[i + 1])
+        del args[i : i + 2]
+    if "--seed" in args:
+        i = args.index("--seed")
+        rand_seed = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     # point the checkpoint-reading oracle twins at THIS tier's work dirs
     # (the driver contract defaults them to sf0.01)
@@ -84,6 +101,20 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if rand_n is not None:
+        import random
+
+        twinned = sorted(n for n in qs if n in oracles)
+        only = set(
+            random.Random(rand_seed or 0).sample(
+                twinned, min(rand_n, len(twinned))
+            )
+        )
+        print(
+            f"--random {rand_n} --seed {rand_seed or 0} -> "
+            + ", ".join(sorted(only)),
+            flush=True,
+        )
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
