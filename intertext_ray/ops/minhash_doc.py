@@ -481,13 +481,23 @@ def _jaccard_verify(
 
 def minhash_doc_clusters(
     docs: ray.data.Dataset,
+    components: str = "auto",
+    components_driver_max_pairs: int = 20_000_000,
     **kwargs,
 ) -> pa.Table:
     """(doc_id, dup_cluster_id) — connected components with min-member
-    labels over the verified :func:`minhash_doc_dedup` pairs (driver
-    union-find: the pair graph is candidate-thinned and threshold-filtered,
-    ≪ corpus; same justification and distributed escape hatch as
-    ``stages/cluster.components_from_matches``).
+    labels over the verified :func:`minhash_doc_dedup` pairs.
+
+    Components backend (round 5 — a REAL escape hatch, same contract as
+    the flagship's ``pipelines/dedup`` auto-switch): the pair graph is
+    candidate-thinned and threshold-filtered (≪ corpus), so driver
+    union-find (``_cc_min_label``, vectorized) is the fast default — but
+    past ``components_driver_max_pairs`` verified pairs the distributed
+    min-label propagation (``stages/cluster.components_distributed``)
+    takes over WITHOUT a code change (``components='auto'``; force with
+    ``'driver'``/``'distributed'``).  Both produce identical tables
+    (label = min member id; pinned in
+    ``tests/test_minhash_doc.py::test_doc_clusters_distributed_parity``).
 
     Unlike the flagship's ``dedup_clusters`` (whose SQL twin reads the
     engine's checkpointed match edges), this chain's DuckDB twin re-derives
@@ -496,16 +506,53 @@ def minhash_doc_clusters(
     from intertext_ray.stages.cluster import _cc_min_label
 
     pairs = minhash_doc_dedup(docs, **kwargs)
-    aa, bb = [], []
-    for batch in pairs.iter_batches(batch_format="pyarrow"):
-        aa.append(batch["doc_a"].to_numpy(zero_copy_only=False))
-        bb.append(batch["doc_b"].to_numpy(zero_copy_only=False))
     empty = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
             "dup_cluster_id": pa.array([], pa.int64()),
         }
     )
+    if components == "auto":
+        use_distributed = pairs.count() > components_driver_max_pairs
+    else:
+        use_distributed = components == "distributed"
+    if use_distributed:
+        from intertext_ray.stages.cluster import components_distributed
+
+        def as_matches(b: pa.Table) -> pa.Table:
+            n = len(b)
+            z = pa.array(np.zeros(n, np.int32), pa.int32())
+            return pa.table(
+                {
+                    "doc_a": b["doc_a"].cast(pa.uint64()),
+                    "doc_b": b["doc_b"].cast(pa.uint64()),
+                    "win_a": z,
+                    "win_b": z,
+                }
+            )
+
+        comp = components_distributed(
+            pairs.map_batches(as_matches, batch_format="pyarrow")
+        )
+        if len(comp) == 0:
+            return empty
+        d = comp["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = (
+            comp["component_id"].to_numpy(zero_copy_only=False)
+            >> np.uint64(32)
+        ).astype(np.int64)
+        order = np.argsort(d)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[order], pa.int64()),
+                "dup_cluster_id": pa.array(lab[order], pa.int64()),
+            }
+        )
+
+    aa, bb = [], []
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        aa.append(batch["doc_a"].to_numpy(zero_copy_only=False))
+        bb.append(batch["doc_b"].to_numpy(zero_copy_only=False))
     if not aa or not sum(len(x) for x in aa):
         return empty
     u = np.concatenate(aa)

@@ -506,3 +506,46 @@ def test_doc_faces_anti_join_path(ray_session, monkeypatch):
     assert got_surv == want_surv
     assert got_canon.equals(want_canon)
     assert got_cs == want_cs
+
+
+def test_doc_clusters_distributed_parity(ray_session):
+    """components='distributed' (min-label propagation shuffle) must
+    produce the exact table the driver union-find does — the doc-level
+    escape hatch past components_driver_max_pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from intertext_ray.ops.minhash_doc import minhash_doc_clusters
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    base = [str(vocab[i]) for i in rng.integers(0, 40, size=30)]
+    for i in range(40):
+        if i % 3 == 0:
+            t = list(base)
+            for j in rng.integers(0, 30, size=i % 4):
+                t[j] = vocab[int(rng.integers(0, 40))]
+            texts.append(" ".join(t))
+        else:
+            texts.append(
+                " ".join(vocab[int(x)] for x in rng.integers(0, 40, size=25))
+            )
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    drv = minhash_doc_clusters(docs, components="driver").to_pandas()
+    dist = minhash_doc_clusters(docs, components="distributed").to_pandas()
+    assert len(drv) > 0  # planted near-dups must cluster
+    assert drv.equals(dist)
+    # auto with a zero threshold routes to the distributed backend
+    auto = minhash_doc_clusters(
+        docs, components="auto", components_driver_max_pairs=0
+    ).to_pandas()
+    assert auto.equals(drv)
