@@ -2107,6 +2107,34 @@ def _q_audio_norm_exact(sf_dir: str):
     return audio_norm_exact_dup_groups(planted, num_buckets=16)
 
 
+def _q_audio_leakage_split(sf_dir: str):
+    """Leakage-safe train/val split over the planted gain-copy corpus
+    (`ops/audio_exact.audio_leakage_safe_split`, round 5): every member
+    of a gain-invariant exact dup group takes its group keeper's numeric
+    id as split key, so no norm-exact duplicate ever straddles the
+    boundary.  The twin re-derives the groups end-to-end in SQL (the
+    `audio_norm_exact` twin chain) then replays the splitmix gate."""
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.ops.audio_exact import (
+        audio_leakage_safe_split,
+        plant_gain_copies,
+    )
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    clips = _audio_dup_clips(sf_dir)
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    planted = plant_gain_copies(
+        clips.map_batches(samp, batch_format="pyarrow"), mod=4, gain_num=2
+    )
+    return audio_leakage_safe_split(planted, num_buckets=16)
+
+
 def _q_eval_leak_report(sf_dir: str):
     """Per-eval-doc leakage report (`ops/decontam.eval_leak_report`, the
     flip side of `decontaminate`): eval = source 'src0', train = the
@@ -2435,6 +2463,10 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_canonicals": _q_doc_canonicals,
         "doc_canonical_survivors": _q_doc_canonical_survivors,
         "fold_diacritics": _q_fold_diacritics,
+        # NEW this round (takes its first direct row; window_counts — the
+        # bare COUNT over the hash-checked-in-window windows table —
+        # yields its slot, same precedent as round 4)
+        "audio_leakage_split": _q_audio_leakage_split,
         # (iv) the 27 stalest twins (r2-green ×26 + blocklist_report r3)
         "incremental_dedup": _q_incremental_dedup,
         "containment_search": _q_containment,
@@ -2461,9 +2493,9 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "word_counts": _q_word_counts,
         "token_counts": _q_token_counts,
         "simhash_fingerprints": _q_simhash,
-        "window_counts": _q_window_counts,
         "blocklist_report": _q_blocklist,
         # --- position 51+ starts here ---
+        "window_counts": _q_window_counts,
         # direct-green in round 4 (CORRECTNESS_r04.json), kernels
         # unchanged since that check
         "csv_token_counts": _q_csv_token_counts,
@@ -3872,6 +3904,74 @@ def _audio_norm_exact_sql(
     """
 
 
+def _audio_leakage_split_sql(
+    gain_mod: int = 4, gain: int = 2, target_peak: int = 30000,
+    permille_train: int = 900,
+) -> str:
+    """Twin of ``_q_audio_leakage_split``: the full `audio_norm_exact`
+    chain (planted re-gain, integer peak-normalize, moment checksum,
+    group on the triple) feeding a split gate — split_key = numeric id
+    of the group keeper for members, own numeric id otherwise, then
+    ``splitmix64(key) % 1000 < permille_train`` (salt 0) replayed with
+    the pinned HUGEINT splitmix expression."""
+    gm, g, t = int(gain_mod), int(gain), int(target_peak)
+    pt = int(permille_train)
+    c1 = _sql_mod64("sum(CAST(i + 1 AS HUGEINT) * (s + 32769))")
+    c2 = _sql_mod64("sum(CAST(i + 1 AS HUGEINT) * (i + 1) * (s + 32769))")
+    gate = _sql_splitmix("CAST(split_key AS UBIGINT)")
+    return f"""
+        WITH {_audio_decode_ctes()},
+        aug AS (
+          SELECT clip_id, i, s FROM allsamp
+          UNION ALL
+          SELECT clip_id || '#gain', i,
+                 least(32767, greatest(-32768, s * {g})) AS s
+          FROM allsamp
+          WHERE CAST(regexp_extract(clip_id, '([0-9]+)$', 1) AS BIGINT)
+                % {gm} = 0
+        ),
+        pk AS (
+          SELECT clip_id, max(abs(s)) AS peak FROM aug GROUP BY clip_id
+        ),
+        y AS (
+          SELECT a.clip_id, a.i,
+                 CASE WHEN pk.peak = 0 THEN a.s
+                      ELSE least(32767, greatest(-32768,
+                        (CAST(a.s AS HUGEINT) * {t} + 32768 * {t} * pk.peak)
+                          // pk.peak - 32768 * {t}))
+                 END AS s
+          FROM aug a JOIN pk USING (clip_id)
+        ),
+        ck AS (
+          SELECT clip_id, count(*) AS n_samples, {c1} AS ck1, {c2} AS ck2
+          FROM y GROUP BY clip_id
+        ),
+        grp AS (
+          SELECT n_samples, ck1, ck2, min(clip_id) AS group_id
+          FROM ck GROUP BY n_samples, ck1, ck2
+          HAVING count(*) >= 2
+        ),
+        mem AS (
+          SELECT ck.clip_id,
+                 CAST(regexp_extract(grp.group_id, '([0-9]+)$', 1)
+                      AS BIGINT) AS key
+          FROM ck JOIN grp USING (n_samples, ck1, ck2)
+        ),
+        k AS (
+          SELECT c.clip_id,
+                 COALESCE(m.key,
+                   CAST(regexp_extract(c.clip_id, '([0-9]+)$', 1)
+                        AS BIGINT)) AS split_key
+          FROM (SELECT clip_id FROM ck) c
+          LEFT JOIN mem m USING (clip_id)
+        )
+        SELECT clip_id, CAST(split_key AS BIGINT) AS split_key,
+               CASE WHEN ({gate}) % 1000 < {pt}
+                    THEN 'train' ELSE 'val' END AS split
+        FROM k
+    """
+
+
 def _audio_crest_sql(flat_milli: int = 1414, peaky_milli: int = 6000) -> str:
     """Twin of ``_q_audio_crest``: one aggregate pass over the SQL-decoded
     samples; rms_floor recomputed as floor(sqrt(ms::DOUBLE)) — equal to
@@ -3987,6 +4087,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_clipping": _audio_clipping_sql(),
         "audio_crest": _audio_crest_sql(),
         "audio_norm_exact": _audio_norm_exact_sql(),
+        "audio_leakage_split": _audio_leakage_split_sql(),
         "mojibake_report": _mojibake_sql(),
         "leakage_safe_split": _leakage_safe_split_sql(),
         "gopher_rules": _gopher_rules_sql(),

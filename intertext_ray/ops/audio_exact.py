@@ -545,3 +545,75 @@ def pcm_checksums_batch(
         np.asarray(o1, np.uint64),
         np.asarray(o2, np.uint64),
     )
+
+
+def audio_leakage_safe_split(
+    clips: ray.data.Dataset,
+    permille_train: int = 900,
+    salt: int = 0,
+    target_peak: int = 30000,
+    num_buckets: int = 32,
+    codecs: tuple[str, ...] = _SQL_CODECS,
+) -> ray.data.Dataset:
+    """(clip_id, split_key, split) — train/val split that can never leak
+    a gain-invariant exact duplicate across the boundary: the split is
+    decided by ``splitmix64(split_key ^ salt)`` where ``split_key`` is
+    the numeric id of the clip's :func:`audio_norm_exact_dup_groups`
+    group keeper (min clip id) for grouped clips and the clip's own
+    numeric id otherwise — every member of a norm-exact dup group lands
+    in the SAME split.  The audio analogue of
+    `ops/sampling.leakage_safe_split` (reference semantics: a plain hash
+    split leaks ~2·p·(1−p) of each dup pair across the boundary; this
+    makes that fraction exactly zero while staying a pure function of
+    the keys, so re-runs and resumed partitions agree).
+
+    Scale shape: the dup-group table is dup-proportional (≪ corpus),
+    broadcast once as a sorted (clip_id -> keeper id) pair of arrays;
+    the split pass is row-local searchsorted + splitmix — no shuffle at
+    any corpus size.  Swap the group source for the fingerprint tier's
+    clusters for near-dup-safe splits (same key contract)."""
+    import ray
+
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+
+    groups = audio_norm_exact_dup_groups(
+        clips, target_peak=target_peak, num_buckets=num_buckets,
+        codecs=codecs,
+    )
+    mids: list[str] = []
+    keys: list[np.ndarray] = []
+    for b in groups.iter_batches(batch_format="pyarrow"):
+        mids.extend(b["clip_id"].to_pylist())
+        keys.append(doc_ids_for_clip_ids(b["group_id"]).astype(np.int64))
+    mid_arr = np.asarray(mids, dtype=object)
+    key_arr = (
+        np.concatenate(keys) if keys else np.empty(0, np.int64)
+    )
+    order = np.argsort(mid_arr)
+    lut_ref = ray.put((mid_arr[order], key_arr[order]))
+    s = np.uint64(salt)
+    pt = int(permille_train)
+
+    def fn(b: pa.Table) -> pa.Table:
+        mid_s, key_s = ray.get(lut_ref)
+        ids = np.asarray(b["clip_id"].to_pylist(), dtype=object)
+        key = doc_ids_for_clip_ids(b["clip_id"]).astype(np.int64)
+        if len(mid_s):
+            pos = np.searchsorted(mid_s, ids)
+            safe = np.minimum(pos, len(mid_s) - 1)
+            hit = (pos < len(mid_s)) & (mid_s[safe] == ids)
+            key[hit] = key_s[safe[hit]]
+        h = splitmix64(key.astype(np.uint64) ^ s) % np.uint64(1000)
+        split = np.where(h < pt, "train", "val")
+        return pa.table(
+            {
+                "clip_id": b["clip_id"],
+                "split_key": pa.array(key, pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return clips.select_columns(["clip_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

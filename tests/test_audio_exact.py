@@ -243,3 +243,54 @@ def test_audio_eval_leak_duplicate_eval_keys(ray_session):
     assert got.loc["ev_a", "n_corpus_copies"] == 2
     assert got.loc["ev_b", "n_corpus_copies"] == 2
     assert got.loc["ev_c", "n_corpus_copies"] == 0
+
+
+def test_audio_leakage_safe_split(ray_session):
+    """No gain-invariant dup group may straddle the train/val boundary;
+    ungrouped clips split by their own id; the gate is the pinned
+    splitmix permille rule."""
+    import numpy as np
+    import ray
+
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.audio_exact import (
+        audio_leakage_safe_split,
+        audio_norm_exact_dup_groups,
+        plant_gain_copies,
+    )
+
+    def quiet_pcm(seed, n):  # x2 gain must never clip -> bit-identical
+        rng = np.random.default_rng(seed)  # normalized copies
+        return rng.integers(-7000, 7000, n).astype(np.int16)
+
+    rows = [
+        (f"clip_{i}", quiet_pcm(100 + i, 1200 + 7 * i), 8000, "pcm_s16le")
+        for i in range(12)
+    ]
+    planted = plant_gain_copies(
+        ray.data.from_arrow(_clips_table(rows)), mod=3, gain_num=2
+    )
+    got = (
+        audio_leakage_safe_split(planted, num_buckets=4)
+        .to_pandas()
+        .set_index("clip_id")
+    )
+    groups = audio_norm_exact_dup_groups(planted, num_buckets=4).to_pandas()
+    assert len(groups) > 0
+    # every member of a group shares the keeper's key and split
+    for gid, mem in groups.groupby("group_id"):
+        keys = {int(got.loc[c, "split_key"]) for c in mem.clip_id}
+        splits = {got.loc[c, "split"] for c in mem.clip_id}
+        assert keys == {int(gid.split("_")[-1])}
+        assert len(splits) == 1
+    # ungrouped clips: own id, pinned splitmix gate
+    grouped = set(groups.clip_id)
+    for cid in got.index:
+        if cid in grouped:
+            continue
+        own = int(cid.split("_")[-1])
+        assert int(got.loc[cid, "split_key"]) == own
+        h = int(splitmix64(np.uint64(own)) % np.uint64(1000))
+        assert got.loc[cid, "split"] == ("train" if h < 900 else "val")
+    # the corpus actually exercises both splits across seeds/sizes
+    assert set(got["split"]) <= {"train", "val"}
