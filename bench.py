@@ -542,6 +542,11 @@ def run_scaling() -> dict:
     r_hi = min((one(hi) for _ in range(2)), key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     n = r_lo["n_clips"]
+    # scale invariance: the match set must be bit-identical at both
+    # parallelism levels (round-over-round contract; see BASELINE.md)
+    m_lo = r_lo["queries"]["clips_n_matches"]
+    m_hi = r_hi["queries"]["clips_n_matches"]
+    assert m_lo == m_hi, f"match count differs across levels: {m_lo} vs {m_hi}"
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -551,6 +556,7 @@ def run_scaling() -> dict:
         "sec_32": t_hi,
         "clips_per_sec_8": round(n / t_lo, 1),
         "clips_per_sec_32": round(n / t_hi, 1),
+        "n_matches": m_lo,
         "n_clips": n,
         "sf": SF_DIR,
     }
