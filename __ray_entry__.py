@@ -2135,6 +2135,42 @@ def _q_audio_leakage_split(sf_dir: str):
     return audio_leakage_safe_split(planted, num_buckets=16)
 
 
+def _q_joint_leakage_split(sf_dir: str):
+    """Cross-modal leakage-safe split (round 5, the A+B composition):
+    clips bridge into JOINT components over transcript-exact ∪
+    gain-invariant audio-exact groups, and the whole component splits
+    together (`ops/joint_dedup.joint_leakage_safe_split`).  The twin
+    re-derives BOTH member tables in SQL (transcript GROUP BY + the
+    norm-exact decode chain), closes the bridge with a recursive
+    min-label closure over VARCHAR clip ids, and replays the splitmix
+    gate on the component keeper's numeric id."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from intertext_ray.fixtures.gen_audio import audio_dup_corpus_for_sf
+    from intertext_ray.ops.audio_exact import plant_gain_copies
+    from intertext_ray.ops.joint_dedup import joint_leakage_safe_split
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids, read_clips
+
+    # own read: the shared _audio_dup_clips prunes transcript, which the
+    # text side of the joint bridge needs
+    clips = read_clips(
+        os.path.join(audio_dup_corpus_for_sf(sf_dir), "clips"),
+        columns=["clip_id", "bytes", "sr_hz", "codec", "transcript"],
+    )
+
+    def samp(t: pa.Table) -> pa.Table:
+        num = doc_ids_for_clip_ids(t["clip_id"])
+        return t.filter(pa.array(num % np.uint64(7) == 0))
+
+    planted = plant_gain_copies(
+        clips.map_batches(samp, batch_format="pyarrow"), mod=4, gain_num=2
+    )
+    return joint_leakage_safe_split(planted, num_buckets=16)
+
+
 def _q_eval_leak_report(sf_dir: str):
     """Per-eval-doc leakage report (`ops/decontam.eval_leak_report`, the
     flip side of `decontaminate`): eval = source 'src0', train = the
@@ -2463,10 +2499,12 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_canonicals": _q_doc_canonicals,
         "doc_canonical_survivors": _q_doc_canonical_survivors,
         "fold_diacritics": _q_fold_diacritics,
-        # NEW this round (takes its first direct row; window_counts — the
-        # bare COUNT over the hash-checked-in-window windows table —
-        # yields its slot, same precedent as round 4)
+        # NEW this round (take their first direct rows; window_counts and
+        # token_counts — both bare counts over the SAME tokenizer whose
+        # full output the in-window `windows` twin hash-checks
+        # transitively — yield their slots, same precedent as round 4)
         "audio_leakage_split": _q_audio_leakage_split,
+        "joint_leakage_split": _q_joint_leakage_split,
         # (iv) the 27 stalest twins (r2-green ×26 + blocklist_report r3)
         "incremental_dedup": _q_incremental_dedup,
         "containment_search": _q_containment,
@@ -2491,11 +2529,11 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
         "assign_chunks": _q_assign_chunks,
         "curate_corpus": _q_curate_corpus,
         "word_counts": _q_word_counts,
-        "token_counts": _q_token_counts,
         "simhash_fingerprints": _q_simhash,
         "blocklist_report": _q_blocklist,
         # --- position 51+ starts here ---
         "window_counts": _q_window_counts,
+        "token_counts": _q_token_counts,
         # direct-green in round 4 (CORRECTNESS_r04.json), kernels
         # unchanged since that check
         "csv_token_counts": _q_csv_token_counts,
@@ -3972,6 +4010,108 @@ def _audio_leakage_split_sql(
     """
 
 
+def _joint_leakage_split_sql(
+    gain_mod: int = 4, gain: int = 2, target_peak: int = 30000,
+    permille_train: int = 900,
+) -> str:
+    """Twin of ``_q_joint_leakage_split``: transcript-exact groups
+    (GROUP BY the raw string), audio norm-exact groups (the full decode /
+    re-gain / peak-normalize / moment-checksum chain), member->keeper
+    edges unioned across the two modalities, a recursive min-label
+    closure over VARCHAR clip ids (binary collation = numpy object-sort
+    order on ASCII), then the splitmix gate on the component keeper's
+    numeric id."""
+    gm, g, t = int(gain_mod), int(gain), int(target_peak)
+    pt = int(permille_train)
+    c1 = _sql_mod64("sum(CAST(i + 1 AS HUGEINT) * (s + 32769))")
+    c2 = _sql_mod64("sum(CAST(i + 1 AS HUGEINT) * (i + 1) * (s + 32769))")
+    gate = _sql_splitmix("CAST(split_key AS UBIGINT)")
+    num = "CAST(regexp_extract({c}, '([0-9]+)$', 1) AS BIGINT)"
+    return f"""
+        WITH RECURSIVE {_audio_decode_ctes()},
+        aug AS (
+          SELECT clip_id, i, s FROM allsamp
+          UNION ALL
+          SELECT clip_id || '#gain', i,
+                 least(32767, greatest(-32768, s * {g})) AS s
+          FROM allsamp
+          WHERE {num.format(c="clip_id")} % {gm} = 0
+        ),
+        pk AS (
+          SELECT clip_id, max(abs(s)) AS peak FROM aug GROUP BY clip_id
+        ),
+        y AS (
+          SELECT a.clip_id, a.i,
+                 CASE WHEN pk.peak = 0 THEN a.s
+                      ELSE least(32767, greatest(-32768,
+                        (CAST(a.s AS HUGEINT) * {t} + 32768 * {t} * pk.peak)
+                          // pk.peak - 32768 * {t}))
+                 END AS s
+          FROM aug a JOIN pk USING (clip_id)
+        ),
+        ck AS (
+          SELECT clip_id, count(*) AS n_samples, {c1} AS ck1, {c2} AS ck2
+          FROM y GROUP BY clip_id
+        ),
+        agrp AS (
+          SELECT n_samples, ck1, ck2, min(clip_id) AS gid
+          FROM ck GROUP BY n_samples, ck1, ck2
+          HAVING count(*) >= 2
+        ),
+        amem AS (
+          SELECT ck.clip_id, agrp.gid
+          FROM ck JOIN agrp USING (n_samples, ck1, ck2)
+        ),
+        trsrc AS (
+          SELECT clip_id, transcript
+          FROM read_parquet('{_audiodup_clips_path()}/*.parquet')
+          WHERE {num.format(c="clip_id")} % 7 = 0
+            AND codec IN ('pcm_s16le', 'wav', 'ulaw', 'alaw')
+        ),
+        trall AS (
+          SELECT clip_id, transcript FROM trsrc
+          UNION ALL
+          SELECT clip_id || '#gain', transcript FROM trsrc
+          WHERE {num.format(c="clip_id")} % {gm} = 0
+        ),
+        tgrp AS (
+          SELECT transcript, min(clip_id) AS gid
+          FROM trall GROUP BY transcript HAVING count(*) >= 2
+        ),
+        tmem AS (
+          SELECT tr.clip_id, tgrp.gid
+          FROM trall tr JOIN tgrp USING (transcript)
+        ),
+        m AS MATERIALIZED (
+          SELECT clip_id AS a, gid AS b FROM amem
+          UNION
+          SELECT clip_id, gid FROM tmem
+        ),
+        edges AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM m UNION SELECT b, a FROM m
+        ),
+        nds AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges),
+        cc(node, label) AS (
+          SELECT node, node FROM nds
+          UNION
+          SELECT e.v, cc.label FROM cc JOIN edges e ON e.u = cc.node
+          WHERE cc.label < e.v
+        ),
+        cl AS (SELECT node, min(label) AS lbl FROM cc GROUP BY node),
+        k AS (
+          SELECT c.clip_id,
+                 COALESCE({num.format(c="cl.lbl")},
+                          {num.format(c="c.clip_id")}) AS split_key
+          FROM (SELECT clip_id FROM trall) c
+          LEFT JOIN cl ON cl.node = c.clip_id
+        )
+        SELECT clip_id, CAST(split_key AS BIGINT) AS split_key,
+               CASE WHEN ({gate}) % 1000 < {pt}
+                    THEN 'train' ELSE 'val' END AS split
+        FROM k
+    """
+
+
 def _audio_crest_sql(flat_milli: int = 1414, peaky_milli: int = 6000) -> str:
     """Twin of ``_q_audio_crest``: one aggregate pass over the SQL-decoded
     samples; rms_floor recomputed as floor(sqrt(ms::DOUBLE)) — equal to
@@ -4088,6 +4228,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_crest": _audio_crest_sql(),
         "audio_norm_exact": _audio_norm_exact_sql(),
         "audio_leakage_split": _audio_leakage_split_sql(),
+        "joint_leakage_split": _joint_leakage_split_sql(),
         "mojibake_report": _mojibake_sql(),
         "leakage_safe_split": _leakage_safe_split_sql(),
         "gopher_rules": _gopher_rules_sql(),

@@ -177,3 +177,176 @@ def joint_dup_report(
     return classify_joint_dups(
         clips, res.doc_clusters, aclusters, num_buckets=num_buckets
     )
+
+
+def transcript_exact_dup_groups(
+    clips: ray.data.Dataset,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(clip_id, group_id, group_size) for every clip whose TRANSCRIPT is
+    byte-identical to another's — the text-side exact rung over the clip
+    table (group_id = lexicographically smallest member, the same keeper
+    rule as `ops/audio_exact._group_summary`).
+
+    Scale shape: slim (bucket, clip_id, transcript) rows through ONE
+    bucketed groupby — the bucket key is crc32 of the transcript bytes
+    (deterministic across workers, unlike salted ``hash()``), grouping
+    inside the bucket compares the exact strings, so collisions cost
+    nothing."""
+    import zlib
+
+    nb = int(num_buckets)
+
+    def slim(b: pa.Table) -> pa.Table:
+        texts = b["transcript"].to_pylist()
+        bk = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) % nb for t in texts),
+            np.int64,
+            len(texts),
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bk, pa.int64()),
+                "clip_id": b["clip_id"],
+                "transcript": b["transcript"],
+            }
+        )
+
+    def groups(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["clip_id"].to_pylist(), dtype=object)
+        txt = np.asarray(g["transcript"].to_pylist(), dtype=object)
+        empty = pa.table(
+            {
+                "clip_id": pa.array([], pa.string()),
+                "group_id": pa.array([], pa.string()),
+                "group_size": pa.array([], pa.int64()),
+            }
+        )
+        n = len(ids)
+        if n == 0:
+            return empty
+        order = np.lexsort((ids, txt))
+        si, st = ids[order], txt[order]
+        head = np.ones(n, bool)
+        head[1:] = st[1:] != st[:-1]
+        starts = np.nonzero(head)[0]
+        counts = np.diff(np.concatenate([starts, [n]]))
+        keep = counts >= 2
+        if not keep.any():
+            return empty
+        starts, counts = starts[keep], counts[keep]
+        member_idx = np.concatenate(
+            [np.arange(s, s + c) for s, c in zip(starts, counts)]
+        )
+        return pa.table(
+            {
+                "clip_id": pa.array(list(si[member_idx]), pa.string()),
+                "group_id": pa.array(
+                    list(np.repeat(si[starts], counts)), pa.string()
+                ),
+                "group_size": pa.array(
+                    np.repeat(counts, counts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        clips.select_columns(["clip_id", "transcript"])
+        .map_batches(slim, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(groups, batch_format="pyarrow")
+    )
+
+
+def joint_leakage_safe_split(
+    clips: ray.data.Dataset,
+    permille_train: int = 900,
+    salt: int = 0,
+    target_peak: int = 30000,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(clip_id, split_key, split) — train/val split that leaks NEITHER
+    modality across the boundary: clips are joined into JOINT components
+    over the union of transcript-exact groups and gain-invariant
+    audio-exact groups (a re-recording bridges through its shared
+    transcript, a re-dub through its shared audio), and the whole
+    component splits together, keyed by its lexicographically smallest
+    member's numeric id.  The A+B composition of
+    `audio_exact.audio_leakage_safe_split` — the strictest exact-tier
+    no-leak guarantee the two engines can give jointly.
+
+    Scale shape: both member tables are dup-proportional (≪ corpus); the
+    bridge components run on the driver over those edges (vectorized
+    min-label, same budget argument as `minhash_doc_clusters`' driver
+    default — swap in `components_distributed` past its threshold); the
+    split pass is row-local broadcast-searchsorted + splitmix, no
+    corpus shuffle."""
+    import ray
+
+    from intertext_ray.ops.audio_exact import (
+        _SQL_CODECS,
+        audio_norm_exact_dup_groups,
+    )
+    from intertext_ray.sources.clips import doc_ids_for_clip_ids
+    from intertext_ray.stages.cluster import _cc_min_label
+
+    a = audio_norm_exact_dup_groups(
+        clips, target_peak=target_peak, num_buckets=num_buckets,
+        codecs=_SQL_CODECS,
+    )
+    t = transcript_exact_dup_groups(clips, num_buckets=num_buckets)
+    mem: list[str] = []
+    kee: list[str] = []
+    for ds in (a, t):
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            mem.extend(b["clip_id"].to_pylist())
+            kee.extend(b["group_id"].to_pylist())
+
+    if mem:
+        nodes, inv = np.unique(
+            np.asarray(mem + kee, dtype=object), return_inverse=True
+        )
+        label = _cc_min_label(
+            inv[: len(mem)].astype(np.int64),
+            inv[len(mem):].astype(np.int64),
+            len(nodes),
+        )
+        # component label = lexicographically-min member (np.unique sorts
+        # object strings with the same binary collation DuckDB's
+        # min(VARCHAR) uses on ASCII ids)
+        keeper = nodes[label]
+        keys = doc_ids_for_clip_ids(
+            pa.array(list(keeper), pa.string())
+        ).astype(np.int64)
+        lut_ref = ray.put((nodes, keys))
+    else:
+        lut_ref = ray.put(
+            (np.empty(0, dtype=object), np.empty(0, np.int64))
+        )
+    from intertext_ray.functions.hashing import splitmix64
+
+    s = np.uint64(salt)
+    pt = int(permille_train)
+
+    def fn(b: pa.Table) -> pa.Table:
+        node_s, key_s = ray.get(lut_ref)
+        ids = np.asarray(b["clip_id"].to_pylist(), dtype=object)
+        key = doc_ids_for_clip_ids(b["clip_id"]).astype(np.int64)
+        if len(node_s):
+            pos = np.searchsorted(node_s, ids)
+            safe = np.minimum(pos, len(node_s) - 1)
+            hit = (pos < len(node_s)) & (node_s[safe] == ids)
+            key[hit] = key_s[safe[hit]]
+        h = splitmix64(key.astype(np.uint64) ^ s) % np.uint64(1000)
+        split = np.where(h < pt, "train", "val")
+        return pa.table(
+            {
+                "clip_id": b["clip_id"],
+                "split_key": pa.array(key, pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return clips.select_columns(["clip_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -294,3 +294,60 @@ def test_audio_leakage_safe_split(ray_session):
         assert got.loc[cid, "split"] == ("train" if h < 900 else "val")
     # the corpus actually exercises both splits across seeds/sizes
     assert set(got["split"]) <= {"train", "val"}
+
+
+def test_joint_leakage_safe_split_bridges_modalities(ray_session):
+    """A text-dup bridge (same transcript, different audio) and an
+    audio-dup bridge (same audio, different id) must pull all linked
+    clips into ONE split component keyed by the lexicographic min
+    member's numeric id."""
+    import numpy as np
+    import ray
+
+    from intertext_ray.functions.hashing import splitmix64
+    from intertext_ray.ops.joint_dedup import joint_leakage_safe_split
+
+    def pcm(seed, n=900):
+        rng = np.random.default_rng(seed)
+        return rng.integers(-7000, 7000, n).astype(np.int16)
+
+    import pyarrow as pa
+
+    from intertext_ray.functions.audio import encode_pcm_s16le
+
+    rows = [
+        # clip_1/clip_2 share PCM but differ in transcript (audio
+        # bridge); clip_2/clip_3 share a transcript but differ in PCM
+        # (text bridge) => {1,2,3} is ONE joint component, keyed 1
+        ("clip_1", pcm(1), "alpha words one"),
+        ("clip_2", pcm(1), "bravo words two"),
+        ("clip_3", pcm(3), "bravo words two"),
+        # isolated clip: own key
+        ("clip_4", pcm(4), "delta words four"),
+    ]
+    tbl = pa.table(
+        {
+            "clip_id": pa.array([r[0] for r in rows], pa.string()),
+            "bytes": pa.array(
+                [encode_pcm_s16le(r[1]) for r in rows], pa.binary()
+            ),
+            "sr_hz": pa.array([8000] * 4, pa.int32()),
+            "dur_ms": pa.array([100] * 4, pa.int32()),
+            "codec": pa.array(["pcm_s16le"] * 4, pa.string()),
+            "transcript": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    got = (
+        joint_leakage_safe_split(
+            ray.data.from_arrow(tbl), num_buckets=4
+        )
+        .to_pandas()
+        .set_index("clip_id")
+    )
+    assert int(got.loc["clip_1", "split_key"]) == 1
+    assert int(got.loc["clip_2", "split_key"]) == 1
+    assert int(got.loc["clip_3", "split_key"]) == 1  # bridged via text
+    assert int(got.loc["clip_4", "split_key"]) == 4
+    assert len(set(got.loc[["clip_1", "clip_2", "clip_3"], "split"])) == 1
+    h = int(splitmix64(np.uint64(4)) % np.uint64(1000))
+    assert got.loc["clip_4", "split"] == ("train" if h < 900 else "val")
