@@ -2448,11 +2448,18 @@ def _raw_queries() -> dict[str, Callable[[str], Any]]:
     #         doc_cluster_canonicals / doc_canonical_survivors (drop-set
     #         broadcast replaced by the bucketed anti-join, VERDICT #2)
     #         and fold_diacritics (hanzi fold table widened, VERDICT #7);
-    #   (iv)  positions 24-50: the twenty-seven stalest twins — every
-    #         remaining query last direct-checked in round 2
-    #         (CORRECTNESS_r02.json) plus blocklist_report (r3) — so the
-    #         oldest evidence in the repo is refreshed.  After this round
-    #         no twin's most recent direct row is older than round 3.
+    #   (iii-b) positions 24-25: ops ADDED this round taking their first
+    #         direct rows — audio_leakage_split (gain-invariant-group-
+    #         keyed split) and joint_leakage_split (the cross-modal
+    #         transcript∪audio bridge split);
+    #   (iv)  positions 26-50: the twenty-five stalest twins — the
+    #         remaining round-2-checked set plus blocklist_report (r3) —
+    #         so the oldest evidence in the repo is refreshed.  After
+    #         this round no in-repo twin's most recent direct row is
+    #         older than round 3 except window_counts / token_counts
+    #         (bare counts over the tokenizer the in-window `windows`
+    #         twin hash-checks transitively), which yielded their slots
+    #         to the two new ops.
     # Rotated out (ALL direct-green in round 4, kernels unchanged since
     # CORRECTNESS_r04.json): csv_token_counts, sorted_neighbor_multi,
     # audio_invariant_summary, audio_decontam, fuzzy_decontam_survivors,
